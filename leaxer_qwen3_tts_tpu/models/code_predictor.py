@@ -1,0 +1,105 @@
+"""Code predictor: the MTP head emitting sub-codebooks 1..15 per frame.
+
+Replaces the reference's 31-session-calls-per-frame inner loop (code_predictor +
+code_predictor_embed, tts_onnx.cpp:851-872) with ONE jitted ``lax.scan`` over the
+15 steps, running a small incremental-KV transformer entirely on device.
+
+Contract (mirrors the reference exactly):
+  * the input sequence starts [talker_last_hidden, codec_embed(code0)]
+  * step j consumes the growing sequence and emits 2048-way logits from a
+    step-indexed output head (the reference's ``generation_step`` input)
+  * the token sampled at step j is embedded with the step-j table
+    (code_predictor_embed.onnx) and appended for step j+1
+  * the sum of all 15 sub-embeddings feeds the next talker input
+    (reference tts_onnx.cpp:823-842)
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..config import CodePredictorConfig
+from .layers import KVCache, init_kv_cache, init_transformer_params, transformer_forward
+
+
+def init_code_predictor_params(cfg: CodePredictorConfig, key: jax.Array) -> dict:
+    k1, k2 = jax.random.split(key)
+    t = cfg.transformer
+    h = t.hidden_size
+    dt = t.jnp_dtype
+    scale = 1.0 / jnp.sqrt(h)
+    return {
+        "transformer": init_transformer_params(t, k1),
+        # one 2048-way output head per generation step
+        "heads": (
+            jax.random.normal(k2, (cfg.num_steps, h, cfg.subcode_vocab_size), jnp.float32) * scale
+        ).astype(dt),
+    }
+
+
+def predict_subcodes(
+    cfg: CodePredictorConfig,
+    params: dict,
+    pred_embed_tables: jax.Array,  # [num_steps, subcode_vocab, H]
+    last_hidden: jax.Array,  # [B, H] — talker hidden for this frame
+    code0_embed: jax.Array,  # [B, H] — codec_embed(code0)
+    key: jax.Array,
+    sample_fn: Callable[[jax.Array, jax.Array], jax.Array],  # (key, logits[B,V]) -> [B] int32
+) -> Tuple[jax.Array, jax.Array]:
+    """Runs the 15-step MTP loop for one frame.
+
+    Returns (subcodes [B, 15] int32, sub_embed_sum [B, H]) where sub_embed_sum is
+    the sum over steps of table[j][subcode_j] — the talker's next-input term.
+    """
+    t = cfg.transformer
+    B, H = last_hidden.shape
+    n = cfg.num_steps
+
+    cache = init_kv_cache(t, B, cfg.max_seq_len)
+    valid = jnp.zeros((B, cfg.max_seq_len), bool)
+
+    # Prime with the 2-token prefix [last_hidden, code0_embed]
+    prefix = jnp.stack([last_hidden.astype(t.jnp_dtype), code0_embed.astype(t.jnp_dtype)], axis=1)
+    positions = jnp.broadcast_to(jnp.arange(2, dtype=jnp.int32), (B, 2))
+    hidden, cache, valid = transformer_forward(
+        t, params["transformer"], prefix, positions, cache, valid
+    )
+    h_last = hidden[:, 1]  # hidden at the code0 position -> step-0 logits
+
+    def head_logits(h, j):
+        w = lax.dynamic_index_in_dim(params["heads"], j, axis=0, keepdims=False)
+        return jnp.dot(h, w, preferred_element_type=jnp.float32)  # [B, 2048] f32
+
+    def step(carry, j):
+        h_prev, cache, valid, key = carry
+        key, sub = jax.random.split(key)
+        logits_j = head_logits(h_prev, j)
+        subcode_j = sample_fn(sub, logits_j)  # [B]
+        table = lax.dynamic_index_in_dim(pred_embed_tables, j, axis=0, keepdims=False)
+        emb_j = jnp.take(table, subcode_j, axis=0)  # [B, H]
+
+        # feed emb_j for the next step's logits (wasted on the final step only if
+        # we ran it; we instead stop the scan one early and handle j = n-1 below)
+        pos = jnp.full((B,), 2 + j, jnp.int32)
+        hidden, cache, valid = transformer_forward(
+            t, params["transformer"], emb_j[:, None, :].astype(t.jnp_dtype), pos[:, None], cache, valid
+        )
+        return (hidden[:, 0], cache, valid, key), (subcode_j, emb_j)
+
+    # steps 0..n-2 advance the transformer; the final step only samples
+    (h_last, cache, valid, key), (subcodes, embs) = lax.scan(
+        step, (h_last, cache, valid, key), jnp.arange(n - 1, dtype=jnp.int32)
+    )
+    key, sub = jax.random.split(key)
+    logits_last = head_logits(h_last, n - 1)
+    subcode_last = sample_fn(sub, logits_last)
+    emb_last = jnp.take(pred_embed_tables[n - 1], subcode_last, axis=0)
+
+    subcodes = jnp.moveaxis(subcodes, 0, 1)  # [B, n-1]
+    subcodes = jnp.concatenate([subcodes, subcode_last[:, None]], axis=1)  # [B, n]
+    sub_sum = jnp.sum(embs, axis=0) + emb_last  # [B, H]
+    return subcodes, sub_sum.astype(last_hidden.dtype)

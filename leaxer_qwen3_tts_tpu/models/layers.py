@@ -1,0 +1,287 @@
+"""Core transformer building blocks (functional JAX, parameter pytrees).
+
+One unified code path serves prefill and decode: every forward writes the new
+K/V into a static, device-resident cache at ``cache_len`` and attends over the
+whole (masked) cache.  This deletes the reference's per-step host<->device KV
+round-trips (reference tts_onnx.cpp:684-729 copies 28 layers of KV both ways on
+every decode step); here the cache never leaves HBM and the update is a
+``lax.dynamic_update_slice`` inside the jitted step.
+
+Layer stack is scanned (``lax.scan`` over stacked per-layer params) so 28 layers
+compile as one loop — fast compiles, identical runtime code for every layer.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..config import TransformerConfig
+from ..ops.attention import attend
+
+
+class KVCache(NamedTuple):
+    """Static per-model KV cache.
+
+    k, v: [num_layers, batch, max_len, num_kv_heads, head_dim]
+    length: scalar int32 — number of filled slots (same for every sequence; a
+        separate validity mask marks right-padded prompt slots as unattendable).
+    """
+
+    k: jax.Array
+    v: jax.Array
+    length: jax.Array  # scalar int32
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[2]
+
+    @property
+    def batch(self) -> int:
+        return self.k.shape[1]
+
+
+def init_kv_cache(cfg: TransformerConfig, batch: int, max_len: int) -> KVCache:
+    shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+    dtype = cfg.jnp_dtype
+    return KVCache(
+        k=jnp.zeros(shape, dtype),
+        v=jnp.zeros(shape, dtype),
+        length=jnp.zeros((), jnp.int32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Primitive ops
+# ---------------------------------------------------------------------------
+
+
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+    """RMSNorm in float32, result cast back to input dtype (Qwen3 style)."""
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+    normed = xf * lax.rsqrt(var + eps)
+    return (normed * weight.astype(jnp.float32)).astype(dtype)
+
+
+def rope_angles(positions: jax.Array, head_dim: int, theta: float) -> Tuple[jax.Array, jax.Array]:
+    """cos/sin tables for rotary embedding.  positions: [...]; returns [..., head_dim/2]."""
+    half = head_dim // 2
+    freqs = 1.0 / (theta ** (jnp.arange(half, dtype=jnp.float32) / half))
+    angles = positions.astype(jnp.float32)[..., None] * freqs
+    return jnp.cos(angles), jnp.sin(angles)
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """Rotary embedding, rotate-half (GPT-NeoX / Qwen) convention.
+
+    x: [B, S, N, D]; cos/sin: [B, S, D/2] broadcast over heads.
+    """
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    half = x.shape[-1] // 2
+    x1, x2 = xf[..., :half], xf[..., half:]
+    c = cos[:, :, None, :]
+    s = sin[:, :, None, :]
+    rotated = jnp.concatenate([x1 * c - x2 * s, x2 * c + x1 * s], axis=-1)
+    return rotated.astype(dtype)
+
+
+def swiglu(x: jax.Array, wg: jax.Array, wu: jax.Array, wd: jax.Array) -> jax.Array:
+    gate = jax.nn.silu(jnp.dot(x, wg, preferred_element_type=jnp.float32))
+    up = jnp.dot(x, wu, preferred_element_type=jnp.float32)
+    return jnp.dot((gate * up).astype(x.dtype), wd, preferred_element_type=jnp.float32).astype(
+        x.dtype
+    )
+
+
+# ---------------------------------------------------------------------------
+# Parameter init
+# ---------------------------------------------------------------------------
+
+
+def _dense_init(key, fan_in, shape, dtype):
+    scale = 1.0 / jnp.sqrt(fan_in)
+    return (jax.random.normal(key, shape, jnp.float32) * scale).astype(dtype)
+
+
+def init_layer_params(cfg: TransformerConfig, key: jax.Array) -> dict:
+    """Params for ONE transformer block (leaves unstacked)."""
+    h, qd, kvd = cfg.hidden_size, cfg.q_dim, cfg.kv_dim
+    dt = cfg.jnp_dtype
+    ks = jax.random.split(key, 8)
+    p = {
+        "attn_norm": jnp.ones((h,), dt),
+        "wq": _dense_init(ks[0], h, (h, qd), dt),
+        "wk": _dense_init(ks[1], h, (h, kvd), dt),
+        "wv": _dense_init(ks[2], h, (h, kvd), dt),
+        "wo": _dense_init(ks[3], qd, (qd, h), dt),
+        "mlp_norm": jnp.ones((h,), dt),
+        "wg": _dense_init(ks[4], h, (h, cfg.intermediate_size), dt),
+        "wu": _dense_init(ks[5], h, (h, cfg.intermediate_size), dt),
+        "wd": _dense_init(ks[6], cfg.intermediate_size, (cfg.intermediate_size, h), dt),
+    }
+    if cfg.use_qk_norm:
+        p["q_norm"] = jnp.ones((cfg.head_dim,), dt)
+        p["k_norm"] = jnp.ones((cfg.head_dim,), dt)
+    return p
+
+
+def init_transformer_params(cfg: TransformerConfig, key: jax.Array) -> dict:
+    """Stacked-layer params: every leaf has a leading [num_layers] axis."""
+    keys = jax.random.split(key, cfg.num_layers + 1)
+    layers = [init_layer_params(cfg, k) for k in keys[: cfg.num_layers]]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+    return {
+        "layers": stacked,
+        "final_norm": jnp.ones((cfg.hidden_size,), cfg.jnp_dtype),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def _block(
+    cfg: TransformerConfig,
+    p: dict,
+    x: jax.Array,  # [B, S, H]
+    cos: jax.Array,
+    sin: jax.Array,
+    k_cache: jax.Array,  # [B, T, Nk, D]
+    v_cache: jax.Array,
+    cache_len: jax.Array,  # scalar int32
+    attn_mask: jax.Array,  # [B, S, T] bool
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    B, S, H = x.shape
+    nq, nk, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+
+    h = rms_norm(x, p["attn_norm"], cfg.rms_norm_eps)
+    q = jnp.dot(h, p["wq"], preferred_element_type=jnp.float32).astype(x.dtype)
+    k = jnp.dot(h, p["wk"], preferred_element_type=jnp.float32).astype(x.dtype)
+    v = jnp.dot(h, p["wv"], preferred_element_type=jnp.float32).astype(x.dtype)
+    q = q.reshape(B, S, nq, d)
+    k = k.reshape(B, S, nk, d)
+    v = v.reshape(B, S, nk, d)
+
+    if cfg.use_qk_norm:
+        q = rms_norm(q, p["q_norm"], cfg.rms_norm_eps)
+        k = rms_norm(k, p["k_norm"], cfg.rms_norm_eps)
+
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    # Write this step's K/V into the static cache at cache_len.
+    k_cache = lax.dynamic_update_slice(k_cache, k, (0, cache_len, 0, 0))
+    v_cache = lax.dynamic_update_slice(v_cache, v, (0, cache_len, 0, 0))
+
+    out = attend(q, k_cache, v_cache, attn_mask, impl=cfg.attn_impl)  # [B,S,Nq,D]
+    out = out.reshape(B, S, nq * d)
+    attn_out = jnp.dot(out, p["wo"], preferred_element_type=jnp.float32).astype(x.dtype)
+    x = x + attn_out
+
+    h = rms_norm(x, p["mlp_norm"], cfg.rms_norm_eps)
+    x = x + swiglu(h, p["wg"], p["wu"], p["wd"])
+    return x, k_cache, v_cache
+
+
+def transformer_forward(
+    cfg: TransformerConfig,
+    params: dict,
+    embeds: jax.Array,  # [B, S, H]
+    positions: jax.Array,  # [B, S] int32 — RoPE positions per sequence
+    cache: KVCache,
+    valid_mask: jax.Array,  # [B, T] bool — cache slots that hold real tokens
+    query_valid: Optional[jax.Array] = None,  # [B, S] bool — real (non-pad) queries
+) -> Tuple[jax.Array, KVCache, jax.Array]:
+    """Unified prefill/decode forward.
+
+    Writes S new tokens at cache slots [cache.length, cache.length+S) and lets
+    query i attend to cache slot t iff ``valid_mask[b, t]`` and t <= cache.length+i
+    (causal over write order).  Returns post-final-norm hidden states [B, S, H],
+    the updated cache (length advanced by S), and the updated validity mask.
+    """
+    B, S, H = embeds.shape
+    T = cache.max_len
+
+    cos, sin = rope_angles(positions, cfg.head_dim, cfg.rope_theta)
+
+    # Mark newly-written slots valid (pad queries stay invalid).
+    slot_ids = jnp.arange(T, dtype=jnp.int32)
+    if query_valid is None:
+        query_valid = jnp.ones((B, S), bool)
+    new_slots = (slot_ids[None, :] >= cache.length) & (slot_ids[None, :] < cache.length + S)
+    # scatter query_valid into the new slot range
+    write_idx = jnp.clip(slot_ids[None, :] - cache.length, 0, S - 1)
+    written_valid = jnp.take_along_axis(query_valid, write_idx, axis=1)
+    valid_mask = jnp.where(new_slots, written_valid, valid_mask)
+
+    # attention mask [B, S, T]: causal over global write order + validity
+    global_q = cache.length + jnp.arange(S, dtype=jnp.int32)  # [S]
+    causal = slot_ids[None, None, :] <= global_q[None, :, None]  # [1, S, T]
+    attn_mask = causal & valid_mask[:, None, :]
+
+    x = embeds
+
+    def body(x, layer):
+        p, kc, vc = layer
+        x, kc, vc = _block(cfg, p, x, cos, sin, kc, vc, cache.length, attn_mask)
+        return x, (kc, vc)
+
+    x, (new_k, new_v) = lax.scan(body, x, (params["layers"], cache.k, cache.v))
+    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+
+    new_cache = KVCache(k=new_k, v=new_v, length=cache.length + S)
+    return x, new_cache, valid_mask
+
+
+def transformer_forward_nocache(
+    cfg: TransformerConfig,
+    params: dict,
+    embeds: jax.Array,  # [B, S, H]
+    positions: Optional[jax.Array] = None,
+    valid: Optional[jax.Array] = None,  # [B, S] bool
+) -> jax.Array:
+    """Plain causal forward without a cache (training / scoring path)."""
+    B, S, H = embeds.shape
+    if positions is None:
+        positions = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32), (B, S))
+    cos, sin = rope_angles(positions, cfg.head_dim, cfg.rope_theta)
+
+    ids = jnp.arange(S, dtype=jnp.int32)
+    attn_mask = ids[None, None, :] <= ids[None, :, None]  # [1, S, S] causal
+    attn_mask = jnp.broadcast_to(attn_mask, (B, S, S))
+    if valid is not None:
+        attn_mask = attn_mask & valid[:, None, :]
+
+    zero_len = jnp.zeros((), jnp.int32)
+
+    def body(x, layer_p):
+        h = rms_norm(x, layer_p["attn_norm"], cfg.rms_norm_eps)
+        nq, nk, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+        q = jnp.dot(h, layer_p["wq"], preferred_element_type=jnp.float32).astype(x.dtype)
+        k = jnp.dot(h, layer_p["wk"], preferred_element_type=jnp.float32).astype(x.dtype)
+        v = jnp.dot(h, layer_p["wv"], preferred_element_type=jnp.float32).astype(x.dtype)
+        q = q.reshape(B, S, nq, d)
+        k = k.reshape(B, S, nk, d)
+        v = v.reshape(B, S, nk, d)
+        if cfg.use_qk_norm:
+            q = rms_norm(q, layer_p["q_norm"], cfg.rms_norm_eps)
+            k = rms_norm(k, layer_p["k_norm"], cfg.rms_norm_eps)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        out = attend(q, k, v, attn_mask, impl=cfg.attn_impl)
+        out = out.reshape(B, S, nq * d)
+        x = x + jnp.dot(out, layer_p["wo"], preferred_element_type=jnp.float32).astype(x.dtype)
+        h = rms_norm(x, layer_p["mlp_norm"], cfg.rms_norm_eps)
+        x = x + swiglu(h, layer_p["wg"], layer_p["wu"], layer_p["wd"])
+        return x, None
+
+    x, _ = lax.scan(body, embeds, params["layers"])
+    return rms_norm(x, params["final_norm"], cfg.rms_norm_eps)

@@ -1,0 +1,98 @@
+"""On-device sampling: temperature / top-k / top-p with explicit PRNG keys.
+
+Semantics mirror the reference sampler (tts_onnx.cpp:878-950): temperature
+scaling, top-k threshold filter, softmax, top-p nucleus cutoff that KEEPS the
+first token crossing the cumulative bound — but run entirely on device with
+``jax.random`` key threading, which adds the determinism the reference lacks
+(its ``std::mt19937`` is seeded from ``random_device`` with no seed flag,
+tts_onnx.cpp:901-902).
+
+All sampling parameters are traced values, so one compiled generate function
+serves every temperature / top-k / top-p setting without recompilation.
+temperature == 0 selects greedy argmax decoding (fixture-testable).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import CODEC_EOS, DEFAULT_TEMPERATURE, DEFAULT_TOP_K, DEFAULT_TOP_P
+
+NEG_INF = -1e30
+
+
+class SamplingParams(NamedTuple):
+    """Device-side sampling knobs (all [broadcastable] scalars, traced)."""
+
+    temperature: jax.Array
+    top_k: jax.Array  # int32; <= 0 disables
+    top_p: jax.Array  # float; >= 1.0 disables
+
+    @classmethod
+    def create(
+        cls,
+        temperature: float = DEFAULT_TEMPERATURE,
+        top_k: int = DEFAULT_TOP_K,
+        top_p: float = DEFAULT_TOP_P,
+    ) -> "SamplingParams":
+        return cls(
+            temperature=jnp.asarray(temperature, jnp.float32),
+            top_k=jnp.asarray(top_k, jnp.int32),
+            top_p=jnp.asarray(top_p, jnp.float32),
+        )
+
+
+def _top_k_mask(logits: jax.Array, k: jax.Array) -> jax.Array:
+    """Mask logits strictly below the k-th largest value (reference keeps ties,
+    tts_onnx.cpp:917-927: filters x < threshold)."""
+    V = logits.shape[-1]
+    sorted_desc = jnp.sort(logits, axis=-1)[..., ::-1]
+    k_idx = jnp.clip(k - 1, 0, V - 1)
+    threshold = jnp.take_along_axis(
+        sorted_desc, jnp.broadcast_to(k_idx, logits.shape[:-1])[..., None], axis=-1
+    )
+    keep = logits >= threshold
+    active = (k > 0) & (k < V)
+    return jnp.where(active, keep, True)
+
+
+def _top_p_mask(logits: jax.Array, p: jax.Array) -> jax.Array:
+    """Nucleus mask over softmax probs: keep tokens whose exclusive cumulative
+    probability (in descending order) is < p — i.e. including the first token
+    that crosses p, matching the reference cutoff (tts_onnx.cpp:929-950)."""
+    probs = jax.nn.softmax(logits, axis=-1)
+    order = jnp.argsort(-probs, axis=-1)
+    sorted_probs = jnp.take_along_axis(probs, order, axis=-1)
+    cum_excl = jnp.cumsum(sorted_probs, axis=-1) - sorted_probs
+    keep_sorted = cum_excl < p
+    keep = jnp.zeros_like(keep_sorted)
+    keep = jnp.put_along_axis(keep, order, keep_sorted, axis=-1, inplace=False)
+    return jnp.where(p >= 1.0, True, keep)
+
+
+def sample_token(
+    key: jax.Array,
+    logits: jax.Array,  # [..., V] float32
+    params: SamplingParams,
+) -> jax.Array:
+    """Sample token ids [...] int32.  temperature == 0 -> greedy argmax."""
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    t = jnp.maximum(params.temperature, 1e-6)
+    scaled = logits / t
+    scaled = jnp.where(_top_k_mask(scaled, params.top_k), scaled, NEG_INF)
+    scaled = jnp.where(_top_p_mask(scaled, params.top_p), scaled, NEG_INF)
+    sampled = jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
+
+    return jnp.where(params.temperature <= 0.0, greedy, sampled)
+
+
+def make_codec_suppress_mask(vocab_size: int = 3072) -> jax.Array:
+    """Additive mask suppressing codec control tokens 2048..vocab-1 except
+    CODEC_EOS (reference tts_onnx.cpp:802-807)."""
+    ids = jnp.arange(vocab_size)
+    suppress = (ids >= 2048) & (ids != CODEC_EOS)
+    return jnp.where(suppress, NEG_INF, 0.0).astype(jnp.float32)

@@ -1,0 +1,82 @@
+"""Test env: force CPU backend with 8 virtual devices so sharding tests run
+anywhere (the driver validates real multi-chip separately via __graft_entry__).
+
+Must run before jax is imported anywhere in the test process.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_threefry_partitionable", True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# Numerical tests compare different program shapes; pin full-f32 matmuls so the
+# comparisons measure logic, not DEFAULT-precision (bf16-pass) reassociation.
+jax.config.update("jax_default_matmul_precision", "highest")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def tiny_model():
+    """Session-scoped tiny model (config, params) for fast integration tests."""
+    import jax as _jax
+
+    from leaxer_qwen3_tts_tpu.config import (
+        CodePredictorConfig,
+        SpeakerEncoderConfig,
+        TalkerConfig,
+        TransformerConfig,
+        TTSModelConfig,
+        VocoderConfig,
+    )
+    from leaxer_qwen3_tts_tpu.runtime.weights import init_params
+
+    cfg = TTSModelConfig(
+        name="tiny-test",
+        talker=TalkerConfig(
+            transformer=TransformerConfig(
+                hidden_size=64,
+                num_layers=2,
+                num_heads=4,
+                num_kv_heads=2,
+                head_dim=16,
+                intermediate_size=128,
+                dtype="float32",
+            ),
+            codec_vocab_size=3072,
+            text_vocab_size=152000,
+            text_embed_dim=64,
+        ),
+        code_predictor=CodePredictorConfig(
+            transformer=TransformerConfig(
+                hidden_size=64,
+                num_layers=2,
+                num_heads=4,
+                num_kv_heads=4,
+                head_dim=16,
+                intermediate_size=128,
+                dtype="float32",
+            ),
+            num_steps=15,
+            subcode_vocab_size=2048,
+        ),
+        vocoder=VocoderConfig(
+            d_model=32,
+            num_prenet_blocks=1,
+            upsample_rates=(10, 8, 5, 5),
+            upsample_channels=(16, 16, 8, 8),
+            dtype="float32",
+        ),
+        speaker_encoder=SpeakerEncoderConfig(
+            d_model=32, num_layers=1, num_heads=4, intermediate_size=64
+        ),
+    )
+    params = init_params(cfg, _jax.random.PRNGKey(0))
+    return cfg, params

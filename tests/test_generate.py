@@ -1,0 +1,178 @@
+"""Generation-loop tests: determinism, EOS latching, chunking equivalence,
+prompt structure, multi-stream batching."""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from leaxer_qwen3_tts_tpu.config import (
+    CODEC_BOS,
+    CODEC_EOS,
+    LANG_ENGLISH,
+    TTS_PAD,
+)
+from leaxer_qwen3_tts_tpu.models.embeddings import codec_embed, text_project
+from leaxer_qwen3_tts_tpu.runtime.generate import make_generate_fns
+from leaxer_qwen3_tts_tpu.runtime.prompt import build_prompt, prompt_length
+from leaxer_qwen3_tts_tpu.runtime.sampling import SamplingParams
+
+
+SP = SamplingParams.create(0.8, 50, 0.95)
+
+
+def run_chunks(fns, params, state, bundle, sp, n_chunks):
+    frames_all, valid_all = [], []
+    for _ in range(n_chunks):
+        state, frames, valid = fns.decode(
+            params, state, bundle.trailing, bundle.trailing_len, bundle.tts_pad_embed, sp
+        )
+        frames_all.append(frames)
+        valid_all.append(valid)
+    return state, jnp.concatenate(frames_all, 1), jnp.concatenate(valid_all, 1)
+
+
+def test_generation_deterministic(tiny_model):
+    cfg, params = tiny_model
+    fns = make_generate_fns(cfg, batch=2, max_len=64, chunk_len=8, lang_id=LANG_ENGLISH, donate=False)
+    text_ids = jnp.array([[5, 6, 7, 0], [9, 10, 0, 0]], jnp.int32)
+    text_len = jnp.array([3, 2], jnp.int32)
+
+    outs = []
+    for _ in range(2):
+        state, bundle = fns.prefill(params, text_ids, text_len, jax.random.PRNGKey(42))
+        _, frames, valid = run_chunks(fns, params, state, bundle, SP, 2)
+        outs.append((frames, valid))
+    assert jnp.array_equal(outs[0][0], outs[1][0])
+    assert jnp.array_equal(outs[0][1], outs[1][1])
+
+    # different seed -> different codes (overwhelmingly likely)
+    state, bundle = fns.prefill(params, text_ids, text_len, jax.random.PRNGKey(7))
+    _, frames2, _ = run_chunks(fns, params, state, bundle, SP, 2)
+    assert not jnp.array_equal(outs[0][0], frames2)
+
+
+def test_chunk_size_equivalence(tiny_model):
+    """Decoding 16 frames as 2x8 must equal 4x4 (host chunking is transparent)."""
+    cfg, params = tiny_model
+    text_ids = jnp.array([[5, 6, 7, 0]], jnp.int32)
+    text_len = jnp.array([3], jnp.int32)
+
+    fns8 = make_generate_fns(cfg, batch=1, max_len=64, chunk_len=8, lang_id=None, donate=False)
+    fns4 = make_generate_fns(cfg, batch=1, max_len=64, chunk_len=4, lang_id=None, donate=False)
+
+    s8, b8 = fns8.prefill(params, text_ids, text_len, jax.random.PRNGKey(1))
+    _, f8, v8 = run_chunks(fns8, params, s8, b8, SP, 2)
+    s4, b4 = fns4.prefill(params, text_ids, text_len, jax.random.PRNGKey(1))
+    _, f4, v4 = run_chunks(fns4, params, s4, b4, SP, 4)
+    assert jnp.array_equal(f8, f4)
+    assert jnp.array_equal(v8, v4)
+
+
+def test_greedy_mode(tiny_model):
+    """temperature == 0 is greedy: independent of the PRNG key."""
+    cfg, params = tiny_model
+    greedy = SamplingParams.create(0.0, 50, 0.95)
+    fns = make_generate_fns(cfg, batch=1, max_len=64, chunk_len=8, lang_id=None, donate=False)
+    text_ids = jnp.array([[5, 6, 7, 0]], jnp.int32)
+    text_len = jnp.array([3], jnp.int32)
+
+    s1, b1 = fns.prefill(params, text_ids, text_len, jax.random.PRNGKey(1))
+    _, f1, _ = run_chunks(fns, params, s1, b1, greedy, 1)
+    s2, b2 = fns.prefill(params, text_ids, text_len, jax.random.PRNGKey(999))
+    _, f2, _ = run_chunks(fns, params, s2, b2, greedy, 1)
+    assert jnp.array_equal(f1, f2)
+
+
+def test_eos_latches(tiny_model):
+    """EOS at frame 0 (rigged via state.last_logits) must invalidate that frame
+    and every later frame (reference breaks before emitting, tts_onnx.cpp:812)."""
+    cfg, params = tiny_model
+    greedy = SamplingParams.create(0.0, 0, 1.0)
+    fns = make_generate_fns(cfg, batch=2, max_len=64, chunk_len=4, lang_id=None, donate=False)
+    text_ids = jnp.array([[5, 6, 0, 0], [5, 6, 0, 0]], jnp.int32)
+    text_len = jnp.array([2, 2], jnp.int32)
+    state, bundle = fns.prefill(params, text_ids, text_len, jax.random.PRNGKey(0))
+
+    # stream 0: logits peak at CODEC_EOS -> immediate EOS; stream 1: peak at 7
+    rig = jnp.zeros_like(state.last_logits)
+    rig = rig.at[0, CODEC_EOS].set(100.0)
+    rig = rig.at[1, 7].set(100.0)
+    state = state._replace(last_logits=rig)
+
+    _, frames, valid = fns.decode(
+        params, state, bundle.trailing, bundle.trailing_len, bundle.tts_pad_embed, greedy
+    )
+    assert not bool(valid[0].any())  # EOS frame not emitted, latched forever
+    assert bool((frames[0] == 0).all())
+    assert bool(valid[1].all())
+    assert int(frames[1, 0, 0]) == 7
+
+    # done=True carried into a chunk also stays latched
+    state2, bundle2 = fns.prefill(params, text_ids, text_len, jax.random.PRNGKey(0))
+    state2 = state2._replace(done=jnp.array([True, False]))
+    _, _, valid2 = fns.decode(
+        params, state2, bundle2.trailing, bundle2.trailing_len, bundle2.tts_pad_embed, SP
+    )
+    assert not bool(valid2[0].any())
+    assert bool(valid2[1].all())
+
+
+def test_prompt_structure(tiny_model):
+    """Prompt layout matches the reference assembly (tts_onnx.cpp:442-539)."""
+    cfg, params = tiny_model
+    emb = params["embeddings"]
+    text_ids = jnp.array([[5, 6, 7]], jnp.int32)
+    text_len = jnp.array([3], jnp.int32)
+
+    for lang_id, exp_len in ((None, 8), (LANG_ENGLISH, 9)):
+        bundle = build_prompt(emb, text_ids, text_len, lang_id)
+        assert bundle.prompt_embeds.shape[1] == exp_len
+        assert prompt_length(lang_id, False) == exp_len
+
+    # with speaker: +1
+    spk = jnp.ones((1, 64), jnp.float32)
+    bundle = build_prompt(emb, text_ids, text_len, LANG_ENGLISH, spk)
+    assert bundle.prompt_embeds.shape[1] == 10
+    assert prompt_length(LANG_ENGLISH, True) == 10
+
+    # role part == text_project of [IM_START, ASSISTANT, TTS_BOS]
+    from leaxer_qwen3_tts_tpu.config import ASSISTANT, IM_START, TTS_BOS
+
+    role = text_project(emb, jnp.array([IM_START, ASSISTANT, TTS_BOS]))
+    assert jnp.allclose(bundle.prompt_embeds[0, :3], role, atol=1e-4)
+
+    # trailing: rows 0..1 = text tokens 2,3; row 2 = TTS_EOS embed
+    from leaxer_qwen3_tts_tpu.config import TTS_EOS
+
+    t1 = text_project(emb, jnp.array([6, 7]))
+    eos = text_project(emb, jnp.array([TTS_EOS]))[0]
+    assert jnp.allclose(bundle.trailing[0, :2], t1, atol=1e-4)
+    assert jnp.allclose(bundle.trailing[0, 2], eos, atol=1e-4)
+    assert int(bundle.trailing_len[0]) == 3
+
+    # tts_pad_embed
+    pad = text_project(emb, jnp.array([TTS_PAD]))[0]
+    assert jnp.allclose(bundle.tts_pad_embed, pad, atol=1e-4)
+
+    # last prompt slot = first_text + CODEC_BOS codec embed
+    first = text_project(emb, jnp.array([5]))[0] + codec_embed(emb, jnp.array([CODEC_BOS]))[0]
+    assert jnp.allclose(bundle.prompt_embeds[0, -1], first, atol=1e-4)
+
+
+def test_multistream_independence(tiny_model):
+    """A request's codes must not depend on what else is in the batch when the
+    prompts and per-stream keys match... (batch semantics: the fused key differs
+    per batch position, so we check structural independence: EOS in stream 0
+    does not invalidate stream 1)."""
+    cfg, params = tiny_model
+    fns = make_generate_fns(cfg, batch=2, max_len=64, chunk_len=8, lang_id=None, donate=False)
+    text_ids = jnp.array([[5, 6, 7, 0], [9, 10, 0, 0]], jnp.int32)
+    text_len = jnp.array([3, 2], jnp.int32)
+    state, bundle = fns.prefill(params, text_ids, text_len, jax.random.PRNGKey(0))
+    state = state._replace(done=jnp.array([True, False]))
+    _, frames, valid = fns.decode(
+        params, state, bundle.trailing, bundle.trailing_len, bundle.tts_pad_embed, SP
+    )
+    assert not bool(valid[0].any())
+    assert bool(valid[1].all())
+    assert bool((frames[0] == 0).all())
