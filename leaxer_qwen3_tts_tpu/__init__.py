@@ -15,4 +15,22 @@ from .config import (
 
 __version__ = "0.1.0"
 
-__all__ = ["config", "TTSModelConfig", "QWEN3_TTS_06B", "QWEN3_TTS_17B", "__version__"]
+__all__ = [
+    "config",
+    "TTSModelConfig",
+    "QWEN3_TTS_06B",
+    "QWEN3_TTS_17B",
+    "TTSEngine",
+    "SynthesisResult",
+    "EngineError",
+    "__version__",
+]
+
+
+def __getattr__(name):
+    # engine pulls in the whole model stack; import lazily
+    if name in ("TTSEngine", "SynthesisResult", "EngineError"):
+        from . import api
+
+        return getattr(api, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

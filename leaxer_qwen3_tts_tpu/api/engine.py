@@ -1,0 +1,483 @@
+"""TTSEngine: the top-level synthesis API (reference class TTSEngine parity).
+
+Covers the reference surface (tts_onnx.h:118-164): ``synthesize``,
+``synthesize_clone``, ``synthesize_speaker``, ``synthesize_tokens``,
+``extract_speaker_embedding``, ``has_speaker_encoder``, ``is_ready``,
+``get_error`` — plus what the reference lacks: seeded determinism, streaming
+synthesis (audio chunks yielded before EOS), batched multi-utterance calls,
+and per-stage metrics (RTF / TTFA).
+
+Execution model: one jitted prefill + one jitted decode-chunk function per
+(batch, text-bucket, language, speaker?) signature, cached; the decode chunk
+runs ``chunk_len`` frames of talker + MTP + sampling fully on device.  The
+vocoder runs as a jitted streaming chunk (causal left-context) so first audio
+is out after the first decode chunk, not after EOS (the reference vocodes once
+at the end, tts_onnx.cpp:430).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Dict, Iterator, List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import (
+    IM_END,
+    IM_START,
+    MAX_NEW_TOKENS,
+    SAMPLE_RATE,
+    TTS_BOS,
+    TTS_EOS,
+    TTSModelConfig,
+    language_to_codec_id,
+    PRESET_SPEAKERS,
+)
+from ..frontend import Tokenizer, find_tokenizer_files, log_mel, read_wav, resample
+from ..models.codec12hz import vocoder_forward
+from ..models.speaker_encoder import speaker_encoder_forward
+from ..runtime.generate import make_generate_fns
+from ..runtime.sampling import SamplingParams
+from ..runtime.weights import load_checkpoint
+from ..utils.logging import get_logger
+from ..utils.metrics import StageTimer, SynthesisMetrics
+
+log = get_logger(__name__)
+
+
+class EngineError(RuntimeError):
+    """Typed engine failure (replaces the reference's empty-vector returns)."""
+
+
+class SynthesisResult(NamedTuple):
+    audio: np.ndarray  # [T] float32 mono 24 kHz (or [B, T] for batched calls)
+    codes: np.ndarray  # [frames, 16] int32 (or list per batch element)
+    metrics: SynthesisMetrics
+
+
+def _round_up(n: int, multiple: int) -> int:
+    return ((max(n, 1) + multiple - 1) // multiple) * multiple
+
+
+class TTSEngine:
+    """TPU-native Qwen3-TTS engine.
+
+    Construct from a checkpoint dir (``config.json`` + weights, see
+    runtime/weights.py) or directly from (config, params) pytrees.  Like the
+    reference ctor (tts_onnx.cpp:84-130), construction records errors instead
+    of raising; check ``is_ready()`` / ``get_error()``.
+    """
+
+    def __init__(
+        self,
+        model_dir: Optional[str] = None,
+        *,
+        config: Optional[TTSModelConfig] = None,
+        params: Optional[dict] = None,
+        tokenizer: Optional[Tokenizer] = None,
+        max_frames: int = MAX_NEW_TOKENS,
+        chunk_len: int = 32,
+        text_bucket: int = 16,
+        mesh=None,
+    ):
+        self._ready = False
+        self._error = ""
+        self.cfg: Optional[TTSModelConfig] = None
+        self.params: Optional[dict] = None
+        self.tokenizer = tokenizer
+        self.max_frames = int(max_frames)
+        self.chunk_len = max(1, min(int(chunk_len), self.max_frames))
+        self.text_bucket = int(text_bucket)
+        self.mesh = mesh
+        self._fns_cache: Dict[tuple, object] = {}
+        self._vocode_cache: Dict[tuple, Callable] = {}
+        self._spk_fn = None
+
+        try:
+            if model_dir is not None:
+                self.cfg, self.params = load_checkpoint(model_dir)
+                if self.tokenizer is None:
+                    found = find_tokenizer_files(model_dir)
+                    if found is not None:
+                        self.tokenizer = Tokenizer(found[0], found[1])
+                    else:
+                        log.warning(
+                            "no vocab.json found for %s; text synthesis disabled "
+                            "(token-level API still available)", model_dir,
+                        )
+            else:
+                if config is None or params is None:
+                    raise EngineError("need model_dir or (config, params)")
+                self.cfg, self.params = config, params
+            self._ready = True
+        except Exception as e:  # record, don't raise (reference ctor contract)
+            self._error = str(e)
+            log.error("engine init failed: %s", e)
+
+    # ------------------------------------------------------------------
+    # Status (reference tts_onnx.h:147-151)
+    # ------------------------------------------------------------------
+
+    def is_ready(self) -> bool:
+        return self._ready
+
+    def get_error(self) -> str:
+        return self._error
+
+    def has_speaker_encoder(self) -> bool:
+        return bool(self._ready and "speaker_encoder" in (self.params or {}))
+
+    # ------------------------------------------------------------------
+    # Public synthesis API
+    # ------------------------------------------------------------------
+
+    def synthesize(
+        self,
+        text: str,
+        language: str = "auto",
+        temperature: float = 0.8,
+        top_k: int = 50,
+        top_p: float = 0.95,
+        max_tokens: Optional[int] = None,
+        seed: int = 0,
+    ) -> SynthesisResult:
+        """Text -> 24 kHz waveform (reference TTSEngine::synthesize)."""
+        chunks: List[np.ndarray] = []
+        result = None
+        for item in self._synthesize_stream(
+            [text], language, None, temperature, top_k, top_p, max_tokens, seed
+        ):
+            if isinstance(item, SynthesisResult):
+                result = item
+            else:
+                chunks.append(item)
+        return result
+
+    def synthesize_stream(
+        self,
+        text: str,
+        language: str = "auto",
+        temperature: float = 0.8,
+        top_k: int = 50,
+        top_p: float = 0.95,
+        max_tokens: Optional[int] = None,
+        seed: int = 0,
+        speaker_wav: Optional[str] = None,
+    ) -> Iterator[np.ndarray]:
+        """Streaming synthesis: yields audio chunks (np float32 @24 kHz) as
+        they decode; the final item is the SynthesisResult.  This is the
+        <150 ms TTFA path the reference does not have."""
+        speaker = (
+            self.extract_speaker_embedding(speaker_wav)[None]
+            if speaker_wav is not None
+            else None
+        )
+        yield from self._synthesize_stream(
+            [text], language, speaker, temperature, top_k, top_p, max_tokens, seed
+        )
+
+    def synthesize_clone(
+        self,
+        text: str,
+        ref_wav_path: str,
+        language: str = "auto",
+        temperature: float = 0.8,
+        top_k: int = 50,
+        top_p: float = 0.95,
+        max_tokens: Optional[int] = None,
+        seed: int = 0,
+    ) -> SynthesisResult:
+        """Voice clone from a ~3 s reference WAV (reference synthesize_clone,
+        tts_onnx.cpp:264-318)."""
+        spk = self.extract_speaker_embedding(ref_wav_path)
+        result = None
+        for item in self._synthesize_stream(
+            [text], language, spk[None], temperature, top_k, top_p, max_tokens, seed
+        ):
+            if isinstance(item, SynthesisResult):
+                result = item
+        return result
+
+    def synthesize_speaker(
+        self,
+        text: str,
+        speaker: str,
+        language: str = "auto",
+        **kw,
+    ) -> SynthesisResult:
+        """Preset-speaker synthesis (CustomVoice models).
+
+        The reference stubs this out with a warning + plain fallback
+        (tts_onnx.cpp:320-329); here it works whenever the checkpoint carries a
+        ``speaker_table`` ([num_speakers, hidden]) and falls back identically
+        when it does not."""
+        name = speaker.lower()
+        table = (self.params or {}).get("speaker_table")
+        if table is None:
+            log.warning(
+                "model has no speaker_table (CustomVoice weights); "
+                "falling back to default voice like the reference stub"
+            )
+            return self.synthesize(text, language, **kw)
+        if name not in PRESET_SPEAKERS:
+            raise EngineError(
+                f"unknown speaker {speaker!r}; expected one of {sorted(PRESET_SPEAKERS)}"
+            )
+        spk = np.asarray(table[PRESET_SPEAKERS[name]], np.float32)
+        result = None
+        for item in self._synthesize_stream(
+            [text], language, spk[None], **self._kw_to_sampling(kw)
+        ):
+            if isinstance(item, SynthesisResult):
+                result = item
+        return result
+
+    def synthesize_batch(
+        self,
+        texts: Sequence[str],
+        language: str = "auto",
+        temperature: float = 0.8,
+        top_k: int = 50,
+        top_p: float = 0.95,
+        max_tokens: Optional[int] = None,
+        seed: int = 0,
+    ) -> List[SynthesisResult]:
+        """Batched multi-stream synthesis: all utterances decode in one SPMD
+        batch; streams finish independently (EOS latching).  The reference is
+        strictly batch-1 (SURVEY §2.3)."""
+        items = list(
+            self._synthesize_stream(
+                list(texts), language, None, temperature, top_k, top_p, max_tokens, seed
+            )
+        )
+        result = items[-1]
+        assert isinstance(result, SynthesisResult)
+        if len(texts) == 1:
+            return [result]
+        return [
+            SynthesisResult(
+                audio=result.audio[b], codes=result.codes[b], metrics=result.metrics
+            )
+            for b in range(len(texts))
+        ]
+
+    def synthesize_tokens(
+        self,
+        token_ids: Sequence[int],
+        language: str = "auto",
+        temperature: float = 0.8,
+        top_k: int = 50,
+        top_p: float = 0.95,
+        max_tokens: Optional[int] = None,
+        seed: int = 0,
+    ) -> SynthesisResult:
+        """Synthesis from a pre-tokenized chat-wrapped sequence
+        [IM_START, ASSISTANT, TTS_BOS, *text, TTS_EOS, IM_END]
+        (reference synthesize_tokens, tts_onnx.cpp:405-436)."""
+        ids = [int(i) for i in token_ids]
+        if len(ids) >= 6 and ids[0] == IM_START and ids[-1] == IM_END:
+            text_ids = ids[3:-2]  # strip role prefix + [TTS_EOS, IM_END]
+        else:
+            text_ids = [i for i in ids if i not in (IM_START, IM_END, TTS_BOS, TTS_EOS)]
+        if not text_ids:
+            raise EngineError("no text tokens in sequence")
+        result = None
+        for item in self._synthesize_ids_stream(
+            [text_ids], language, None, temperature, top_k, top_p, max_tokens, seed
+        ):
+            if isinstance(item, SynthesisResult):
+                result = item
+        return result
+
+    def extract_speaker_embedding(self, wav_path: str) -> np.ndarray:
+        """Reference WAV -> 1024-dim speaker embedding (reference
+        extract_speaker_embedding, tts_onnx.cpp:331-365: read -> resample 24k
+        -> log-mel -> speaker encoder)."""
+        self._require_ready()
+        if not self.has_speaker_encoder():
+            raise EngineError("model has no speaker encoder")
+        audio, sr = read_wav(wav_path)
+        if sr != SAMPLE_RATE:
+            audio = resample(audio, sr, SAMPLE_RATE)
+        mel = log_mel(audio, self.cfg.mel)  # [T, 128]
+        if self._spk_fn is None:
+            se_cfg = self.cfg.speaker_encoder
+            self._spk_fn = jax.jit(
+                lambda p, m: speaker_encoder_forward(se_cfg, p, m)
+            )
+        emb = self._spk_fn(self.params["speaker_encoder"], mel[None])
+        return np.asarray(emb[0], np.float32)
+
+    # ------------------------------------------------------------------
+    # Internals
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def _kw_to_sampling(kw: dict) -> dict:
+        out = dict(
+            temperature=kw.pop("temperature", 0.8),
+            top_k=kw.pop("top_k", 50),
+            top_p=kw.pop("top_p", 0.95),
+            max_tokens=kw.pop("max_tokens", None),
+            seed=kw.pop("seed", 0),
+        )
+        if kw:
+            raise TypeError(f"unknown arguments: {sorted(kw)}")
+        return out
+
+    def _require_ready(self):
+        if not self._ready:
+            raise EngineError(f"engine not ready: {self._error}")
+
+    def _tokenize(self, text: str) -> List[int]:
+        if self.tokenizer is None:
+            raise EngineError(
+                "tokenizer not loaded (missing vocab.json/merges.txt)"
+            )  # reference refuses likewise, tts_onnx.cpp:253-255
+        ids = self.tokenizer.encode(text)
+        if not ids:
+            raise EngineError("empty text")
+        return ids
+
+    def _get_fns(self, batch: int, t_bucket: int, lang_id, has_speaker: bool):
+        key = (batch, t_bucket, lang_id, has_speaker)
+        if key not in self._fns_cache:
+            self._fns_cache[key] = make_generate_fns(
+                self.cfg,
+                batch=batch,
+                max_len=self.max_frames + 32,
+                chunk_len=self.chunk_len,
+                lang_id=lang_id,
+                has_speaker=has_speaker,
+            )
+        return self._fns_cache[key]
+
+    def _get_vocode_fn(self, n_frames: int, context: int) -> Callable:
+        key = (n_frames, context)
+        if key not in self._vocode_cache:
+            voc_cfg = self.cfg.vocoder
+
+            def impl(params, codes):
+                audio = vocoder_forward(voc_cfg, params, codes)
+                return audio[:, context * voc_cfg.samples_per_frame :]
+
+            self._vocode_cache[key] = jax.jit(impl)
+        return self._vocode_cache[key]
+
+    def _synthesize_stream(
+        self, texts, language, speaker, temperature, top_k, top_p, max_tokens, seed
+    ):
+        self._require_ready()
+        timer = StageTimer(SynthesisMetrics())
+        with timer.stage("tokenize"):
+            id_lists = [self._tokenize(t) for t in texts]
+        yield from self._ids_stream(
+            id_lists, language, speaker, temperature, top_k, top_p, max_tokens, seed, timer
+        )
+
+    def _synthesize_ids_stream(
+        self, id_lists, language, speaker, temperature, top_k, top_p, max_tokens, seed
+    ):
+        self._require_ready()
+        timer = StageTimer(SynthesisMetrics())
+        yield from self._ids_stream(
+            id_lists, language, speaker, temperature, top_k, top_p, max_tokens, seed, timer
+        )
+
+    def _ids_stream(
+        self, id_lists, language, speaker, temperature, top_k, top_p, max_tokens, seed, timer
+    ):
+        cfg = self.cfg
+        B = len(id_lists)
+        lang_id = language_to_codec_id(language if language != "auto" else None)
+        max_tokens = self.max_frames if max_tokens is None else min(max_tokens, self.max_frames)
+
+        lens = np.array([len(ids) for ids in id_lists], np.int32)
+        t_bucket = _round_up(int(lens.max()), self.text_bucket)
+        ids_padded = np.zeros((B, t_bucket), np.int32)
+        for b, ids in enumerate(id_lists):
+            ids_padded[b, : len(ids)] = ids
+
+        has_speaker = speaker is not None
+        fns = self._get_fns(B, t_bucket, lang_id, has_speaker)
+        sp = SamplingParams.create(temperature, top_k, top_p)
+        key = jax.random.PRNGKey(seed)
+
+        with timer.stage("prefill"):
+            if has_speaker:
+                state, bundle = fns.prefill(
+                    self.params, ids_padded, lens, key, jnp.asarray(speaker)
+                )
+            else:
+                state, bundle = fns.prefill(self.params, ids_padded, lens, key)
+            jax.block_until_ready(state.last_logits)
+
+        voc_cfg = cfg.vocoder
+        spf = voc_cfg.samples_per_frame
+        ctx = min(voc_cfg.left_context_frames, self.chunk_len)
+        frames_chunks: List[np.ndarray] = []
+        valid_chunks: List[np.ndarray] = []
+        audio_chunks: List[np.ndarray] = []
+        tail: Optional[jax.Array] = None  # rolling [B, ctx, 16] vocoder context
+        steps = 0
+        while steps < max_tokens:
+            with timer.stage("decode"):
+                state, frames, valid = fns.decode(
+                    self.params,
+                    state,
+                    bundle.trailing,
+                    bundle.trailing_len,
+                    bundle.tts_pad_embed,
+                    sp,
+                )
+                frames = jax.block_until_ready(frames)
+            valid_np = np.asarray(valid)
+            frames_chunks.append(np.asarray(frames))
+            valid_chunks.append(valid_np)
+            steps += self.chunk_len
+
+            # streaming vocode of this chunk (causal left context -> exact)
+            with timer.stage("vocode"):
+                if tail is None:
+                    window, n_ctx = frames, 0
+                else:
+                    window, n_ctx = jnp.concatenate([tail, frames], axis=1), ctx
+                vf = self._get_vocode_fn(int(window.shape[1]), n_ctx)
+                audio = np.asarray(vf(self.params["vocoder"], window), np.float32)
+                tail = frames[:, self.chunk_len - ctx :]
+            # zero out samples of invalid (post-EOS) frames
+            mask = np.repeat(valid_np, spf, axis=1)
+            audio = audio * mask
+            audio_chunks.append(audio)
+            timer.mark_first_audio()
+            yield audio[0] if B == 1 else audio
+
+            if bool(np.asarray(state.done).all()):
+                break
+
+        # trim to max_tokens (the last chunk may overshoot when max_tokens is
+        # not a multiple of chunk_len)
+        all_frames = np.concatenate(frames_chunks, axis=1)[:, :max_tokens]  # [B, F, 16]
+        all_valid = np.concatenate(valid_chunks, axis=1)[:, :max_tokens]  # [B, F]
+        n_valid = all_valid.sum(axis=1)  # frames before EOS per stream
+        full_audio = np.concatenate(audio_chunks, axis=1)  # [B, F * spf]
+
+        metrics = timer.finish()
+        metrics.frames = int(n_valid.max()) if B else 0
+        metrics.audio_seconds = float(n_valid.max()) * spf / SAMPLE_RATE
+
+        if B == 1:
+            n = int(n_valid[0]) * spf
+            yield SynthesisResult(
+                audio=full_audio[0, :n],
+                codes=all_frames[0][all_valid[0]],
+                metrics=metrics,
+            )
+        else:
+            yield SynthesisResult(
+                audio=[full_audio[b, : int(n_valid[b]) * spf] for b in range(B)],
+                codes=[all_frames[b][all_valid[b]] for b in range(B)],
+                metrics=metrics,
+            )

@@ -75,8 +75,44 @@ def tiny_model():
             dtype="float32",
         ),
         speaker_encoder=SpeakerEncoderConfig(
-            d_model=32, num_layers=1, num_heads=4, intermediate_size=64
+            d_model=32, num_layers=1, num_heads=4, intermediate_size=64,
+            output_dim=64,  # must equal talker hidden (prompt splice target)
         ),
     )
     params = init_params(cfg, _jax.random.PRNGKey(0))
     return cfg, params
+
+
+@pytest.fixture(scope="session")
+def tiny_vocab_files(tmp_path_factory):
+    """Tiny vocab.json/merges.txt shared by tokenizer/engine/CLI tests."""
+    import json
+
+    from leaxer_qwen3_tts_tpu.frontend._bpe_py import byte_to_proxy
+
+    proxy = byte_to_proxy()
+    tokens = [proxy[b] for b in range(256)]
+    merges = []
+
+    def add(a, b):
+        merges.append((a, b))
+        if a + b not in tokens:
+            tokens.append(a + b)
+
+    for pair in [
+        ("h", "e"), ("l", "l"), ("he", "ll"), ("hell", "o"),
+        ("Ġ", "w"), ("o", "r"), ("Ġw", "or"), ("l", "d"), ("Ġwor", "ld"),
+    ]:
+        add(*pair)
+    vocab = {t: i for i, t in enumerate(tokens)}
+
+    d = tmp_path_factory.mktemp("vocab")
+    vocab_path = str(d / "vocab.json")
+    merges_path = str(d / "merges.txt")
+    with open(vocab_path, "w") as f:
+        json.dump(vocab, f, ensure_ascii=True)
+    with open(merges_path, "w") as f:
+        f.write("#version: 0.2\n")
+        for a, b in merges:
+            f.write(f"{a} {b}\n")
+    return vocab_path, merges_path, vocab

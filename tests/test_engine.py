@@ -1,0 +1,180 @@
+"""Engine + CLI integration tests on the tiny model (full pipeline:
+text -> tokenize -> prefill -> chunked decode -> streaming vocoder -> WAV)."""
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from leaxer_qwen3_tts_tpu.api.engine import EngineError, TTSEngine
+from leaxer_qwen3_tts_tpu.config import SAMPLE_RATE
+from leaxer_qwen3_tts_tpu.frontend import Tokenizer, read_wav, write_wav
+from leaxer_qwen3_tts_tpu.runtime.prompt import wrap_text_ids
+
+MAX_FRAMES = 8
+CHUNK = 4
+
+
+@pytest.fixture(scope="module")
+def engine(tiny_model, tiny_vocab_files):
+    cfg, params = tiny_model
+    vocab_path, merges_path, _ = tiny_vocab_files
+    eng = TTSEngine(
+        config=cfg,
+        params=params,
+        tokenizer=Tokenizer(vocab_path, merges_path),
+        max_frames=MAX_FRAMES,
+        chunk_len=CHUNK,
+    )
+    assert eng.is_ready(), eng.get_error()
+    return eng
+
+
+SPF = 2000  # tiny vocoder upsample_rates (10,8,5,5) -> 2000 samples/frame
+
+
+def test_synthesize_end_to_end(engine):
+    r = engine.synthesize("hello world", temperature=0.0)
+    assert r.audio.dtype == np.float32
+    assert r.audio.size == r.codes.shape[0] * SPF
+    assert r.codes.shape[1] == 16
+    assert r.codes.shape[0] <= MAX_FRAMES
+    assert np.isfinite(r.audio).all()
+    assert (r.codes[:, 0] < 2048).all()  # suppression: no control tokens
+    m = r.metrics
+    assert m.total_seconds > 0
+    assert set(m.stage_seconds) >= {"tokenize", "prefill", "decode", "vocode"}
+    assert m.ttfa_seconds is not None and m.ttfa_seconds <= m.total_seconds
+
+
+def test_max_tokens_respected(engine):
+    # regression: max_tokens below / not a multiple of chunk_len must bound the
+    # result (the decode loop runs whole chunks; outputs are trimmed)
+    r = engine.synthesize("hello world", temperature=0.0, max_tokens=3)
+    assert r.codes.shape[0] <= 3
+    assert r.audio.size == r.codes.shape[0] * SPF
+
+
+def test_seeded_determinism(engine):
+    a = engine.synthesize("hello world", seed=7, temperature=0.9)
+    b = engine.synthesize("hello world", seed=7, temperature=0.9)
+    np.testing.assert_array_equal(a.audio, b.audio)
+    np.testing.assert_array_equal(a.codes, b.codes)
+    c = engine.synthesize("hello world", seed=8, temperature=0.9)
+    assert a.codes.shape != c.codes.shape or not np.array_equal(a.codes, c.codes)
+
+
+def test_stream_matches_offline(engine):
+    chunks = []
+    result = None
+    for item in engine.synthesize_stream("hello world", temperature=0.0):
+        if hasattr(item, "metrics"):
+            result = item
+        else:
+            chunks.append(item)
+    full = np.concatenate(chunks)
+    assert len(chunks) >= 1
+    # the offline waveform is the valid prefix of the streamed audio
+    np.testing.assert_array_equal(full[: result.audio.size], result.audio)
+    # streamed samples past EOS are zeroed
+    assert np.all(full[result.audio.size :] == 0.0)
+
+
+def test_batch_matches_single_greedy(engine):
+    single = engine.synthesize("hello world", temperature=0.0)
+    batch = engine.synthesize_batch(["hello world", "hello"], temperature=0.0)
+    assert len(batch) == 2
+    np.testing.assert_array_equal(batch[0].codes, single.codes)
+    np.testing.assert_allclose(batch[0].audio, single.audio, atol=2e-4)
+
+
+def test_synthesize_tokens_matches_text(engine):
+    ids = engine.tokenizer.encode("hello world")
+    wrapped = wrap_text_ids(ids)
+    a = engine.synthesize_tokens(wrapped, temperature=0.0)
+    b = engine.synthesize("hello world", temperature=0.0)
+    np.testing.assert_array_equal(a.codes, b.codes)
+
+
+def test_clone_path(engine, tmp_path):
+    sr = 16000
+    t = np.arange(sr * 1) / sr
+    ref = (0.4 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    ref_path = str(tmp_path / "ref.wav")
+    write_wav(ref_path, ref, sr)
+
+    assert engine.has_speaker_encoder()
+    emb = engine.extract_speaker_embedding(ref_path)
+    assert emb.shape == (64,)  # tiny model: output_dim == talker hidden
+    assert np.isfinite(emb).all()
+
+    r = engine.synthesize_clone("hello", ref_path, temperature=0.0)
+    assert r.audio.size > 0
+    # conditioning changes the output vs the plain path
+    plain = engine.synthesize("hello", temperature=0.0)
+    assert (r.codes.shape != plain.codes.shape) or not np.array_equal(
+        r.codes, plain.codes
+    )
+
+
+def test_speaker_fallback_without_table(engine):
+    r = engine.synthesize_speaker("hello", "serena", temperature=0.0)
+    plain = engine.synthesize("hello", temperature=0.0)
+    np.testing.assert_array_equal(r.codes, plain.codes)  # reference stub parity
+
+
+def test_speaker_with_table(tiny_model, tiny_vocab_files):
+    cfg, params = tiny_model
+    vocab_path, merges_path, _ = tiny_vocab_files
+    params2 = dict(params)
+    rng = np.random.default_rng(0)
+    params2["speaker_table"] = rng.standard_normal((9, 64)).astype(np.float32)
+    eng = TTSEngine(
+        config=cfg,
+        params=params2,
+        tokenizer=Tokenizer(vocab_path, merges_path),
+        max_frames=MAX_FRAMES,
+        chunk_len=CHUNK,
+    )
+    r = eng.synthesize_speaker("hello", "serena", temperature=0.0)
+    assert r.audio.size >= 0
+    with pytest.raises(EngineError):
+        eng.synthesize_speaker("hello", "not-a-speaker")
+
+
+def test_engine_not_ready_contract(tmp_path):
+    eng = TTSEngine(str(tmp_path / "missing"))
+    assert not eng.is_ready()
+    assert eng.get_error()
+    with pytest.raises(EngineError):
+        eng.synthesize("hello")
+
+
+def test_checkpoint_roundtrip_and_cli(tiny_model, tiny_vocab_files, tmp_path):
+    from leaxer_qwen3_tts_tpu.cli.main import main
+    from leaxer_qwen3_tts_tpu.runtime.weights import save_checkpoint
+
+    cfg, params = tiny_model
+    vocab_path, merges_path, _ = tiny_vocab_files
+    model_dir = str(tmp_path / "ckpt")
+    save_checkpoint(model_dir, cfg, params)
+    shutil.copy(vocab_path, os.path.join(model_dir, "vocab.json"))
+    shutil.copy(merges_path, os.path.join(model_dir, "merges.txt"))
+
+    out = str(tmp_path / "out" / "hello.wav")
+    rc = main(
+        ["-m", model_dir, "-p", "hello world", "-o", out,
+         "--temp", "0", "--max-tokens", str(MAX_FRAMES)]
+    )
+    assert rc == 0
+    audio, sr = read_wav(out)
+    assert sr == SAMPLE_RATE
+    assert audio.size > 0
+
+
+def test_cli_errors(tmp_path):
+    from leaxer_qwen3_tts_tpu.cli.main import main
+
+    assert main(["-p", "hi"]) == 1  # missing model
+    assert main(["-m", str(tmp_path / "nope"), "-p", "hi"]) == 1  # bad dir
