@@ -1,0 +1,150 @@
+#!/usr/bin/env python3
+"""Headline benchmark: RTF on Qwen3-TTS 0.6B, single chip.
+
+Measures the full generation path (prefill -> chunked talker+MTP decode ->
+streaming vocoder) on random-init 0.6B weights (compute is weight-value
+independent), EOS suppressed so every run generates exactly BENCH_FRAMES
+frames.  Prints ONE JSON line:
+
+  {"metric": "rtf_0.6b_1chip", "value": <RTF>, "unit": "x_realtime",
+   "vs_baseline": <RTF / 20.0>, ...detail fields...}
+
+vs_baseline is against the 20x-real-time north-star target (BASELINE.md; the
+reference publishes no numbers, SURVEY §6).  Env knobs: BENCH_FRAMES (default
+192), BENCH_BATCH (1), BENCH_CHUNK (32), BENCH_TTFA_CHUNK (8).
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    from leaxer_qwen3_tts_tpu.config import FRAME_RATE, QWEN3_TTS_06B
+    from leaxer_qwen3_tts_tpu.models.codec12hz import vocoder_forward
+    from leaxer_qwen3_tts_tpu.runtime.generate import make_generate_fns
+    from leaxer_qwen3_tts_tpu.runtime.sampling import SamplingParams
+    from leaxer_qwen3_tts_tpu.runtime.weights import init_params
+
+    platform = jax.default_backend()
+    on_accel = platform in ("tpu", "axon", "gpu")
+    frames = int(os.environ.get("BENCH_FRAMES", "192" if on_accel else "16"))
+    batch = int(os.environ.get("BENCH_BATCH", "1"))
+    chunk = int(os.environ.get("BENCH_CHUNK", "32"))
+    ttfa_chunk = int(os.environ.get("BENCH_TTFA_CHUNK", "8"))
+    frames = max(chunk, (frames // chunk) * chunk)
+    log(f"bench: platform={platform} frames={frames} batch={batch} chunk={chunk}")
+
+    cfg = QWEN3_TTS_06B
+    t0 = time.perf_counter()
+    params = init_params(cfg, jax.random.PRNGKey(0), with_speaker_encoder=False)
+    params = jax.block_until_ready(params)
+    log(f"init 0.6B params: {time.perf_counter() - t0:.1f}s")
+
+    T = 16
+    ids = jnp.full((batch, T), 100, jnp.int32)
+    lens = jnp.full((batch,), T, jnp.int32)
+    key = jax.random.PRNGKey(1)
+    sp = SamplingParams.create(temperature=0.8, forbid_eos=True)
+
+    fns = make_generate_fns(cfg, batch=batch, max_len=frames + 32, chunk_len=chunk)
+    voc = jax.jit(
+        lambda p, codes: vocoder_forward(cfg.vocoder, p, codes)
+    )
+
+    def decode_chunk(state, bundle):
+        return fns.decode(
+            params, state, bundle.trailing, bundle.trailing_len, bundle.tts_pad_embed, sp
+        )
+
+    # --- compile warmup -----------------------------------------------------
+    t0 = time.perf_counter()
+    state, bundle = fns.prefill(params, ids, lens, key)
+    jax.block_until_ready(state.last_logits)
+    log(f"prefill compile+run: {time.perf_counter() - t0:.1f}s")
+
+    t0 = time.perf_counter()
+    state, frames_out, valid = decode_chunk(state, bundle)
+    jax.block_until_ready(frames_out)
+    log(f"decode chunk compile+run: {time.perf_counter() - t0:.1f}s")
+
+    t0 = time.perf_counter()
+    audio = voc(params["vocoder"], frames_out)
+    jax.block_until_ready(audio)
+    log(f"vocoder compile+run: {time.perf_counter() - t0:.1f}s")
+
+    # --- measured prefill (compiled) ---------------------------------------
+    t0 = time.perf_counter()
+    state, bundle = fns.prefill(params, ids, lens, key)
+    jax.block_until_ready(state.last_logits)
+    prefill_s = time.perf_counter() - t0
+
+    # --- measured steady-state decode + streaming vocode --------------------
+    n_chunks = frames // chunk
+    t0 = time.perf_counter()
+    decode_s = 0.0
+    vocode_s = 0.0
+    for i in range(n_chunks):
+        t1 = time.perf_counter()
+        state, frames_out, valid = decode_chunk(state, bundle)
+        jax.block_until_ready(frames_out)
+        t2 = time.perf_counter()
+        audio = voc(params["vocoder"], frames_out)
+        jax.block_until_ready(audio)
+        t3 = time.perf_counter()
+        decode_s += t2 - t1
+        vocode_s += t3 - t2
+    total_s = time.perf_counter() - t0 + prefill_s
+
+    audio_s = frames / FRAME_RATE * batch  # aggregate audio across streams
+    rtf = audio_s / total_s
+    frame_ms = (decode_s / (n_chunks * chunk)) * 1e3
+
+    # --- TTFA: small first chunk (prefill + ttfa_chunk frames + vocode) -----
+    fns_s = make_generate_fns(
+        cfg, batch=batch, max_len=frames + 32, chunk_len=ttfa_chunk
+    )
+    state_s, bundle_s = fns_s.prefill(params, ids, lens, key)
+    state_s, fr_s, _ = fns_s.decode(
+        params, state_s, bundle_s.trailing, bundle_s.trailing_len,
+        bundle_s.tts_pad_embed, sp,
+    )
+    a = voc(params["vocoder"], fr_s)
+    jax.block_until_ready(a)  # compile
+    t0 = time.perf_counter()
+    state_s, bundle_s = fns_s.prefill(params, ids, lens, key)
+    state_s, fr_s, _ = fns_s.decode(
+        params, state_s, bundle_s.trailing, bundle_s.trailing_len,
+        bundle_s.tts_pad_embed, sp,
+    )
+    a = voc(params["vocoder"], fr_s)
+    jax.block_until_ready(a)
+    ttfa_s = time.perf_counter() - t0
+
+    result = {
+        "metric": "rtf_0.6b_1chip",
+        "value": round(rtf, 3),
+        "unit": "x_realtime",
+        "vs_baseline": round(rtf / 20.0, 3),
+        "platform": platform,
+        "batch": batch,
+        "frames": frames,
+        "prefill_ms": round(prefill_s * 1e3, 1),
+        "decode_ms_per_frame": round(frame_ms, 2),
+        "vocode_s": round(vocode_s, 3),
+        "ttfa_ms": round(ttfa_s * 1e3, 1),
+        "frames_per_s": round(frames * batch / total_s, 1),
+    }
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

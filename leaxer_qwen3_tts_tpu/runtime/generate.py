@@ -84,6 +84,7 @@ def _frame_step(
 
     # --- codebook 0: suppress control tokens except EOS, sample ---
     logits = state.last_logits + suppress[None, :]
+    logits = logits.at[:, CODEC_EOS].add(jnp.where(sp.forbid_eos, -1e30, 0.0))
     code0 = sample_token(k_code0, logits, sp)  # [B]
     is_eos = code0 == CODEC_EOS
     frame_valid = (~state.done) & (~is_eos)

@@ -30,6 +30,7 @@ class SamplingParams(NamedTuple):
     temperature: jax.Array
     top_k: jax.Array  # int32; <= 0 disables
     top_p: jax.Array  # float; >= 1.0 disables
+    forbid_eos: jax.Array  # bool; True masks CODEC_EOS (min-length / benchmarking)
 
     @classmethod
     def create(
@@ -37,11 +38,13 @@ class SamplingParams(NamedTuple):
         temperature: float = DEFAULT_TEMPERATURE,
         top_k: int = DEFAULT_TOP_K,
         top_p: float = DEFAULT_TOP_P,
+        forbid_eos: bool = False,
     ) -> "SamplingParams":
         return cls(
             temperature=jnp.asarray(temperature, jnp.float32),
             top_k=jnp.asarray(top_k, jnp.int32),
             top_p=jnp.asarray(top_p, jnp.float32),
+            forbid_eos=jnp.asarray(forbid_eos, bool),
         )
 
 
