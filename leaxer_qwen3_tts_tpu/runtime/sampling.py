@@ -76,6 +76,53 @@ def _top_p_mask(logits: jax.Array, p: jax.Array) -> jax.Array:
     return jnp.where(p >= 1.0, True, keep)
 
 
+K_CAP = 128  # static top-k subset width for the fast sampling path
+
+
+def _sample_full(key, logits, params):
+    """Exact full-vocab path (sort-based): used when top_k is disabled or
+    exceeds K_CAP.  O(V log V) sorts — slow on TPU, rare in practice."""
+    t = jnp.maximum(params.temperature, 1e-6)
+    scaled = logits / t
+    scaled = jnp.where(_top_k_mask(scaled, params.top_k), scaled, NEG_INF)
+    scaled = jnp.where(_top_p_mask(scaled, params.top_p), scaled, NEG_INF)
+    return jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
+
+
+def _sample_topk_subset(key, logits, params):
+    """Fast path: restrict to the top-K_CAP logits once (lax.top_k), then do
+    temperature / top-k / top-p inside the already-sorted subset.
+
+    Equivalent to the full path whenever top_k <= K_CAP: the top-k filter
+    leaves a subset of the top-K_CAP entries, and the top-p cutoff operates on
+    the softmax of the filtered set, which is unchanged by dropping the
+    never-eligible tail.  ~100x less sort work per sample than full-vocab
+    sorting (the reference sorts the whole vocab per token on the host,
+    tts_onnx.cpp:917-950)."""
+    V = logits.shape[-1]
+    k_cap = min(K_CAP, V)
+    vals, idx = jax.lax.top_k(logits, k_cap)  # sorted desc [..., k_cap]
+    pos = jnp.arange(k_cap)
+    shape = (1,) * (logits.ndim - 1) + (k_cap,)
+    pos = pos.reshape(shape)
+
+    # top-k: positional cut inside the sorted subset
+    keep = jnp.where(params.top_k > 0, pos < params.top_k, True)
+    t = jnp.maximum(params.temperature, 1e-6)
+    scaled = jnp.where(keep, vals / t, NEG_INF)
+
+    # top-p on the sorted, filtered subset; always keep the best token
+    probs = jax.nn.softmax(scaled, axis=-1)
+    cum_excl = jnp.cumsum(probs, axis=-1) - probs
+    keep_p = (cum_excl < params.top_p) | (pos == 0)
+    scaled = jnp.where(keep_p, scaled, NEG_INF)
+
+    choice = jax.random.categorical(key, scaled, axis=-1)  # [...]
+    return jnp.take_along_axis(idx, choice[..., None], axis=-1)[..., 0].astype(
+        jnp.int32
+    )
+
+
 def sample_token(
     key: jax.Array,
     logits: jax.Array,  # [..., V] float32
@@ -84,11 +131,14 @@ def sample_token(
     """Sample token ids [...] int32.  temperature == 0 -> greedy argmax."""
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
-    t = jnp.maximum(params.temperature, 1e-6)
-    scaled = logits / t
-    scaled = jnp.where(_top_k_mask(scaled, params.top_k), scaled, NEG_INF)
-    scaled = jnp.where(_top_p_mask(scaled, params.top_p), scaled, NEG_INF)
-    sampled = jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
+    V = logits.shape[-1]
+    if V <= K_CAP:
+        sampled = _sample_full(key, logits, params)
+    else:
+        use_fast = (params.top_k > 0) & (params.top_k <= K_CAP)
+        sampled = jax.lax.cond(
+            use_fast, _sample_topk_subset, _sample_full, key, logits, params
+        )
 
     return jnp.where(params.temperature <= 0.0, greedy, sampled)
 

@@ -1,0 +1,209 @@
+"""Converter tests: ONNX wire-format parser round-trip and HF-name mapping
+into a runnable checkpoint."""
+
+import json
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from tools.onnx_tensors import load_onnx_initializers
+from tools.convert import _HF_RULES, assemble, map_tensors
+
+
+# ---------------------------------------------------------------------------
+# minimal protobuf ENCODER (test-only) to fabricate ONNX files
+# ---------------------------------------------------------------------------
+
+
+def _varint(v: int) -> bytes:
+    out = bytearray()
+    if v < 0:
+        v += 1 << 64
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _field(num: int, wire: int, payload) -> bytes:
+    tag = _varint((num << 3) | wire)
+    if wire == 0:
+        return tag + _varint(payload)
+    if wire == 2:
+        return tag + _varint(len(payload)) + payload
+    raise ValueError(wire)
+
+
+def _tensor_proto(name: str, arr: np.ndarray, bf16: bool = False) -> bytes:
+    body = b""
+    for d in arr.shape:
+        body += _field(1, 0, d)
+    if bf16:
+        body += _field(2, 0, 16)
+        u32 = arr.astype(np.float32).view(np.uint32)
+        body += _field(9, 2, (u32 >> 16).astype("<u2").tobytes())
+    elif arr.dtype == np.float32:
+        body += _field(2, 0, 1)
+        body += _field(9, 2, arr.astype("<f4").tobytes())
+    elif arr.dtype == np.int64:
+        body += _field(2, 0, 7)
+        body += _field(9, 2, arr.astype("<i8").tobytes())
+    elif arr.dtype == np.float16:
+        body += _field(2, 0, 10)
+        body += _field(9, 2, arr.astype("<f2").tobytes())
+    else:
+        raise ValueError(arr.dtype)
+    body += _field(8, 2, name.encode())
+    return body
+
+
+def _onnx_file(path: str, tensors: dict, bf16_names=()) -> None:
+    graph = b""
+    for name, arr in tensors.items():
+        graph += _field(5, 2, _tensor_proto(name, arr, bf16=name in bf16_names))
+    model = _field(1, 0, 8)  # ir_version
+    model += _field(7, 2, graph)
+    with open(path, "wb") as f:
+        f.write(model)
+
+
+def test_onnx_parser_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    tensors = {
+        "layer.weight": rng.standard_normal((4, 6)).astype(np.float32),
+        "embed": rng.standard_normal((10, 3)).astype(np.float32),
+        "ids": np.arange(7, dtype=np.int64),
+        "half": rng.standard_normal((2, 2)).astype(np.float16),
+        "bf": rng.standard_normal((3, 5)).astype(np.float32),
+        "scalar": np.float32(2.5).reshape(()),
+    }
+    path = str(tmp_path / "m.onnx")
+    _onnx_file(path, tensors, bf16_names={"bf"})
+    out = load_onnx_initializers(path)
+    assert set(out) == set(tensors)
+    np.testing.assert_array_equal(out["layer.weight"], tensors["layer.weight"])
+    np.testing.assert_array_equal(out["ids"], tensors["ids"])
+    np.testing.assert_array_equal(out["half"], tensors["half"])
+    assert out["scalar"].shape == ()
+    # bf16 loses mantissa bits only
+    np.testing.assert_allclose(out["bf"], tensors["bf"], atol=0.02, rtol=0.01)
+
+
+def test_hf_name_mapping_and_stacking():
+    rng = np.random.default_rng(1)
+    H, L = 8, 2
+    tensors = {}
+    for l in range(L):
+        p = f"talker.model.layers.{l}"
+        tensors[f"{p}.input_layernorm.weight"] = rng.standard_normal(H).astype(np.float32)
+        tensors[f"{p}.self_attn.q_proj.weight"] = rng.standard_normal((2 * H, H)).astype(np.float32)
+        tensors[f"{p}.mlp.down_proj.weight"] = rng.standard_normal((H, 3 * H)).astype(np.float32)
+    tensors["talker.model.norm.weight"] = rng.standard_normal(H).astype(np.float32)
+    tensors["talker.lm_head.weight"] = rng.standard_normal((32, H)).astype(np.float32)
+    tensors["talker.model.embed_tokens.weight"] = rng.standard_normal((100, H)).astype(np.float32)
+    tensors["something.unknown"] = np.zeros(3, np.float32)
+    for s in range(3):  # per-step MTP heads: [out, in] torch -> [in, out] ours
+        tensors[f"talker.code_predictor.heads.{s}.weight"] = rng.standard_normal(
+            (16, H)
+        ).astype(np.float32)
+
+    staged, unmapped = map_tensors(tensors)
+    assert unmapped == ["something.unknown"]
+    flat = assemble(staged)
+    assert flat["code_predictor/heads"].shape == (3, H, 16)
+    assert flat["talker/transformer/layers/wq"].shape == (L, H, 2 * H)  # transposed
+    assert flat["talker/transformer/layers/wd"].shape == (L, 3 * H, H)
+    assert flat["talker/lm_head"].shape == (H, 32)
+    assert flat["embeddings/text_embed"].shape == (100, H)  # not transposed
+    np.testing.assert_array_equal(
+        flat["talker/transformer/layers/wq"][1],
+        tensors["talker.model.layers.1.self_attn.q_proj.weight"].T,
+    )
+
+
+def test_full_hf_conversion_runs(tmp_path, tiny_model):
+    """Fabricate a complete HF-style safetensors for the tiny talker and check
+    the CLI converts + the checkpoint loads and runs prefill."""
+    from safetensors.numpy import save_file
+
+    import tools.convert as tc
+    from leaxer_qwen3_tts_tpu.runtime.weights import (
+        flatten_params,
+        load_checkpoint,
+    )
+    import jax
+
+    cfg, params = tiny_model
+    flat = flatten_params(jax.device_get(params))
+
+    # fabricate HF names for every talker-transformer tensor of the tiny model
+    inv = {
+        "attn_norm": "input_layernorm.weight",
+        "wq": "self_attn.q_proj.weight",
+        "wk": "self_attn.k_proj.weight",
+        "wv": "self_attn.v_proj.weight",
+        "wo": "self_attn.o_proj.weight",
+        "q_norm": "self_attn.q_norm.weight",
+        "k_norm": "self_attn.k_norm.weight",
+        "mlp_norm": "post_attention_layernorm.weight",
+        "wg": "mlp.gate_proj.weight",
+        "wu": "mlp.up_proj.weight",
+        "wd": "mlp.down_proj.weight",
+    }
+    hf = {}
+    L = cfg.talker.transformer.num_layers
+    for our, theirs in inv.items():
+        stacked = flat[f"talker/transformer/layers/{our}"]
+        for l in range(L):
+            arr = stacked[l]
+            if arr.ndim == 2:
+                arr = arr.T  # converter transposes back
+            hf[f"talker.model.layers.{l}.{theirs}"] = np.ascontiguousarray(
+                arr, np.float32
+            )
+    hf["talker.model.norm.weight"] = flat["talker/transformer/final_norm"]
+    hf["talker.lm_head.weight"] = np.ascontiguousarray(flat["talker/lm_head"].T)
+    hf["talker.model.embed_tokens.weight"] = flat["embeddings/text_embed"]
+    hf["talker.model.text_proj.weight"] = np.ascontiguousarray(
+        flat["embeddings/text_proj"].T
+    )
+    hf["talker.model.codec_embed.weight"] = flat["embeddings/codec_embed"]
+
+    src = tmp_path / "hf"
+    src.mkdir()
+    save_file(hf, str(src / "model.safetensors"))
+
+    out = str(tmp_path / "ckpt")
+    # non-strict: code-predictor / vocoder params stay random-init
+    rc = tc.main([
+        "hf", "--src", str(src), "--out", out, "--config", "tiny-test",
+    ])
+    assert rc == 0
+
+    cfg2, params2 = load_checkpoint(out)
+    flat2 = flatten_params(jax.device_get(params2))
+    np.testing.assert_allclose(
+        flat2["talker/transformer/layers/wq"],
+        flat["talker/transformer/layers/wq"],
+        rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        flat2["talker/lm_head"], flat["talker/lm_head"], rtol=1e-6
+    )
+
+
+@pytest.fixture(autouse=True)
+def _register_tiny_preset(tiny_model):
+    """Expose the tiny config under PRESETS for the converter CLI."""
+    from leaxer_qwen3_tts_tpu.config import PRESETS
+
+    cfg, _ = tiny_model
+    PRESETS[cfg.name] = cfg
+    yield
+    PRESETS.pop(cfg.name, None)
