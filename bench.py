@@ -176,6 +176,30 @@ def main() -> None:
         except Exception as e:  # never fail the headline on the extra probe
             log(f"serving probe failed: {e}")
 
+    # --- int8 weight-only probe (batch 1) -----------------------------------
+    int8_frame_ms = None
+    if os.environ.get("BENCH_SKIP_INT8") != "1":
+        try:
+            from leaxer_qwen3_tts_tpu.ops.quant import quantize_params
+
+            qparams = quantize_params(params)
+            stq, bdq = fns.prefill(qparams, ids, lens, key)
+            stq, frq, _ = fns.decode(
+                qparams, stq, bdq.trailing, bdq.trailing_len, bdq.tts_pad_embed, sp
+            )
+            sync(frq)  # compile
+            nq = max(2, n_chunks // 2)
+            t0 = time.perf_counter()
+            for _ in range(nq):
+                stq, frq, _ = fns.decode(
+                    qparams, stq, bdq.trailing, bdq.trailing_len, bdq.tts_pad_embed, sp
+                )
+                sync(frq)
+            int8_frame_ms = (time.perf_counter() - t0) / (nq * chunk) * 1e3
+            log(f"int8 decode: {int8_frame_ms:.2f} ms/frame")
+        except Exception as e:
+            log(f"int8 probe failed: {e}")
+
     result = {
         "metric": "rtf_0.6b_1chip",
         "value": round(rtf, 3),
@@ -192,6 +216,8 @@ def main() -> None:
     }
     if serving_rtf is not None:
         result["serving_rtf_batch8"] = round(serving_rtf, 1)
+    if int8_frame_ms is not None:
+        result["int8_decode_ms_per_frame"] = round(int8_frame_ms, 2)
     print(json.dumps(result), flush=True)
 
 

@@ -80,6 +80,7 @@ class TTSEngine:
         max_frames: int = MAX_NEW_TOKENS,
         chunk_len: int = 32,
         text_bucket: int = 16,
+        quantize: Optional[str] = None,
         mesh=None,
     ):
         self._ready = False
@@ -111,6 +112,14 @@ class TTSEngine:
                 if config is None or params is None:
                     raise EngineError("need model_dir or (config, params)")
                 self.cfg, self.params = config, params
+            if quantize == "int8":
+                # weight-only int8 for the memory-bound decode (ops/quant.py);
+                # embeddings/vocoder/speaker-encoder stay full precision
+                from ..ops.quant import quantize_params
+
+                self.params = quantize_params(self.params)
+            elif quantize is not None:
+                raise EngineError(f"unknown quantize mode {quantize!r}")
             self._ready = True
         except Exception as e:  # record, don't raise (reference ctor contract)
             self._error = str(e)

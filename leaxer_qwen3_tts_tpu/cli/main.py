@@ -33,6 +33,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-tokens", type=int, default=2048, help="max frames to generate")
     p.add_argument("--seed", type=int, default=0, help="sampling PRNG seed (deterministic)")
     p.add_argument("--speaker", help="preset speaker name (CustomVoice models)")
+    p.add_argument(
+        "--quantize", choices=["int8"],
+        help="weight-only quantization for faster decode",
+    )
     p.add_argument("--verbose", action="store_true", help="print per-stage metrics")
     return p
 
@@ -73,7 +77,7 @@ def main(argv=None) -> int:
     from ..config import SAMPLE_RATE
     from ..frontend import write_wav
 
-    engine = TTSEngine(args.model, max_frames=args.max_tokens)
+    engine = TTSEngine(args.model, max_frames=args.max_tokens, quantize=args.quantize)
     if not engine.is_ready():
         print(f"Error: {engine.get_error()}", file=sys.stderr)
         return 1

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..config import CodePredictorConfig
+from ..ops.quant import dense, index_weight
 from .layers import KVCache, init_kv_cache, init_transformer_params, transformer_forward
 
 
@@ -71,8 +72,8 @@ def predict_subcodes(
     h_last = hidden[:, 1]  # hidden at the code0 position -> step-0 logits
 
     def head_logits(h, j):
-        w = lax.dynamic_index_in_dim(params["heads"], j, axis=0, keepdims=False)
-        return jnp.dot(h, w, preferred_element_type=jnp.float32)  # [B, 2048] f32
+        w = index_weight(params["heads"], j)
+        return dense(h, w)  # [B, 2048] f32
 
     def step(carry, j):
         h_prev, cache, valid, key = carry

@@ -22,6 +22,7 @@ from jax import lax
 
 from ..config import TransformerConfig
 from ..ops.attention import attend
+from ..ops.quant import dense
 
 
 class KVCache(NamedTuple):
@@ -92,12 +93,10 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
     return rotated.astype(dtype)
 
 
-def swiglu(x: jax.Array, wg: jax.Array, wu: jax.Array, wd: jax.Array) -> jax.Array:
-    gate = jax.nn.silu(jnp.dot(x, wg, preferred_element_type=jnp.float32))
-    up = jnp.dot(x, wu, preferred_element_type=jnp.float32)
-    return jnp.dot((gate * up).astype(x.dtype), wd, preferred_element_type=jnp.float32).astype(
-        x.dtype
-    )
+def swiglu(x: jax.Array, wg, wu, wd) -> jax.Array:
+    gate = jax.nn.silu(dense(x, wg))
+    up = dense(x, wu)
+    return dense((gate * up).astype(x.dtype), wd).astype(x.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -163,9 +162,9 @@ def _block(
     nq, nk, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
     h = rms_norm(x, p["attn_norm"], cfg.rms_norm_eps)
-    q = jnp.dot(h, p["wq"], preferred_element_type=jnp.float32).astype(x.dtype)
-    k = jnp.dot(h, p["wk"], preferred_element_type=jnp.float32).astype(x.dtype)
-    v = jnp.dot(h, p["wv"], preferred_element_type=jnp.float32).astype(x.dtype)
+    q = dense(h, p["wq"]).astype(x.dtype)
+    k = dense(h, p["wk"]).astype(x.dtype)
+    v = dense(h, p["wv"]).astype(x.dtype)
     q = q.reshape(B, S, nq, d)
     k = k.reshape(B, S, nk, d)
     v = v.reshape(B, S, nk, d)
@@ -183,8 +182,7 @@ def _block(
 
     out = attend(q, k_cache, v_cache, attn_mask, impl=cfg.attn_impl)  # [B,S,Nq,D]
     out = out.reshape(B, S, nq * d)
-    attn_out = jnp.dot(out, p["wo"], preferred_element_type=jnp.float32).astype(x.dtype)
-    x = x + attn_out
+    x = x + dense(out, p["wo"]).astype(x.dtype)
 
     h = rms_norm(x, p["mlp_norm"], cfg.rms_norm_eps)
     x = x + swiglu(h, p["wg"], p["wu"], p["wd"])
@@ -265,9 +263,9 @@ def transformer_forward_nocache(
     def body(x, layer_p):
         h = rms_norm(x, layer_p["attn_norm"], cfg.rms_norm_eps)
         nq, nk, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
-        q = jnp.dot(h, layer_p["wq"], preferred_element_type=jnp.float32).astype(x.dtype)
-        k = jnp.dot(h, layer_p["wk"], preferred_element_type=jnp.float32).astype(x.dtype)
-        v = jnp.dot(h, layer_p["wv"], preferred_element_type=jnp.float32).astype(x.dtype)
+        q = dense(h, layer_p["wq"]).astype(x.dtype)
+        k = dense(h, layer_p["wk"]).astype(x.dtype)
+        v = dense(h, layer_p["wv"]).astype(x.dtype)
         q = q.reshape(B, S, nq, d)
         k = k.reshape(B, S, nk, d)
         v = v.reshape(B, S, nk, d)
@@ -278,7 +276,7 @@ def transformer_forward_nocache(
         k = apply_rope(k, cos, sin)
         out = attend(q, k, v, attn_mask, impl=cfg.attn_impl)
         out = out.reshape(B, S, nq * d)
-        x = x + jnp.dot(out, layer_p["wo"], preferred_element_type=jnp.float32).astype(x.dtype)
+        x = x + dense(out, layer_p["wo"]).astype(x.dtype)
         h = rms_norm(x, layer_p["mlp_norm"], cfg.rms_norm_eps)
         x = x + swiglu(h, layer_p["wg"], layer_p["wu"], layer_p["wd"])
         return x, None

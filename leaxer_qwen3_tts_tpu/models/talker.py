@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import TalkerConfig
+from ..ops.quant import dense
 from .layers import KVCache, init_kv_cache, init_transformer_params, transformer_forward
 
 
@@ -64,9 +65,7 @@ def talker_prefill(
     # last, tts_onnx.cpp:796-798 — projecting one row is strictly cheaper).
     idx = jnp.clip(prompt_len - 1, 0, P - 1)
     last_hidden = jnp.take_along_axis(hidden, idx[:, None, None].repeat(H, axis=2), axis=1)[:, 0]
-    last_logits = jnp.dot(
-        last_hidden, params["lm_head"], preferred_element_type=jnp.float32
-    )
+    last_logits = dense(last_hidden, params["lm_head"])
     return last_logits, last_hidden, cache, valid_mask
 
 
@@ -92,7 +91,7 @@ def talker_prefill_all_logits(
         valid_mask,
         query_valid=query_valid,
     )
-    logits = jnp.dot(hidden, params["lm_head"], preferred_element_type=jnp.float32)
+    logits = dense(hidden, params["lm_head"])
     return logits, hidden, cache, valid_mask
 
 
@@ -115,5 +114,5 @@ def talker_decode_step(
         valid_mask,
     )
     hidden = hidden[:, 0]
-    logits = jnp.dot(hidden, params["lm_head"], preferred_element_type=jnp.float32)
+    logits = dense(hidden, params["lm_head"])
     return logits, hidden, cache, valid_mask
