@@ -58,11 +58,26 @@ def main() -> None:
 
     cfg = QWEN3_TTS_06B
     t0 = time.perf_counter()
-    # jit the whole init: one compile instead of ~300 per-leaf dispatches
-    params = jax.jit(
-        lambda k: init_params(cfg, k, with_speaker_encoder=False)
-    )(jax.random.PRNGKey(0))
-    jax.block_until_ready(params)
+    # benchmark timing is weight-value independent; fill with a cheap
+    # deterministic pattern instead of threefry normals (which cost minutes of
+    # compile+generate for 600M params over the tunnel)
+    shapes = jax.eval_shape(
+        lambda k: init_params(cfg, k, with_speaker_encoder=False),
+        jax.random.PRNGKey(0),
+    )
+
+    def fast_fill(shapes):
+        leaves, treedef = jax.tree_util.tree_flatten(shapes)
+        out = []
+        for i, sd in enumerate(leaves):
+            n = 1
+            for d in sd.shape:
+                n *= d
+            v = (jnp.arange(n, dtype=jnp.float32) * 16807.0 + i * 131.0) % 199.0
+            out.append(((v / 199.0 - 0.5) * 0.04).reshape(sd.shape).astype(sd.dtype))
+        return jax.tree_util.tree_unflatten(treedef, out)
+
+    params = jax.jit(lambda: fast_fill(shapes))()
     sync(params["talker"]["lm_head"])
     log(f"init 0.6B params: {time.perf_counter() - t0:.1f}s")
 

@@ -25,7 +25,8 @@ NEG_INF = -1e30
 
 
 class SamplingParams(NamedTuple):
-    """Device-side sampling knobs (all [broadcastable] scalars, traced)."""
+    """Device-side sampling knobs, traced.  Each field is a scalar or a [B]
+    vector (per-request knobs inside one serving batch)."""
 
     temperature: jax.Array
     top_k: jax.Array  # int32; <= 0 disables
@@ -40,6 +41,7 @@ class SamplingParams(NamedTuple):
         top_p: float = DEFAULT_TOP_P,
         forbid_eos: bool = False,
     ) -> "SamplingParams":
+        """Scalars or per-request sequences (all non-scalars must be length B)."""
         return cls(
             temperature=jnp.asarray(temperature, jnp.float32),
             top_k=jnp.asarray(top_k, jnp.int32),
@@ -48,15 +50,20 @@ class SamplingParams(NamedTuple):
         )
 
 
+def _per_row(p: jax.Array) -> jax.Array:
+    """[B] knob -> [B, 1] for broadcasting against [B, V] logits."""
+    return p[..., None] if p.ndim > 0 else p
+
+
 def _top_k_mask(logits: jax.Array, k: jax.Array) -> jax.Array:
     """Mask logits strictly below the k-th largest value (reference keeps ties,
-    tts_onnx.cpp:917-927: filters x < threshold)."""
+    tts_onnx.cpp:917-927: filters x < threshold).  k: scalar or [B, 1]."""
     V = logits.shape[-1]
     sorted_desc = jnp.sort(logits, axis=-1)[..., ::-1]
-    k_idx = jnp.clip(k - 1, 0, V - 1)
-    threshold = jnp.take_along_axis(
-        sorted_desc, jnp.broadcast_to(k_idx, logits.shape[:-1])[..., None], axis=-1
-    )
+    k_idx = jnp.broadcast_to(
+        jnp.clip(k - 1, 0, V - 1), logits.shape[:-1] + (1,)
+    ).astype(jnp.int32)
+    threshold = jnp.take_along_axis(sorted_desc, k_idx, axis=-1)
     keep = logits >= threshold
     active = (k > 0) & (k < V)
     return jnp.where(active, keep, True)
@@ -82,10 +89,10 @@ K_CAP = 128  # static top-k subset width for the fast sampling path
 def _sample_full(key, logits, params):
     """Exact full-vocab path (sort-based): used when top_k is disabled or
     exceeds K_CAP.  O(V log V) sorts — slow on TPU, rare in practice."""
-    t = jnp.maximum(params.temperature, 1e-6)
+    t = _per_row(jnp.maximum(params.temperature, 1e-6))
     scaled = logits / t
-    scaled = jnp.where(_top_k_mask(scaled, params.top_k), scaled, NEG_INF)
-    scaled = jnp.where(_top_p_mask(scaled, params.top_p), scaled, NEG_INF)
+    scaled = jnp.where(_top_k_mask(scaled, _per_row(params.top_k)), scaled, NEG_INF)
+    scaled = jnp.where(_top_p_mask(scaled, _per_row(params.top_p)), scaled, NEG_INF)
     return jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
 
 
@@ -107,14 +114,15 @@ def _sample_topk_subset(key, logits, params):
     pos = pos.reshape(shape)
 
     # top-k: positional cut inside the sorted subset
-    keep = jnp.where(params.top_k > 0, pos < params.top_k, True)
-    t = jnp.maximum(params.temperature, 1e-6)
+    top_k = _per_row(params.top_k)
+    keep = jnp.where(top_k > 0, pos < top_k, True)
+    t = _per_row(jnp.maximum(params.temperature, 1e-6))
     scaled = jnp.where(keep, vals / t, NEG_INF)
 
     # top-p on the sorted, filtered subset; always keep the best token
     probs = jax.nn.softmax(scaled, axis=-1)
     cum_excl = jnp.cumsum(probs, axis=-1) - probs
-    keep_p = (cum_excl < params.top_p) | (pos == 0)
+    keep_p = (cum_excl < _per_row(params.top_p)) | (pos == 0)
     scaled = jnp.where(keep_p, scaled, NEG_INF)
 
     choice = jax.random.categorical(key, scaled, axis=-1)  # [...]
@@ -135,7 +143,8 @@ def sample_token(
     if V <= K_CAP:
         sampled = _sample_full(key, logits, params)
     else:
-        use_fast = (params.top_k > 0) & (params.top_k <= K_CAP)
+        # per-request knobs: take the fast path only if EVERY row qualifies
+        use_fast = jnp.all((params.top_k > 0) & (params.top_k <= K_CAP))
         sampled = jax.lax.cond(
             use_fast, _sample_topk_subset, _sample_full, key, logits, params
         )

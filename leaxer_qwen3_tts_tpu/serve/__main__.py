@@ -1,0 +1,41 @@
+"""python -m leaxer_qwen3_tts_tpu.serve -m <model_dir> [--port 8080] ..."""
+
+import argparse
+import sys
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="leaxer-qwen3-tts-tpu-serve")
+    p.add_argument("-m", "--model", required=True, help="model checkpoint dir")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--max-batch", type=int, default=8)
+    p.add_argument("--max-wait-ms", type=float, default=30.0)
+    p.add_argument("--max-tokens", type=int, default=2048)
+    p.add_argument("--quantize", choices=["int8"])
+    args = p.parse_args(argv)
+
+    from ..api.engine import TTSEngine
+    from .server import BatchingServer, make_http_server
+
+    engine = TTSEngine(
+        args.model, max_frames=args.max_tokens, quantize=args.quantize
+    )
+    if not engine.is_ready():
+        print(f"Error: {engine.get_error()}", file=sys.stderr)
+        return 1
+    server = BatchingServer(
+        engine, max_batch=args.max_batch, max_wait_ms=args.max_wait_ms
+    )
+    httpd = make_http_server(server, args.host, args.port)
+    print(f"serving on http://{args.host}:{args.port} (POST /synthesize)")
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.shutdown()
+    return 0
+
+
+sys.exit(main())
