@@ -215,6 +215,29 @@ def main() -> None:
         except Exception as e:
             log(f"int8 probe failed: {e}")
 
+    # --- long-form probe: 2048-frame KV bucket (BASELINE config 4) ----------
+    # static shapes mean decode cost at ANY fill level equals the max_len
+    # cost, so two chunks at the 2080 bucket measure the whole regime
+    long_frame_ms = None
+    if os.environ.get("BENCH_SKIP_LONGFORM") != "1":
+        try:
+            fnsl = make_generate_fns(cfg, batch=1, max_len=2080, chunk_len=chunk)
+            stl, bdl = fnsl.prefill(params, ids[:1], lens[:1], key)
+            stl, frl, _ = fnsl.decode(
+                params, stl, bdl.trailing, bdl.trailing_len, bdl.tts_pad_embed, sp
+            )
+            sync(frl)  # compile
+            t0 = time.perf_counter()
+            for _ in range(2):
+                stl, frl, _ = fnsl.decode(
+                    params, stl, bdl.trailing, bdl.trailing_len, bdl.tts_pad_embed, sp
+                )
+                sync(frl)
+            long_frame_ms = (time.perf_counter() - t0) / (2 * chunk) * 1e3
+            log(f"long-form (2048-frame bucket) decode: {long_frame_ms:.2f} ms/frame")
+        except Exception as e:
+            log(f"long-form probe failed: {e}")
+
     result = {
         "metric": "rtf_0.6b_1chip",
         "value": round(rtf, 3),
@@ -233,6 +256,8 @@ def main() -> None:
         result["serving_rtf_batch8"] = round(serving_rtf, 1)
     if int8_frame_ms is not None:
         result["int8_decode_ms_per_frame"] = round(int8_frame_ms, 2)
+    if long_frame_ms is not None:
+        result["longform_decode_ms_per_frame"] = round(long_frame_ms, 2)
     print(json.dumps(result), flush=True)
 
 

@@ -43,6 +43,7 @@ from ..runtime.sampling import SamplingParams
 from ..runtime.weights import load_checkpoint
 from ..utils.logging import get_logger
 from ..utils.metrics import StageTimer, SynthesisMetrics
+from ..utils.profiling import maybe_trace
 
 log = get_logger(__name__)
 
@@ -396,6 +397,14 @@ class TTSEngine:
         )
 
     def _ids_stream(
+        self, id_lists, language, speaker, temperature, top_k, top_p, max_tokens, seed, timer
+    ):
+        with maybe_trace("synthesize"):
+            yield from self._ids_stream_impl(
+                id_lists, language, speaker, temperature, top_k, top_p, max_tokens, seed, timer
+            )
+
+    def _ids_stream_impl(
         self, id_lists, language, speaker, temperature, top_k, top_p, max_tokens, seed, timer
     ):
         cfg = self.cfg
