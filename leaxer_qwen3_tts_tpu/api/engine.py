@@ -116,11 +116,19 @@ class TTSEngine:
             if quantize == "int8":
                 # weight-only int8 for the memory-bound decode (ops/quant.py);
                 # embeddings/vocoder/speaker-encoder stay full precision
+                if mesh is not None:
+                    raise EngineError("quantize=int8 with a mesh is unsupported")
                 from ..ops.quant import quantize_params
 
                 self.params = quantize_params(self.params)
             elif quantize is not None:
                 raise EngineError(f"unknown quantize mode {quantize!r}")
+            if mesh is not None:
+                # TP over "model" + DP over "data" (parallel/mesh.py rules);
+                # GSPMD propagates KV-cache/activation shardings from these
+                from ..parallel import shard_params as _shard_params
+
+                self.params = _shard_params(mesh, self.params)
             self._ready = True
         except Exception as e:  # record, don't raise (reference ctor contract)
             self._error = str(e)
@@ -417,6 +425,16 @@ class TTSEngine:
         ids_padded = np.zeros((B, t_bucket), np.int32)
         for b, ids in enumerate(id_lists):
             ids_padded[b, : len(ids)] = ids
+
+        if self.mesh is not None:
+            # shard the request batch over the "data" axis when it divides
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            data_size = self.mesh.shape.get("data", 1)
+            spec = P("data") if B % data_size == 0 else P()
+            s = NamedSharding(self.mesh, spec)
+            ids_padded = jax.device_put(ids_padded, s)
+            lens = jax.device_put(lens, s)
 
         has_speaker = speaker is not None
         fns = self._get_fns(B, t_bucket, lang_id, has_speaker)
