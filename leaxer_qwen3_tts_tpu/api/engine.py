@@ -82,6 +82,7 @@ class TTSEngine:
         chunk_len: int = 32,
         text_bucket: int = 16,
         quantize: Optional[str] = None,
+        fuse: bool = True,
         mesh=None,
     ):
         self._ready = False
@@ -113,6 +114,12 @@ class TTSEngine:
                 if config is None or params is None:
                     raise EngineError("need model_dir or (config, params)")
                 self.cfg, self.params = config, params
+            if fuse and mesh is None:
+                # inference layout: one qkv matvec and one gate/up matvec per
+                # layer (TP keeps the separate layout; rules key on wq/wk/...)
+                from ..ops.quant import fuse_params
+
+                self.params = fuse_params(self.params)
             if quantize == "int8":
                 # weight-only int8 for the memory-bound decode (ops/quant.py);
                 # embeddings/vocoder/speaker-encoder stay full precision

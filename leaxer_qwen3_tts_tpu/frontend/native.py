@@ -15,9 +15,17 @@ import subprocess
 import threading
 from typing import Optional
 
-_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_PKG_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_REPO_ROOT = os.path.dirname(_PKG_ROOT)
 _NATIVE_DIR = os.path.join(_REPO_ROOT, "native")
-_LIB_PATH = os.path.join(_NATIVE_DIR, "build", "libqtts.so")
+# installed wheel location first, then the in-tree build
+_LIB_CANDIDATES = (
+    os.path.join(_PKG_ROOT, "_native", "libqtts.so"),
+    os.path.join(_NATIVE_DIR, "build", "libqtts.so"),
+)
+_LIB_PATH = next(
+    (p for p in _LIB_CANDIDATES if os.path.exists(p)), _LIB_CANDIDATES[-1]
+)
 
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None

@@ -89,7 +89,9 @@ def speaker_encoder_forward(
         q = jnp.dot(y, lp["wq"]).reshape(B, T, h, hd)
         k = jnp.dot(y, lp["wk"]).reshape(B, T, h, hd)
         v = jnp.dot(y, lp["wv"]).reshape(B, T, h, hd)
-        o = attend_xla(q, k, v, full_mask).reshape(B, T, cfg.d_model)
+        o = attend_xla(
+            q, jnp.swapaxes(k, 1, 2), jnp.swapaxes(v, 1, 2), full_mask
+        ).reshape(B, T, cfg.d_model)
         x = x + jnp.dot(o, lp["wo"])
         y = _ln(x, lp["ln2_s"], lp["ln2_b"])
         y = jax.nn.gelu(jnp.dot(y, lp["w1"]) + lp["b1"])

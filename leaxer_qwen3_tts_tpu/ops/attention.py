@@ -1,9 +1,9 @@
-"""Attention dispatch: XLA einsum path (always available) and Pallas kernels (TPU).
+"""Attention dispatch: XLA path (always available) and Pallas flash kernel.
 
-The XLA path is fully fused by the TPU compiler for the shapes this model uses
-(head_dim 128 = one MXU lane tile; softmax in f32).  The Pallas flash kernel in
-``flash_attention.py`` is used for long-sequence prefill / training where the
-S x T score matrix would otherwise be materialized in HBM.
+K/V are HEAD-MAJOR ([B, Nk, T, D]) to match the KV-cache layout
+(models/layers.py KVCache): the decode-step scores/output contractions are
+then clean batched GEMMs over (B, Nk) with NO physical transposes of the
+cache — the time-major layout cost ~50 us/layer of relayout copies on v5e.
 """
 
 from __future__ import annotations
@@ -16,22 +16,34 @@ NEG_INF = -1e30  # large-but-finite: keeps fully-masked rows NaN-free after soft
 
 def attend_xla(
     q: jax.Array,  # [B, S, Nq, D]
-    k: jax.Array,  # [B, T, Nk, D]
-    v: jax.Array,  # [B, T, Nk, D]
+    k: jax.Array,  # [B, Nk, T, D] head-major
+    v: jax.Array,  # [B, Nk, T, D]
     mask: jax.Array,  # [B, S, T] bool (True = attend)
 ) -> jax.Array:
     """Grouped-query attention; returns [B, S, Nq, D] in q.dtype."""
     B, S, nq, d = q.shape
-    T, nk = k.shape[1], k.shape[2]
+    nk, T = k.shape[1], k.shape[2]
     g = nq // nk
-    qg = q.reshape(B, S, nk, g, d)
 
-    scores = jnp.einsum("bsngd,btnd->bnsgt", qg, k, preferred_element_type=jnp.float32)
+    # group q by kv head: [B, S, Nq, D] -> [B, Nk, g*S, D]
+    qh = q.reshape(B, S, nk, g, d)
+    qh = jnp.transpose(qh, (0, 2, 3, 1, 4)).reshape(B, nk, g * S, d)
+
+    scores = jax.lax.dot_general(
+        qh, k, (((3,), (3,)), ((0, 1), (0, 1))), preferred_element_type=jnp.float32
+    )  # [B, Nk, g*S, T]
     scores = scores * (1.0 / jnp.sqrt(d).astype(jnp.float32))
-    scores = jnp.where(mask[:, None, :, None, :], scores, NEG_INF)
+    m = jnp.broadcast_to(mask[:, None, None, :, :], (B, nk, g, S, T)).reshape(
+        B, nk, g * S, T
+    )
+    scores = jnp.where(m, scores, NEG_INF)
     weights = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("bnsgt,btnd->bsngd", weights.astype(v.dtype), v)
-    return out.reshape(B, S, nq, d)
+
+    out = jax.lax.dot_general(
+        weights.astype(v.dtype), v, (((3,), (2,)), ((0, 1), (0, 1)))
+    )  # [B, Nk, g*S, D]
+    out = out.reshape(B, nk, g, S, d)
+    return jnp.transpose(out, (0, 3, 1, 2, 4)).reshape(B, S, nq, d)
 
 
 def attend(q, k, v, mask, impl: str = "xla") -> jax.Array:

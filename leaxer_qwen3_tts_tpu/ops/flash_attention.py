@@ -80,21 +80,21 @@ def _pad_to(x: jax.Array, axis: int, multiple: int, value=0):
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def flash_attend(
     q: jax.Array,  # [B, S, Nq, D]
-    k: jax.Array,  # [B, T, Nk, D]
-    v: jax.Array,  # [B, T, Nk, D]
+    k: jax.Array,  # [B, Nk, T, D] head-major (KV-cache layout)
+    v: jax.Array,  # [B, Nk, T, D]
     mask: jax.Array,  # [B, S, T] bool
     interpret: bool = False,
 ) -> jax.Array:
     B, S, nq, d = q.shape
-    T, nk = k.shape[1], k.shape[2]
+    nk, T = k.shape[1], k.shape[2]
     g = nq // nk
 
     block_s = min(128, max(8, S))
     block_t = min(128, max(8, T))
 
     qh = jnp.swapaxes(q, 1, 2)  # [B, Nq, S, D]
-    kh = jnp.swapaxes(k, 1, 2)  # [B, Nk, T, D]
-    vh = jnp.swapaxes(v, 1, 2)
+    kh = k  # already head-major
+    vh = v
     mask8 = mask.astype(jnp.int8)
 
     qh, s_orig = _pad_to(qh, 2, block_s)

@@ -46,16 +46,33 @@ def quantize_weight(w: jax.Array) -> QuantizedLinear:
 def dense(x: jax.Array, w: WeightLike) -> jax.Array:
     """x [..., in] @ w -> [..., out] with float32 accumulation.
 
-    For QuantizedLinear the int8 tensor is converted to bf16 in-graph; XLA
-    fuses the convert into the dot's operand stream so HBM traffic is the
-    int8 bytes, not bf16.
+    QuantizedLinear path: the int8 tensor converts to bf16 in-graph and XLA
+    fuses the convert into the dot's operand stream (HBM traffic = int8
+    bytes).  Measured on v5e this beats a per-dot Pallas kernel
+    (quant_kernels.py, opt-in via QTTS_PALLAS_QUANT=1), which pays grid
+    overheads and blocks XLA's surrounding fusions at these tiny-M shapes.
     """
     if isinstance(w, QuantizedLinear):
+        if _use_pallas_path(w):
+            from .quant_kernels import dense_int8_pallas
+
+            return dense_int8_pallas(x, w.q, w.scale)
         y = jnp.dot(
             x, w.q.astype(jnp.bfloat16), preferred_element_type=jnp.float32
         )
         return y * w.scale.reshape(w.scale.shape[-1])
     return jnp.dot(x, w, preferred_element_type=jnp.float32)
+
+
+def _use_pallas_path(w: QuantizedLinear) -> bool:
+    import os
+
+    if not os.environ.get("QTTS_PALLAS_QUANT"):
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    K, N = w.q.shape[-2], w.q.shape[-1]
+    return K % 128 == 0 and N % 128 == 0
 
 
 def weight_dtype(w: WeightLike):
@@ -74,8 +91,38 @@ def index_weight(w: WeightLike, i, axis: int = 0) -> WeightLike:
 
 # weight names (leaf keys) that are matmul operands and safe to quantize
 _MATMUL_KEYS = frozenset(
-    {"wq", "wk", "wv", "wo", "wg", "wu", "wd", "lm_head", "heads"}
+    {"wq", "wk", "wv", "wo", "wg", "wu", "wd", "lm_head", "heads",
+     "wqkv", "wgu"}
 )
+
+
+def fuse_params(params, modules: Sequence[str] = ("talker", "code_predictor")):
+    """Concatenate per-layer (wq,wk,wv) -> wqkv and (wg,wu) -> wgu.
+
+    One [H, q+2kv] matvec instead of three and one [H, 2I] instead of two:
+    fewer op dispatches and denser HBM streams on the decode path.  Inference
+    transform only — training and TP sharding keep the separate layout
+    (models/layers.py dispatches on key presence)."""
+
+    def fuse_layers(layers: dict) -> dict:
+        out = {k: v for k, v in layers.items()}
+        if all(k in out for k in ("wq", "wk", "wv")):
+            out["wqkv"] = jnp.concatenate(
+                [out.pop("wq"), out.pop("wk"), out.pop("wv")], axis=-1
+            )
+        if all(k in out for k in ("wg", "wu")):
+            out["wgu"] = jnp.concatenate([out.pop("wg"), out.pop("wu")], axis=-1)
+        return out
+
+    out = {}
+    for key, sub in params.items():
+        if key in modules and isinstance(sub, dict) and "transformer" in sub:
+            tr = dict(sub["transformer"])
+            tr["layers"] = fuse_layers(tr["layers"])
+            out[key] = {**sub, "transformer": tr}
+        else:
+            out[key] = sub
+    return out
 
 
 def quantize_params(params, modules: Sequence[str] = ("talker", "code_predictor")):

@@ -28,62 +28,14 @@ import pytest  # noqa: E402
 
 @pytest.fixture(scope="session")
 def tiny_model():
-    """Session-scoped tiny model (config, params) for fast integration tests."""
+    """Session-scoped tiny model (config, params) for fast integration tests.
+    Built by conftest_util so the regression-fixture generator uses exactly
+    the same model."""
     import jax as _jax
 
-    from leaxer_qwen3_tts_tpu.config import (
-        CodePredictorConfig,
-        SpeakerEncoderConfig,
-        TalkerConfig,
-        TransformerConfig,
-        TTSModelConfig,
-        VocoderConfig,
-    )
-    from leaxer_qwen3_tts_tpu.runtime.weights import init_params
+    from conftest_util import build_tiny
 
-    cfg = TTSModelConfig(
-        name="tiny-test",
-        talker=TalkerConfig(
-            transformer=TransformerConfig(
-                hidden_size=64,
-                num_layers=2,
-                num_heads=4,
-                num_kv_heads=2,
-                head_dim=16,
-                intermediate_size=128,
-                dtype="float32",
-            ),
-            codec_vocab_size=3072,
-            text_vocab_size=152000,
-            text_embed_dim=64,
-        ),
-        code_predictor=CodePredictorConfig(
-            transformer=TransformerConfig(
-                hidden_size=64,
-                num_layers=2,
-                num_heads=4,
-                num_kv_heads=4,
-                head_dim=16,
-                intermediate_size=128,
-                dtype="float32",
-            ),
-            num_steps=15,
-            subcode_vocab_size=2048,
-        ),
-        vocoder=VocoderConfig(
-            d_model=32,
-            num_prenet_blocks=1,
-            upsample_rates=(10, 8, 5, 5),
-            upsample_channels=(16, 16, 8, 8),
-            dtype="float32",
-        ),
-        speaker_encoder=SpeakerEncoderConfig(
-            d_model=32, num_layers=1, num_heads=4, intermediate_size=64,
-            output_dim=64,  # must equal talker hidden (prompt splice target)
-        ),
-    )
-    params = init_params(cfg, _jax.random.PRNGKey(0))
-    return cfg, params
+    return build_tiny(_jax)
 
 
 @pytest.fixture(scope="session")

@@ -70,4 +70,4 @@ def test_17b_preset_traces_under_tp():
     )
     state_shape = out_shapes[0]
     assert state_shape.last_logits.shape == (1, 3072)
-    assert state_shape.cache.k.shape == (28, 1, 64, 8, 128)
+    assert state_shape.cache.k.shape == (28, 1, 8, 64, 128)  # head-major

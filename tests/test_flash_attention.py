@@ -11,9 +11,10 @@ from leaxer_qwen3_tts_tpu.ops.flash_attention import flash_attend
 
 
 def make_qkv(rng, B, S, T, nq, nk, d, dtype=jnp.float32):
+    # head-major K/V (the KV-cache layout, ops/attention.py)
     q = jnp.asarray(rng.standard_normal((B, S, nq, d)), dtype)
-    k = jnp.asarray(rng.standard_normal((B, T, nk, d)), dtype)
-    v = jnp.asarray(rng.standard_normal((B, T, nk, d)), dtype)
+    k = jnp.asarray(rng.standard_normal((B, nk, T, d)), dtype)
+    v = jnp.asarray(rng.standard_normal((B, nk, T, d)), dtype)
     return q, k, v
 
 
