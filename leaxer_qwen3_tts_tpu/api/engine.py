@@ -83,6 +83,7 @@ class TTSEngine:
         text_bucket: int = 16,
         quantize: Optional[str] = None,
         fuse: bool = True,
+        kv_buckets: Tuple[int, ...] = (256, 512, 1024),
         mesh=None,
     ):
         self._ready = False
@@ -92,6 +93,15 @@ class TTSEngine:
         self.tokenizer = tokenizer
         self.max_frames = int(max_frames)
         self.chunk_len = max(1, min(int(chunk_len), self.max_frames))
+        full = self.max_frames + 32
+        # KV-cache bucket ladder: attention reads scale with the CURRENT
+        # bucket, so early frames of a long-form request decode at
+        # short-form cost; the cache is zero-padded up a bucket when the
+        # write position approaches the boundary (at most len(ladder)
+        # migrations per request).
+        self.kv_ladder = tuple(
+            sorted({b for b in kv_buckets if b < full} | {full})
+        )
         self.text_bucket = int(text_bucket)
         self.mesh = mesh
         self._fns_cache: Dict[tuple, object] = {}
@@ -366,18 +376,33 @@ class TTSEngine:
             raise EngineError("empty text")
         return ids
 
-    def _get_fns(self, batch: int, t_bucket: int, lang_id, has_speaker: bool):
-        key = (batch, t_bucket, lang_id, has_speaker)
+    def _get_fns(self, batch: int, t_bucket: int, lang_id, has_speaker: bool,
+                 kv_bucket: Optional[int] = None):
+        kv_bucket = self.kv_ladder[-1] if kv_bucket is None else kv_bucket
+        key = (batch, t_bucket, lang_id, has_speaker, kv_bucket)
         if key not in self._fns_cache:
             self._fns_cache[key] = make_generate_fns(
                 self.cfg,
                 batch=batch,
-                max_len=self.max_frames + 32,
+                max_len=kv_bucket,
                 chunk_len=self.chunk_len,
                 lang_id=lang_id,
                 has_speaker=has_speaker,
             )
         return self._fns_cache[key]
+
+    @staticmethod
+    def _grow_state(state, new_len: int):
+        """Zero-pad the KV cache (head-major time axis) and validity mask up
+        to the next bucket; padded slots are invalid until written."""
+        pad = new_len - state.cache.k.shape[3]
+        widen = ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0))
+        cache = state.cache._replace(
+            k=jnp.pad(state.cache.k, widen),
+            v=jnp.pad(state.cache.v, widen),
+        )
+        valid = jnp.pad(state.valid_mask, ((0, 0), (0, pad)))
+        return state._replace(cache=cache, valid_mask=valid)
 
     def _get_vocode_fn(self, n_frames: int, context: int) -> Callable:
         key = (n_frames, context)
@@ -444,7 +469,14 @@ class TTSEngine:
             lens = jax.device_put(lens, s)
 
         has_speaker = speaker is not None
-        fns = self._get_fns(B, t_bucket, lang_id, has_speaker)
+        from ..runtime.prompt import prompt_length
+
+        P = prompt_length(lang_id, has_speaker)
+        bidx = next(
+            (i for i, b in enumerate(self.kv_ladder) if b >= P + self.chunk_len + 1),
+            len(self.kv_ladder) - 1,
+        )
+        fns = self._get_fns(B, t_bucket, lang_id, has_speaker, self.kv_ladder[bidx])
         sp = SamplingParams.create(temperature, top_k, top_p)
         key = jax.random.PRNGKey(seed)
 
@@ -466,6 +498,12 @@ class TTSEngine:
         tail: Optional[jax.Array] = None  # rolling [B, ctx, 16] vocoder context
         steps = 0
         while steps < max_tokens:
+            if P + steps + self.chunk_len + 1 > self.kv_ladder[bidx]:
+                bidx += 1  # grow the cache into the next bucket
+                state = self._grow_state(state, self.kv_ladder[bidx])
+                fns = self._get_fns(
+                    B, t_bucket, lang_id, has_speaker, self.kv_ladder[bidx]
+                )
             with timer.stage("decode"):
                 state, frames, valid = fns.decode(
                     self.params,

@@ -143,6 +143,26 @@ def test_speaker_with_table(tiny_model, tiny_vocab_files):
         eng.synthesize_speaker("hello", "not-a-speaker")
 
 
+def test_kv_bucket_ladder_matches_single_bucket(tiny_model, tiny_vocab_files):
+    """Greedy output is identical whether the cache grows through buckets or
+    starts at full size (pad slots are invalid until written)."""
+    from leaxer_qwen3_tts_tpu.frontend import Tokenizer
+
+    cfg, params = tiny_model
+    vocab_path, merges_path, _ = tiny_vocab_files
+    tok = Tokenizer(vocab_path, merges_path)
+    common = dict(config=cfg, params=params, tokenizer=tok,
+                  max_frames=12, chunk_len=4)
+    laddered = TTSEngine(**common, kv_buckets=(20, 28))
+    single = TTSEngine(**common, kv_buckets=())
+    assert len(laddered.kv_ladder) == 3  # 20, 28, 44
+    assert single.kv_ladder == (44,)
+    a = laddered.synthesize("hello world", temperature=0.0)
+    b = single.synthesize("hello world", temperature=0.0)
+    np.testing.assert_array_equal(a.codes, b.codes)
+    np.testing.assert_allclose(a.audio, b.audio, atol=2e-5)
+
+
 def test_engine_not_ready_contract(tmp_path):
     eng = TTSEngine(str(tmp_path / "missing"))
     assert not eng.is_ready()
