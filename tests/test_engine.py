@@ -97,6 +97,32 @@ def test_synthesize_tokens_matches_text(engine):
     np.testing.assert_array_equal(a.codes, b.codes)
 
 
+def test_language_control(engine):
+    """Explicit language changes the codec prefill (THINK + lang id vs
+    NOTHINK; reference tts_onnx.cpp:466-477) and with it the output."""
+    auto = engine.synthesize("hello world", language="auto", temperature=0.0)
+    results = {}
+    for lang in ("en", "zh", "ja", "ko"):
+        r = engine.synthesize("hello world", language=lang, temperature=0.0)
+        assert r.codes.shape[1] == 16
+        results[lang] = r
+    # language token conditions generation: en differs from auto
+    en = results["en"]
+    assert (en.codes.shape != auto.codes.shape) or not np.array_equal(
+        en.codes, auto.codes
+    )
+    # full names are accepted like the reference parse_language
+    full = engine.synthesize("hello world", language="english", temperature=0.0)
+    np.testing.assert_array_equal(full.codes, en.codes)
+
+
+def test_unknown_language_rejected(engine):
+    from leaxer_qwen3_tts_tpu.api.engine import EngineError
+
+    with pytest.raises((EngineError, ValueError)):
+        engine.synthesize("hello", language="klingon")
+
+
 def test_clone_path(engine, tmp_path):
     sr = 16000
     t = np.arange(sr * 1) / sr
