@@ -41,7 +41,11 @@ def sync(x) -> None:
 
 
 def main() -> None:
-    from leaxer_qwen3_tts_tpu.config import FRAME_RATE, QWEN3_TTS_06B
+    from leaxer_qwen3_tts_tpu.config import (
+        FRAME_RATE,
+        QWEN3_TTS_06B,
+        QWEN3_TTS_17B,
+    )
     from leaxer_qwen3_tts_tpu.models.codec12hz import vocoder_forward
     from leaxer_qwen3_tts_tpu.runtime.generate import make_generate_fns
     from leaxer_qwen3_tts_tpu.runtime.sampling import SamplingParams
@@ -56,7 +60,8 @@ def main() -> None:
     frames = max(chunk, (frames // chunk) * chunk)
     log(f"bench: platform={platform} frames={frames} batch={batch} chunk={chunk}")
 
-    cfg = QWEN3_TTS_06B
+    model = os.environ.get("BENCH_MODEL", "0.6b")
+    cfg = QWEN3_TTS_17B if model == "1.7b" else QWEN3_TTS_06B
     t0 = time.perf_counter()
     # benchmark timing is weight-value independent; fill with a cheap
     # deterministic pattern instead of threefry normals (which cost minutes of
@@ -252,7 +257,7 @@ def main() -> None:
     rpc_ms = (time.perf_counter() - t0) / 10 * 1e3
 
     result = {
-        "metric": "rtf_0.6b_1chip",
+        "metric": f"rtf_{model}_1chip",
         "value": round(rtf, 3),
         "unit": "x_realtime",
         "vs_baseline": round(rtf / 20.0, 3),
