@@ -17,7 +17,6 @@ at the end, tts_onnx.cpp:430).
 
 from __future__ import annotations
 
-import os
 from typing import Callable, Dict, Iterator, List, NamedTuple, Optional, Sequence, Tuple
 
 import jax
@@ -177,12 +176,17 @@ class TTSEngine:
         top_p: float = 0.95,
         max_tokens: Optional[int] = None,
         seed: int = 0,
+        instruct: Optional[str] = None,
     ) -> SynthesisResult:
-        """Text -> 24 kHz waveform (reference TTSEngine::synthesize)."""
+        """Text -> 24 kHz waveform (reference TTSEngine::synthesize).
+
+        ``instruct``: optional voice-design instruction (the reference lists
+        --instruct as planned for 1.7B-VoiceDesign, README.md roadmap)."""
         chunks: List[np.ndarray] = []
         result = None
         for item in self._synthesize_stream(
-            [text], language, None, temperature, top_k, top_p, max_tokens, seed
+            [text], language, None, temperature, top_k, top_p, max_tokens, seed,
+            instruct=instruct,
         ):
             if isinstance(item, SynthesisResult):
                 result = item
@@ -200,6 +204,7 @@ class TTSEngine:
         max_tokens: Optional[int] = None,
         seed: int = 0,
         speaker_wav: Optional[str] = None,
+        instruct: Optional[str] = None,
     ) -> Iterator[np.ndarray]:
         """Streaming synthesis: yields audio chunks (np float32 @24 kHz) as
         they decode; the final item is the SynthesisResult.  This is the
@@ -210,7 +215,8 @@ class TTSEngine:
             else None
         )
         yield from self._synthesize_stream(
-            [text], language, speaker, temperature, top_k, top_p, max_tokens, seed
+            [text], language, speaker, temperature, top_k, top_p, max_tokens, seed,
+            instruct=instruct,
         )
 
     def synthesize_clone(
@@ -223,13 +229,15 @@ class TTSEngine:
         top_p: float = 0.95,
         max_tokens: Optional[int] = None,
         seed: int = 0,
+        instruct: Optional[str] = None,
     ) -> SynthesisResult:
         """Voice clone from a ~3 s reference WAV (reference synthesize_clone,
         tts_onnx.cpp:264-318)."""
         spk = self.extract_speaker_embedding(ref_wav_path)
         result = None
         for item in self._synthesize_stream(
-            [text], language, spk[None], temperature, top_k, top_p, max_tokens, seed
+            [text], language, spk[None], temperature, top_k, top_p, max_tokens, seed,
+            instruct=instruct,
         ):
             if isinstance(item, SynthesisResult):
                 result = item
@@ -357,6 +365,7 @@ class TTSEngine:
             top_p=kw.pop("top_p", 0.95),
             max_tokens=kw.pop("max_tokens", None),
             seed=kw.pop("seed", 0),
+            instruct=kw.pop("instruct", None),
         )
         if kw:
             raise TypeError(f"unknown arguments: {sorted(kw)}")
@@ -377,9 +386,9 @@ class TTSEngine:
         return ids
 
     def _get_fns(self, batch: int, t_bucket: int, lang_id, has_speaker: bool,
-                 kv_bucket: Optional[int] = None):
+                 kv_bucket: Optional[int] = None, i_bucket: int = 0):
         kv_bucket = self.kv_ladder[-1] if kv_bucket is None else kv_bucket
-        key = (batch, t_bucket, lang_id, has_speaker, kv_bucket)
+        key = (batch, t_bucket, lang_id, has_speaker, kv_bucket, i_bucket)
         if key not in self._fns_cache:
             self._fns_cache[key] = make_generate_fns(
                 self.cfg,
@@ -388,6 +397,7 @@ class TTSEngine:
                 chunk_len=self.chunk_len,
                 lang_id=lang_id,
                 has_speaker=has_speaker,
+                has_instruct=i_bucket > 0,
             )
         return self._fns_cache[key]
 
@@ -417,14 +427,17 @@ class TTSEngine:
         return self._vocode_cache[key]
 
     def _synthesize_stream(
-        self, texts, language, speaker, temperature, top_k, top_p, max_tokens, seed
+        self, texts, language, speaker, temperature, top_k, top_p, max_tokens, seed,
+        instruct=None,
     ):
         self._require_ready()
         timer = StageTimer(SynthesisMetrics())
         with timer.stage("tokenize"):
             id_lists = [self._tokenize(t) for t in texts]
+            instruct_ids = self._tokenize(instruct) if instruct else None
         yield from self._ids_stream(
-            id_lists, language, speaker, temperature, top_k, top_p, max_tokens, seed, timer
+            id_lists, language, speaker, temperature, top_k, top_p, max_tokens, seed,
+            timer, instruct_ids=instruct_ids,
         )
 
     def _synthesize_ids_stream(
@@ -437,15 +450,18 @@ class TTSEngine:
         )
 
     def _ids_stream(
-        self, id_lists, language, speaker, temperature, top_k, top_p, max_tokens, seed, timer
+        self, id_lists, language, speaker, temperature, top_k, top_p, max_tokens, seed,
+        timer, instruct_ids=None,
     ):
         with maybe_trace("synthesize"):
             yield from self._ids_stream_impl(
-                id_lists, language, speaker, temperature, top_k, top_p, max_tokens, seed, timer
+                id_lists, language, speaker, temperature, top_k, top_p, max_tokens, seed,
+                timer, instruct_ids,
             )
 
     def _ids_stream_impl(
-        self, id_lists, language, speaker, temperature, top_k, top_p, max_tokens, seed, timer
+        self, id_lists, language, speaker, temperature, top_k, top_p, max_tokens, seed,
+        timer, instruct_ids=None,
     ):
         cfg = self.cfg
         B = len(id_lists)
@@ -471,22 +487,35 @@ class TTSEngine:
         has_speaker = speaker is not None
         from ..runtime.prompt import prompt_length
 
-        P = prompt_length(lang_id, has_speaker)
+        if instruct_ids:
+            i_bucket = _round_up(len(instruct_ids), self.text_bucket)
+            instr_arr = np.zeros((B, i_bucket), np.int32)
+            instr_arr[:, : len(instruct_ids)] = instruct_ids
+            instr_len = np.full((B,), len(instruct_ids), np.int32)
+        else:
+            i_bucket, instr_arr, instr_len = 0, None, None
+
+        P = prompt_length(lang_id, has_speaker, i_bucket)
         bidx = next(
             (i for i, b in enumerate(self.kv_ladder) if b >= P + self.chunk_len + 1),
             len(self.kv_ladder) - 1,
         )
-        fns = self._get_fns(B, t_bucket, lang_id, has_speaker, self.kv_ladder[bidx])
+        fns = self._get_fns(
+            B, t_bucket, lang_id, has_speaker, self.kv_ladder[bidx], i_bucket
+        )
         sp = SamplingParams.create(temperature, top_k, top_p)
         key = jax.random.PRNGKey(seed)
 
         with timer.stage("prefill"):
-            if has_speaker:
-                state, bundle = fns.prefill(
-                    self.params, ids_padded, lens, key, jnp.asarray(speaker)
-                )
-            else:
-                state, bundle = fns.prefill(self.params, ids_padded, lens, key)
+            state, bundle = fns.prefill(
+                self.params,
+                ids_padded,
+                lens,
+                key,
+                jnp.asarray(speaker) if has_speaker else None,
+                jnp.asarray(instr_arr) if instr_arr is not None else None,
+                jnp.asarray(instr_len) if instr_len is not None else None,
+            )
             jax.block_until_ready(state.last_logits)
 
         voc_cfg = cfg.vocoder
@@ -502,7 +531,7 @@ class TTSEngine:
                 bidx += 1  # grow the cache into the next bucket
                 state = self._grow_state(state, self.kv_ladder[bidx])
                 fns = self._get_fns(
-                    B, t_bucket, lang_id, has_speaker, self.kv_ladder[bidx]
+                    B, t_bucket, lang_id, has_speaker, self.kv_ladder[bidx], i_bucket
                 )
             with timer.stage("decode"):
                 state, frames, valid = fns.decode(

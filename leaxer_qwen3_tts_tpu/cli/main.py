@@ -34,6 +34,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0, help="sampling PRNG seed (deterministic)")
     p.add_argument("--speaker", help="preset speaker name (CustomVoice models)")
     p.add_argument(
+        "--instruct",
+        help="voice-design instruction text (VoiceDesign models; "
+             "the reference lists this as planned)",
+    )
+    p.add_argument(
         "--quantize", choices=["int8"],
         help="weight-only quantization for faster decode",
     )
@@ -90,6 +95,8 @@ def main(argv=None) -> int:
         max_tokens=args.max_tokens,
         seed=args.seed,
     )
+    if args.instruct:
+        sampling["instruct"] = args.instruct
 
     print("Synthesizing...")
     try:

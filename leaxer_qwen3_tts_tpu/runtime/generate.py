@@ -169,6 +169,7 @@ def make_generate_fns(
     chunk_len: int = 32,
     lang_id: Optional[int] = None,
     has_speaker: bool = False,
+    has_instruct: bool = False,
     donate: bool = True,
 ) -> GenerateFns:
     """Build jitted prefill / decode-chunk functions.
@@ -178,13 +179,16 @@ def make_generate_fns(
     updated in place in HBM.
     """
 
-    def prefill_impl(params, text_ids, text_len, key, speaker_embed=None):
+    def prefill_impl(params, text_ids, text_len, key, speaker_embed=None,
+                     instruct_ids=None, instruct_len=None):
         bundle = build_prompt(
             params["embeddings"],
             text_ids,
             text_len,
             lang_id,
             speaker_embed if has_speaker else None,
+            instruct_ids if has_instruct else None,
+            instruct_len if has_instruct else None,
         )
         cache = talker_init_cache(cfg.talker, batch, max_len)
         state = init_state_from_prefill(cfg, params, bundle, cache, key)

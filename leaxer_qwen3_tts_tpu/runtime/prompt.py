@@ -63,11 +63,14 @@ def codec_prefill_ids(lang_id: Optional[int]) -> list:
     return ids + [CODEC_PAD, CODEC_BOS]
 
 
-def prompt_length(lang_id: Optional[int], has_speaker: bool) -> int:
-    """Static prompt length: 3 role + (pad_count + 1) talker + 1 first-text."""
+def prompt_length(
+    lang_id: Optional[int], has_speaker: bool, instruct_bucket: int = 0
+) -> int:
+    """Static prompt length: 3 role + instruct segment + (pad_count + 1)
+    talker + 1 first-text."""
     n = len(codec_prefill_ids(lang_id))
     pad_count = n - 2 + (1 if has_speaker else 0)
-    return 3 + pad_count + 2
+    return 3 + instruct_bucket + pad_count + 2
 
 
 def wrap_text_ids(text_tokens: list) -> list:
@@ -82,7 +85,14 @@ def build_prompt(
     text_len: jax.Array,  # [B] int32 — true token counts (>= 1)
     lang_id: Optional[int],  # static: codec language token or None for auto
     speaker_embed: Optional[jax.Array] = None,  # [B, H] or None (static presence)
+    instruct_ids: Optional[jax.Array] = None,  # [B, I] int32 (static presence)
+    instruct_len: Optional[jax.Array] = None,  # [B] int32
 ) -> PromptBundle:
+    """instruct_ids: optional voice-instruction segment (VoiceDesign-style;
+    the reference lists `--instruct` as planned, README.md:118-126).  The
+    instruction embeds sit between the role block and the codec prefill;
+    slots past instruct_len carry the TTS_PAD embedding (attended — keeps the
+    prompt layout static across a batch)."""
     B, T = text_ids.shape
     has_speaker = speaker_embed is not None
 
@@ -105,6 +115,16 @@ def build_prompt(
     # Role embeddings (reference :492-494)
     role = text_project(emb_params, jnp.array([IM_START, ASSISTANT, TTS_BOS], jnp.int32))
     role = jnp.broadcast_to(role[None], (B, 3, H))
+
+    # Optional voice-instruction segment (padded slots -> TTS_PAD embedding)
+    if instruct_ids is not None:
+        I = instruct_ids.shape[1]
+        if instruct_len is None:
+            instruct_len = jnp.full((B,), I, jnp.int32)
+        ie = text_project(emb_params, instruct_ids)  # [B, I, H]
+        pad_slot = jnp.arange(I)[None, :] >= instruct_len[:, None]
+        ie = jnp.where(pad_slot[..., None], tts_pad[None, None, :], ie)
+        role = jnp.concatenate([role, ie], axis=1)
 
     # pad-block ⊕ TTS_BOS, elementwise-added to the codec prefill (reference :496-512)
     text_part = jnp.concatenate(

@@ -158,10 +158,10 @@ class BatchingServer:
         temps = [r.temperature for r in padded]
         top_ks = [r.top_k for r in padded]
         top_ps = [r.top_p for r in padded]
-        max_tok = min(
-            (r.max_tokens for r in padded if r.max_tokens is not None),
-            default=None,
-        )
+        # the engine bound applies batch-wide: use the LARGEST request bound
+        # (EOS latching ends shorter streams; min would truncate longer ones)
+        bounds = [r.max_tokens for r in padded]
+        max_tok = None if any(b is None for b in bounds) else max(bounds)
         results = self.engine.synthesize_batch(
             texts,
             language=batch[0].language,

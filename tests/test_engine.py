@@ -116,6 +116,21 @@ def test_language_control(engine):
     np.testing.assert_array_equal(full.codes, en.codes)
 
 
+def test_instruct_conditioning(engine):
+    """--instruct (VoiceDesign-style, 'planned' in the reference roadmap):
+    the instruction segment conditions generation; same instruct is
+    deterministic."""
+    plain = engine.synthesize("hello world", temperature=0.0)
+    a = engine.synthesize("hello world", temperature=0.0, instruct="hello")
+    b = engine.synthesize("hello world", temperature=0.0, instruct="hello")
+    np.testing.assert_array_equal(a.codes, b.codes)
+    assert (a.codes.shape != plain.codes.shape) or not np.array_equal(
+        a.codes, plain.codes
+    )
+    c = engine.synthesize("hello world", temperature=0.0, instruct="world hello")
+    assert (a.codes.shape != c.codes.shape) or not np.array_equal(a.codes, c.codes)
+
+
 def test_unknown_language_rejected(engine):
     from leaxer_qwen3_tts_tpu.api.engine import EngineError
 

@@ -180,7 +180,7 @@ def assemble(staged: Dict[str, Dict[int, np.ndarray]]) -> Dict[str, np.ndarray]:
 
 
 def convert(kind: str, src: str, out: str, config_name: str,
-            remap_path: Optional[str], strict: bool, dtype: str) -> int:
+            remap_path: Optional[str], strict: bool) -> int:
     import jax
 
     from leaxer_qwen3_tts_tpu.config import PRESETS
@@ -256,7 +256,6 @@ def main(argv=None) -> int:
     p.add_argument("--config", default="qwen3-tts-12hz-0.6b-base")
     p.add_argument("--remap", help="JSON {source_name: target_key} overrides")
     p.add_argument("--strict", action="store_true")
-    p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--kind", default="onnx", help="for dump mode: onnx|hf")
     args = p.parse_args(argv)
 
@@ -266,7 +265,7 @@ def main(argv=None) -> int:
     if not args.out:
         p.error("--out is required for conversion")
     return convert(args.mode, args.src, args.out, args.config, args.remap,
-                   args.strict, args.dtype)
+                   args.strict)
 
 
 if __name__ == "__main__":
