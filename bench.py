@@ -62,6 +62,13 @@ def main() -> None:
 
     model = os.environ.get("BENCH_MODEL", "0.6b")
     cfg = QWEN3_TTS_17B if model == "1.7b" else QWEN3_TTS_06B
+    mtp_impl = os.environ.get("BENCH_MTP")
+    if mtp_impl:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, code_predictor=dataclasses.replace(cfg.code_predictor, impl=mtp_impl)
+        )
     t0 = time.perf_counter()
     # benchmark timing is weight-value independent; fill with a cheap
     # deterministic pattern instead of threefry normals (which cost minutes of

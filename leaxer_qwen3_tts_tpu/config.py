@@ -166,6 +166,9 @@ class CodePredictorConfig:
     num_steps: int = 15  # sub-codebooks 1..15 (reference NUM_CODE_GROUPS-1)
     subcode_vocab_size: int = 2048  # reference SUBCODE_VOCAB_SIZE (tts_onnx.h:37)
     max_seq_len: int = 17  # [talker_hidden, codec_embed(code0), 15 sub-embeds]
+    # "cached": incremental KV per step; "dense": re-run the tiny <=17-token
+    # sequence each step (same HBM bytes, fewer ops — see predict_subcodes_dense)
+    impl: str = "cached"
 
 
 @dataclass(frozen=True)

@@ -56,6 +56,10 @@ def predict_subcodes(
     Returns (subcodes [B, 15] int32, sub_embed_sum [B, H]) where sub_embed_sum is
     the sum over steps of table[j][subcode_j] — the talker's next-input term.
     """
+    if cfg.impl == "dense":
+        return predict_subcodes_dense(
+            cfg, params, pred_embed_tables, last_hidden, code0_embed, key, sample_fn
+        )
     t = cfg.transformer
     B, H = last_hidden.shape
     n = cfg.num_steps
@@ -103,4 +107,64 @@ def predict_subcodes(
     subcodes = jnp.moveaxis(subcodes, 0, 1)  # [B, n-1]
     subcodes = jnp.concatenate([subcodes, subcode_last[:, None]], axis=1)  # [B, n]
     sub_sum = jnp.sum(embs, axis=0) + emb_last  # [B, H]
+    return subcodes, sub_sum.astype(last_hidden.dtype)
+
+
+def predict_subcodes_dense(
+    cfg: CodePredictorConfig,
+    params: dict,
+    pred_embed_tables: jax.Array,
+    last_hidden: jax.Array,
+    code0_embed: jax.Array,
+    key: jax.Array,
+    sample_fn: Callable[[jax.Array, jax.Array], jax.Array],
+) -> Tuple[jax.Array, jax.Array]:
+    """Cache-free variant: each step re-runs the whole <=17-token sequence.
+
+    The MTP sequence is tiny, so a full forward costs the SAME weight bytes
+    as an incremental step (HBM-bound) while deleting the per-step KV-cache
+    carries/updates and validity bookkeeping — fewer ops inside the scan.
+    Numerically equivalent to the cached path (same math, no masking
+    subtleties: positions past the current length are excluded via `valid`).
+    """
+    from .layers import transformer_forward_nocache
+
+    t = cfg.transformer
+    B, H = last_hidden.shape
+    n = cfg.num_steps
+    S = n + 2  # [hidden, code0, n-1 sub embeds] + final slot unused as input
+
+    seq0 = jnp.zeros((B, S, H), t.jnp_dtype)
+    seq0 = seq0.at[:, 0].set(last_hidden.astype(t.jnp_dtype))
+    seq0 = seq0.at[:, 1].set(code0_embed.astype(t.jnp_dtype))
+    pos_ids = jnp.arange(S)
+
+    def head_logits(h, j):
+        w = index_weight(params["heads"], j)
+        return dense(h, w)
+
+    def step(carry, j):
+        seq, key = carry
+        key, sub = jax.random.split(key)
+        valid = jnp.broadcast_to(pos_ids[None, :] < 2 + j, (B, S))
+        hidden = transformer_forward_nocache(
+            t, params["transformer"], seq, valid=valid
+        )  # [B, S, H]
+        h_j = jnp.take_along_axis(
+            hidden, jnp.broadcast_to((1 + j)[None, None, None], (B, 1, H)), axis=1
+        )[:, 0]
+        logits_j = head_logits(h_j, j)
+        subcode_j = sample_fn(sub, logits_j)  # [B]
+        table = lax.dynamic_index_in_dim(pred_embed_tables, j, axis=0, keepdims=False)
+        emb_j = jnp.take(table, subcode_j, axis=0)
+        seq = lax.dynamic_update_slice(
+            seq, emb_j[:, None, :].astype(t.jnp_dtype), (0, 2 + j, 0)
+        )
+        return (seq, key), (subcode_j, emb_j)
+
+    (_, _), (subcodes, embs) = lax.scan(
+        step, (seq0, key), jnp.arange(n, dtype=jnp.int32)
+    )
+    subcodes = jnp.moveaxis(subcodes, 0, 1)  # [B, n]
+    sub_sum = jnp.sum(embs, axis=0)  # [B, H]
     return subcodes, sub_sum.astype(last_hidden.dtype)

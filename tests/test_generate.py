@@ -176,3 +176,38 @@ def test_multistream_independence(tiny_model):
     assert not bool(valid[0].any())
     assert bool(valid[1].all())
     assert bool((frames[0] == 0).all())
+
+
+def test_mtp_dense_matches_cached(tiny_model):
+    """predict_subcodes impl='dense' (cache-free recompute) produces the same
+    greedy sub-codes and embedding sum as the incremental-KV path."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from leaxer_qwen3_tts_tpu.models.code_predictor import predict_subcodes
+    from leaxer_qwen3_tts_tpu.runtime.sampling import SamplingParams, sample_token
+
+    cfg, params = tiny_model
+    rng = np.random.default_rng(0)
+    B, H = 2, cfg.talker.hidden_size
+    hidden = jnp.asarray(rng.standard_normal((B, H)), jnp.float32)
+    c0e = jnp.asarray(rng.standard_normal((B, H)) * 0.02, jnp.float32)
+    sp = SamplingParams.create(temperature=0.0)
+    sample_fn = lambda k, lg: sample_token(k, lg, sp)
+    key = jax.random.PRNGKey(0)
+
+    cached_cfg = dataclasses.replace(cfg.code_predictor, impl="cached")
+    dense_cfg = dataclasses.replace(cfg.code_predictor, impl="dense")
+    subs_c, sum_c = predict_subcodes(
+        cached_cfg, params["code_predictor"], params["embeddings"]["pred_embed"],
+        hidden, c0e, key, sample_fn,
+    )
+    subs_d, sum_d = predict_subcodes(
+        dense_cfg, params["code_predictor"], params["embeddings"]["pred_embed"],
+        hidden, c0e, key, sample_fn,
+    )
+    np.testing.assert_array_equal(np.asarray(subs_c), np.asarray(subs_d))
+    np.testing.assert_allclose(np.asarray(sum_c), np.asarray(sum_d), atol=1e-5)
