@@ -69,6 +69,8 @@ def main() -> None:
         cfg = dataclasses.replace(
             cfg, code_predictor=dataclasses.replace(cfg.code_predictor, impl=mtp_impl)
         )
+    else:
+        mtp_impl = cfg.code_predictor.impl
     t0 = time.perf_counter()
     # benchmark timing is weight-value independent; fill with a cheap
     # deterministic pattern instead of threefry normals (which cost minutes of
@@ -94,8 +96,20 @@ def main() -> None:
         from leaxer_qwen3_tts_tpu.ops.quant import fuse_params
 
         params = jax.jit(fuse_params)(params)  # qkv/gate-up fused (engine default)
+    bf16_params = params
+    quant = os.environ.get("BENCH_QUANT", "int8")
+    if quant == "int8":  # headline config: int8 weight-only (engine --quantize)
+        from leaxer_qwen3_tts_tpu.ops.quant import quantize_params
+
+        params = jax.jit(quantize_params)(params)
+    if mtp_impl == "fused":
+        from leaxer_qwen3_tts_tpu.models.code_predictor import prepare_fused_step
+
+        params["code_predictor"] = jax.jit(
+            lambda p: prepare_fused_step(cfg.code_predictor, p)
+        )(params["code_predictor"])
     sync(params["talker"]["lm_head"])
-    log(f"init 0.6B params: {time.perf_counter() - t0:.1f}s")
+    log(f"init {model} params (quant={quant}): {time.perf_counter() - t0:.1f}s")
 
     T = 16
     ids = jnp.full((batch, T), 100, jnp.int32)
@@ -207,29 +221,26 @@ def main() -> None:
         except Exception as e:  # never fail the headline on the extra probe
             log(f"serving probe failed: {e}")
 
-    # --- int8 weight-only probe (batch 1) -----------------------------------
-    int8_frame_ms = None
-    if os.environ.get("BENCH_SKIP_INT8") != "1":
+    # --- bf16 (quality-exact parity config) probe, batch 1 ------------------
+    bf16_frame_ms = None
+    if quant == "int8" and os.environ.get("BENCH_SKIP_BF16") != "1":
         try:
-            from leaxer_qwen3_tts_tpu.ops.quant import quantize_params
-
-            qparams = quantize_params(params)
-            stq, bdq = fns.prefill(qparams, ids, lens, key)
+            stq, bdq = fns.prefill(bf16_params, ids, lens, key)
             stq, frq, _ = fns.decode(
-                qparams, stq, bdq.trailing, bdq.trailing_len, bdq.tts_pad_embed, sp
+                bf16_params, stq, bdq.trailing, bdq.trailing_len, bdq.tts_pad_embed, sp
             )
             sync(frq)  # compile
             nq = max(2, n_chunks // 2)
             t0 = time.perf_counter()
             for _ in range(nq):
                 stq, frq, _ = fns.decode(
-                    qparams, stq, bdq.trailing, bdq.trailing_len, bdq.tts_pad_embed, sp
+                    bf16_params, stq, bdq.trailing, bdq.trailing_len, bdq.tts_pad_embed, sp
                 )
             sync(frq)
-            int8_frame_ms = (time.perf_counter() - t0) / (nq * chunk) * 1e3
-            log(f"int8 decode: {int8_frame_ms:.2f} ms/frame")
+            bf16_frame_ms = (time.perf_counter() - t0) / (nq * chunk) * 1e3
+            log(f"bf16 decode: {bf16_frame_ms:.2f} ms/frame")
         except Exception as e:
-            log(f"int8 probe failed: {e}")
+            log(f"bf16 probe failed: {e}")
 
     # --- long-form probe: 2048-frame KV bucket (BASELINE config 4) ----------
     # static shapes mean decode cost at ANY fill level equals the max_len
@@ -278,10 +289,12 @@ def main() -> None:
         "host_rpc_ms": round(rpc_ms, 1),
         "frames_per_s": round(frames * batch / total_s, 1),
     }
+    result["mtp_impl"] = cfg.code_predictor.impl
+    result["quant"] = quant
     if serving_rtf is not None:
         result["serving_rtf_batch8"] = round(serving_rtf, 1)
-    if int8_frame_ms is not None:
-        result["int8_decode_ms_per_frame"] = round(int8_frame_ms, 2)
+    if bf16_frame_ms is not None:
+        result["bf16_decode_ms_per_frame"] = round(bf16_frame_ms, 2)
     if long_frame_ms is not None:
         result["longform_decode_ms_per_frame"] = round(long_frame_ms, 2)
     print(json.dumps(result), flush=True)

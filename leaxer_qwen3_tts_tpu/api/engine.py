@@ -139,6 +139,19 @@ class TTSEngine:
                 self.params = quantize_params(self.params)
             elif quantize is not None:
                 raise EngineError(f"unknown quantize mode {quantize!r}")
+            if (
+                self.cfg.code_predictor.impl == "fused"
+                and mesh is None
+                and jax.default_backend() == "tpu"
+            ):
+                # pre-pack the MTP weights for the fused Pallas step kernel
+                # (TPU only: elsewhere the packed path would run interpreted
+                # and predict_subcodes falls back to the cached impl)
+                from ..models.code_predictor import prepare_fused_step
+
+                self.params["code_predictor"] = prepare_fused_step(
+                    self.cfg.code_predictor, self.params["code_predictor"]
+                )
             if mesh is not None:
                 # TP over "model" + DP over "data" (parallel/mesh.py rules);
                 # GSPMD propagates KV-cache/activation shardings from these

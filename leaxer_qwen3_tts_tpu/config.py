@@ -317,7 +317,11 @@ class TTSModelConfig:
 
 
 # Convenience preset: the 0.6B-Base model (the reference's only wired variant).
-QWEN3_TTS_06B = TTSModelConfig()
+# The MTP runs as the fused Pallas step kernel on TPU (ops/fused_step.py;
+# engines fall back to the cached path off-TPU or at batch > 1).
+QWEN3_TTS_06B = TTSModelConfig(
+    code_predictor=CodePredictorConfig(impl="fused"),
+)
 
 # 1.7B-class variant (VoiceDesign / CustomVoice scale: wider talker).  Preset
 # speakers (reference Speaker enum, tts_onnx.h:82-93) attach to this family.

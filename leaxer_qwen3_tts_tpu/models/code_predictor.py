@@ -24,7 +24,13 @@ from jax import lax
 
 from ..config import CodePredictorConfig
 from ..ops.quant import dense, index_weight
-from .layers import KVCache, init_kv_cache, init_transformer_params, transformer_forward
+from .layers import (
+    KVCache,
+    init_kv_cache,
+    init_transformer_params,
+    rms_norm,
+    transformer_forward,
+)
 
 
 def init_code_predictor_params(cfg: CodePredictorConfig, key: jax.Array) -> dict:
@@ -58,6 +64,10 @@ def predict_subcodes(
     """
     if cfg.impl == "dense":
         return predict_subcodes_dense(
+            cfg, params, pred_embed_tables, last_hidden, code0_embed, key, sample_fn
+        )
+    if cfg.impl == "fused" and "fused_step" in params and last_hidden.shape[0] == 1:
+        return predict_subcodes_fused(
             cfg, params, pred_embed_tables, last_hidden, code0_embed, key, sample_fn
         )
     t = cfg.transformer
@@ -167,4 +177,84 @@ def predict_subcodes_dense(
     )
     subcodes = jnp.moveaxis(subcodes, 0, 1)  # [B, n]
     sub_sum = jnp.sum(embs, axis=0)  # [B, H]
+    return subcodes, sub_sum.astype(last_hidden.dtype)
+
+
+def prepare_fused_step(cfg: CodePredictorConfig, cp_params: dict) -> dict:
+    """Attach pre-packed fused-step weights (ops/fused_step.py) when the
+    architecture qualifies; returns the (possibly extended) params dict."""
+    from ..ops.fused_step import pack_fused_weights, supports
+
+    if not supports(cfg.transformer):
+        return cp_params
+    out = dict(cp_params)
+    out["fused_step"] = pack_fused_weights(
+        cfg.transformer, cp_params["transformer"]["layers"]
+    )
+    return out
+
+
+def predict_subcodes_fused(
+    cfg: CodePredictorConfig,
+    params: dict,
+    pred_embed_tables: jax.Array,
+    last_hidden: jax.Array,  # [1, H]
+    code0_embed: jax.Array,
+    key: jax.Array,
+    sample_fn: Callable[[jax.Array, jax.Array], jax.Array],
+) -> Tuple[jax.Array, jax.Array]:
+    """Single-Pallas-kernel-per-step variant (batch 1): the whole 6-layer
+    incremental step runs as ONE kernel (ops/fused_step.py) instead of ~20
+    XLA fusions per layer.  Prefix (2 tokens) stays on the XLA path."""
+    from ..ops.fused_step import fused_decode_step
+
+    t = cfg.transformer
+    B, H = last_hidden.shape
+    n = cfg.num_steps
+    interpret = jax.default_backend() != "tpu"
+
+    cache = init_kv_cache(t, B, cfg.max_seq_len)
+    valid = jnp.zeros((B, cfg.max_seq_len), bool)
+    prefix = jnp.stack(
+        [last_hidden.astype(t.jnp_dtype), code0_embed.astype(t.jnp_dtype)], axis=1
+    )
+    positions = jnp.broadcast_to(jnp.arange(2, dtype=jnp.int32), (B, 2))
+    hidden, cache, valid = transformer_forward(
+        t, params["transformer"], prefix, positions, cache, valid
+    )
+    h_last = hidden[:, 1]
+
+    fw = params["fused_step"]
+    fnorm = params["transformer"]["final_norm"]
+
+    def head_logits(h, j):
+        w = index_weight(params["heads"], j)
+        return dense(h, w)
+
+    def step(carry, j):
+        h_prev, kc, vc, key = carry
+        key, sub = jax.random.split(key)
+        logits_j = head_logits(h_prev, j)
+        subcode_j = sample_fn(sub, logits_j)
+        table = lax.dynamic_index_in_dim(pred_embed_tables, j, axis=0, keepdims=False)
+        emb_j = jnp.take(table, subcode_j, axis=0)  # [1, H]
+
+        x_out, kc, vc = fused_decode_step(
+            t, fw, emb_j, 2 + j, kc, vc, interpret=interpret
+        )
+        # final norm (the kernel emits the pre-norm residual stream)
+        h_new = rms_norm(x_out, fnorm, t.rms_norm_eps).astype(h_prev.dtype)
+        return (h_new, kc, vc, key), (subcode_j, emb_j)
+
+    (h_last, kc, vc, key), (subcodes, embs) = lax.scan(
+        step, (h_last, cache.k, cache.v, key), jnp.arange(n - 1, dtype=jnp.int32)
+    )
+    key, sub = jax.random.split(key)
+    logits_last = head_logits(h_last, n - 1)
+    subcode_last = sample_fn(sub, logits_last)
+    emb_last = jnp.take(pred_embed_tables[n - 1], subcode_last, axis=0)
+
+    subcodes = jnp.moveaxis(subcodes, 0, 1)
+    subcodes = jnp.concatenate([subcodes, subcode_last[:, None]], axis=1)
+    sub_sum = jnp.sum(embs, axis=0) + emb_last
     return subcodes, sub_sum.astype(last_hidden.dtype)

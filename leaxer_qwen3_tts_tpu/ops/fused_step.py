@@ -1,0 +1,391 @@
+"""Fused single-token transformer step as ONE Pallas kernel per step.
+
+Replaces ~20 XLA fusions per layer (docs/KERNEL_PLAN.md) for the S=1 decode
+of a GQA layer stack: the activation vector lives in VMEM scratch across the
+whole step while int8 weights stream through as uniform [H, 1024] units —
+grid (layers, units), sequential on a TPU core, double-buffered by Pallas.
+
+Unit schedule per layer (all matmuls pre-packed into one int8 mega-tensor by
+:func:`pack_fused_weights`):
+
+  u in [0, A/1024)              qkv N-blocks     qkv[:, off] = h @ W_u
+  u in [A/1024, +qd/H)          wo K-blocks      x += attn[koff] @ W_u
+                                (first one runs qk-norm/rope/cache/attention)
+  u in [.., +2I/1024)           gate/up N-blocks gu[:, off] = h2 @ W_u
+  u in [.., +I/H)               wd K-blocks      x += act[koff] @ W_u
+                                (first one applies silu(gate)*up)
+
+Restrictions (asserted): batch 1, S=1, hidden size == weight-unit K (1024),
+q_dim/kv_dim/intermediate multiples of 1024.  Used by the MTP inner loop
+(code_predictor impl="fused"); the same kernel shape fits the 0.6B talker.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+try:
+    from jax.experimental.pallas import tpu as pltpu
+
+    _VMEM = pltpu.VMEM
+    _SMEM = pltpu.SMEM
+except Exception:  # pragma: no cover
+    pltpu = None
+    _VMEM = None
+    _SMEM = None
+
+from ..config import TransformerConfig
+from .quant import QuantizedLinear
+
+N_UNIT = 1024
+
+
+class FusedStepWeights(NamedTuple):
+    """Pre-packed per-layer weights for the fused step kernel."""
+
+    units: jax.Array  # int8 [L, U, H, N_UNIT]
+    scales: jax.Array  # f32 [L, U, 1, N_UNIT]
+    attn_norm: jax.Array  # f32 [L, 1, H]
+    mlp_norm: jax.Array  # f32 [L, 1, H]
+    q_norm: jax.Array  # f32 [L, 1, d]
+    k_norm: jax.Array  # f32 [L, 1, d]
+
+
+def _unit_counts(cfg: TransformerConfig) -> Tuple[int, int, int, int]:
+    H = cfg.hidden_size
+    n_qkv = (cfg.q_dim + 2 * cfg.kv_dim) // N_UNIT
+    n_wo = cfg.q_dim // H
+    n_gu = 2 * cfg.intermediate_size // N_UNIT
+    n_wd = cfg.intermediate_size // H
+    return n_qkv, n_wo, n_gu, n_wd
+
+
+def supports(cfg: TransformerConfig) -> bool:
+    H = cfg.hidden_size
+    A = cfg.q_dim + 2 * cfg.kv_dim
+    return (
+        H == N_UNIT
+        and A % N_UNIT == 0
+        and cfg.q_dim % H == 0
+        and (2 * cfg.intermediate_size) % N_UNIT == 0
+        and cfg.intermediate_size % H == 0
+    )
+
+
+def pack_fused_weights(cfg: TransformerConfig, layer_params: dict) -> FusedStepWeights:
+    """Pack (possibly fused/quantized) stacked layer params into unit form.
+
+    Accepts the inference layout from ops.quant.fuse_params + quantize_params
+    (wqkv/wgu as QuantizedLinear) or raw bf16 arrays (quantized here).
+    """
+    from .quant import quantize_weight
+
+    assert supports(cfg), "fused step kernel requires H==1024-aligned dims"
+    H = cfg.hidden_size
+
+    def as_quant(w) -> QuantizedLinear:
+        return w if isinstance(w, QuantizedLinear) else quantize_weight(w)
+
+    p = layer_params
+    wqkv = as_quant(
+        p["wqkv"]
+        if "wqkv" in p
+        else jnp.concatenate([p["wq"], p["wk"], p["wv"]], axis=-1)
+    )
+    wgu = as_quant(
+        p["wgu"] if "wgu" in p else jnp.concatenate([p["wg"], p["wu"]], axis=-1)
+    )
+    wo = as_quant(p["wo"])
+    wd = as_quant(p["wd"])
+
+    L = wqkv.q.shape[0]
+    units = []
+    scales = []
+
+    def n_split(qw: QuantizedLinear):
+        # [L, H, n*N_UNIT] -> n units [L, H, N_UNIT]
+        n = qw.q.shape[-1] // N_UNIT
+        for i in range(n):
+            units.append(qw.q[..., i * N_UNIT : (i + 1) * N_UNIT])
+            scales.append(qw.scale[..., i * N_UNIT : (i + 1) * N_UNIT])
+
+    def k_split(qw: QuantizedLinear):
+        # [L, k*H, N_UNIT] -> k units [L, H, N_UNIT]; same output scale each
+        k = qw.q.shape[-2] // H
+        for i in range(k):
+            units.append(qw.q[:, i * H : (i + 1) * H, :])
+            scales.append(qw.scale)
+
+    n_split(wqkv)
+    k_split(wo)
+    n_split(wgu)
+    k_split(wd)
+
+    return FusedStepWeights(
+        units=jnp.stack(units, axis=1),  # [L, U, H, N_UNIT]
+        scales=jnp.stack(
+            [jnp.broadcast_to(s, (L, 1, N_UNIT)) for s in scales], axis=1
+        ).astype(jnp.float32),
+        attn_norm=p["attn_norm"].astype(jnp.float32)[:, None, :],
+        mlp_norm=p["mlp_norm"].astype(jnp.float32)[:, None, :],
+        q_norm=p["q_norm"].astype(jnp.float32)[:, None, :],
+        k_norm=p["k_norm"].astype(jnp.float32)[:, None, :],
+    )
+
+
+def _rms(x, w, eps):
+    var = jnp.mean(x * x, axis=-1, keepdims=True)
+    return x * jax.lax.rsqrt(var + eps) * w
+
+
+def _rope(x, cos, sin):
+    # x [heads, d]; cos/sin [1, d/2]; rotate-half convention
+    d = x.shape[-1]
+    x1, x2 = x[:, : d // 2], x[:, d // 2 :]
+    return jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+
+
+def _make_kernel(cfg: TransformerConfig, T: int):
+    H = cfg.hidden_size
+    nq, nk, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    g = nq // nk
+    qd, kvd = cfg.q_dim, cfg.kv_dim
+    I = cfg.intermediate_size
+    eps = cfg.rms_norm_eps
+    n_qkv, n_wo, n_gu, n_wd = _unit_counts(cfg)
+    U = n_qkv + n_wo + n_gu + n_wd
+    b1, b2, b3 = n_qkv, n_qkv + n_wo, n_qkv + n_wo + n_gu  # static boundaries
+
+    def kernel(
+        pos_ref,  # SMEM [1] int32 — write slot / current position
+        x_ref,  # [1, H] f32 — step input
+        cos_ref,  # [1, d//2] f32
+        sin_ref,  # [1, d//2] f32
+        w_ref,  # [1, 1, H, N_UNIT] int8 (unit block)
+        s_ref,  # [1, 1, 1, N_UNIT] f32
+        an_ref,  # [1, 1, H] f32 attn_norm (layer block)
+        mn_ref,  # [1, 1, H] f32 mlp_norm
+        qn_ref,  # [1, 1, d] f32 q_norm
+        kn_ref,  # [1, 1, d] f32 k_norm
+        kc_in,  # [1, nk, T, d] bf16 cache in (layer block)
+        vc_in,
+        x_out,  # [1, H] f32
+        kc_out,  # [1, nk, T, d] bf16 cache out
+        vc_out,
+        x_s,  # scratch [1, H] f32 — residual stream
+        h_s,  # scratch [1, H] f32 — normed input to the current matmul group
+        qkv_s,  # scratch [1, qd + 2*kvd] f32
+        attn_s,  # scratch [1, qd] f32
+        gu_s,  # scratch [1, 2I] f32
+    ):
+        l = pl.program_id(0)
+        u = pl.program_id(1)
+        # unit schedule, computed from u against the static boundaries
+        kind = jnp.where(u < b1, 0, jnp.where(u < b2, 1, jnp.where(u < b3, 2, 3)))
+        off = jnp.where(
+            u < b1,
+            u * N_UNIT,
+            jnp.where(
+                u < b2,
+                (u - b1) * H,
+                jnp.where(u < b3, (u - b2) * N_UNIT, (u - b3) * H),
+            ),
+        )
+        # every branch above is a multiple of 1024; Mosaic needs the proof
+        # for lane-aligned dynamic slices
+        off = pl.multiple_of(off, N_UNIT)
+        pos = pos_ref[0]
+
+        @pl.when(jnp.logical_and(l == 0, u == 0))
+        def _init():
+            x_s[:] = x_ref[:]
+
+        # the attention unit (u == n_qkv) writes the full cache block (carry +
+        # new slot via masked select: Mosaic can't do dynamic sub-tile stores
+        # on the sublane axis); other units must leave kc_out untouched
+
+        @pl.when(u == 0)
+        def _norm_attn():
+            h_s[:] = _rms(x_s[:], an_ref[0], eps)
+
+        @pl.when(u == n_qkv)  # first wo unit: run attention once
+        def _attention():
+            qkv = qkv_s[:]  # [1, qd+2kvd]
+            cos = cos_ref[:]
+            sin = sin_ref[:]
+            q = qkv[0, :qd].reshape(nq, d)
+            k = qkv[0, qd : qd + kvd].reshape(nk, d)
+            v = qkv[0, qd + kvd :].reshape(nk, d)
+            q = _rms(q, qn_ref[0, 0], eps)
+            k = _rms(k, kn_ref[0, 0], eps)
+            q = _rope(q, cos, sin)
+            k = _rope(k, cos, sin)
+            # cache write at pos as a masked full-block select
+            slot = jax.lax.broadcasted_iota(jnp.int32, (1, nk, T, d), 2)
+            K_new = jnp.where(
+                slot == pos, k[None, :, None, :].astype(kc_in.dtype), kc_in[:]
+            )
+            V_new = jnp.where(
+                slot == pos, v[None, :, None, :].astype(vc_in.dtype), vc_in[:]
+            )
+            kc_out[:] = K_new
+            vc_out[:] = V_new
+            K = K_new[0].astype(jnp.float32)  # [nk, T, d]
+            V = V_new[0].astype(jnp.float32)
+            qg = q.reshape(nk, g, d)
+            scores = jax.lax.dot_general(
+                qg, K, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # [nk, g, T]
+            scores = scores * (1.0 / (d**0.5))
+            slot = jax.lax.broadcasted_iota(jnp.int32, (nk, g, T), 2)
+            scores = jnp.where(slot <= pos, scores, -1e30)
+            m = jnp.max(scores, axis=-1, keepdims=True)
+            e = jnp.exp(scores - m)
+            w = e / jnp.sum(e, axis=-1, keepdims=True)
+            out = jax.lax.dot_general(
+                w, V, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # [nk, g, d]
+            attn_s[:] = out.reshape(1, qd)
+
+        @pl.when(u == n_qkv + n_wo)  # first gate/up unit: norm the residual
+        def _norm_mlp():
+            h_s[:] = _rms(x_s[:], mn_ref[0], eps)
+
+        @pl.when(u == n_qkv + n_wo + n_gu)  # first wd unit: activation
+        def _activation():
+            gu = gu_s[:]
+            gate = gu[:, :I]
+            up = gu[:, I:]
+            gu_s[:, :I] = gate * (1.0 / (1.0 + jnp.exp(-gate))) * up
+
+        w_unit = w_ref[0, 0].astype(jnp.bfloat16)  # [H, N_UNIT]
+        scale = s_ref[0, 0]  # [1, N_UNIT]
+
+        def matmul(lhs):  # [1, H] f32 -> [1, N_UNIT] f32
+            return (
+                jax.lax.dot_general(
+                    lhs.astype(jnp.bfloat16), w_unit,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                * scale
+            )
+
+        @pl.when(kind == 0)  # qkv N-block
+        def _qkv():
+            qkv_s[:, pl.ds(off, N_UNIT)] = matmul(h_s[:])
+
+        @pl.when(kind == 1)  # wo K-block: x += attn[koff] @ W
+        def _wo():
+            x_s[:] = x_s[:] + matmul(attn_s[:, pl.ds(off, H)])
+
+        @pl.when(kind == 2)  # gate/up N-block
+        def _gu():
+            gu_s[:, pl.ds(off, N_UNIT)] = matmul(h_s[:])
+
+        @pl.when(kind == 3)  # wd K-block: x += act[koff] @ W
+        def _wd():
+            x_s[:] = x_s[:] + matmul(gu_s[:, pl.ds(off, H)])
+
+        # final-norm is applied OUTSIDE (caller), matching transformer_forward
+        x_out[:] = x_s[:]
+
+    return kernel, U
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
+def fused_decode_step(
+    cfg: TransformerConfig,
+    fw: FusedStepWeights,
+    x: jax.Array,  # [1, H]
+    pos: jax.Array,  # scalar int32
+    k_cache: jax.Array,  # [L, 1, nk, T, d]
+    v_cache: jax.Array,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """One fused decode step over all layers (pre-final-norm output).
+
+    Returns (x_out [1, H] f32, k_cache, v_cache)."""
+    L = fw.units.shape[0]
+    T = k_cache.shape[3]
+    H = cfg.hidden_size
+    nk, d = cfg.num_kv_heads, cfg.head_dim
+    qd, kvd, I = cfg.q_dim, cfg.kv_dim, cfg.intermediate_size
+
+    kernel, U = _make_kernel(cfg, T)
+
+    half = d // 2
+    freqs = 1.0 / (cfg.rope_theta ** (jnp.arange(half, dtype=jnp.float32) / half))
+    angles = pos.astype(jnp.float32) * freqs
+    cos = jnp.cos(angles)[None, :]
+    sin = jnp.sin(angles)[None, :]
+
+    kc = k_cache.reshape(L, nk, T, d)
+    vc = v_cache.reshape(L, nk, T, d)
+
+    norm_block = lambda l, u: (l, 0, 0)
+
+    x_out, kc_out, vc_out = pl.pallas_call(
+        kernel,
+        grid=(L, U),
+        in_specs=[
+            pl.BlockSpec(memory_space=_SMEM),  # pos
+            pl.BlockSpec((1, H), lambda l, u: (0, 0), memory_space=_VMEM),
+            pl.BlockSpec((1, half), lambda l, u: (0, 0), memory_space=_VMEM),
+            pl.BlockSpec((1, half), lambda l, u: (0, 0), memory_space=_VMEM),
+            pl.BlockSpec((1, 1, H, N_UNIT), lambda l, u: (l, u, 0, 0),
+                         memory_space=_VMEM),
+            pl.BlockSpec((1, 1, 1, N_UNIT), lambda l, u: (l, u, 0, 0),
+                         memory_space=_VMEM),
+            pl.BlockSpec((1, 1, H), norm_block, memory_space=_VMEM),
+            pl.BlockSpec((1, 1, H), norm_block, memory_space=_VMEM),
+            pl.BlockSpec((1, 1, d), norm_block, memory_space=_VMEM),
+            pl.BlockSpec((1, 1, d), norm_block, memory_space=_VMEM),
+            pl.BlockSpec((1, nk, T, d), lambda l, u: (l, 0, 0, 0),
+                         memory_space=_VMEM),
+            pl.BlockSpec((1, nk, T, d), lambda l, u: (l, 0, 0, 0),
+                         memory_space=_VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, H), lambda l, u: (0, 0), memory_space=_VMEM),
+            pl.BlockSpec((1, nk, T, d), lambda l, u: (l, 0, 0, 0),
+                         memory_space=_VMEM),
+            pl.BlockSpec((1, nk, T, d), lambda l, u: (l, 0, 0, 0),
+                         memory_space=_VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, H), jnp.float32),
+            jax.ShapeDtypeStruct((L, nk, T, d), kc.dtype),
+            jax.ShapeDtypeStruct((L, nk, T, d), vc.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, H), jnp.float32),
+            pltpu.VMEM((1, H), jnp.float32),
+            pltpu.VMEM((1, qd + 2 * kvd), jnp.float32),
+            pltpu.VMEM((1, qd), jnp.float32),
+            pltpu.VMEM((1, 2 * I), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        jnp.asarray([pos], jnp.int32),
+        x.astype(jnp.float32),
+        cos,
+        sin,
+        fw.units,
+        fw.scales,
+        fw.attn_norm,
+        fw.mlp_norm,
+        fw.q_norm,
+        fw.k_norm,
+        kc,
+        vc,
+    )
+    return x_out, kc_out.reshape(L, 1, nk, T, d), vc_out.reshape(L, 1, nk, T, d)

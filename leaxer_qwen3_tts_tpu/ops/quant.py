@@ -142,6 +142,8 @@ def quantize_params(params, modules: Sequence[str] = ("talker", "code_predictor"
                 )
                 for k, v in node.items()
             }
+        if hasattr(node, "_fields"):  # NamedTuple (QuantizedLinear,
+            return node  # FusedStepWeights, ...): already-packed, pass through
         if isinstance(node, (list, tuple)):
             return type(node)(walk(v, quantizing) for v in node)
         return node

@@ -1,0 +1,82 @@
+"""Fused decode-step Pallas kernel: interpret-mode parity vs the cached path."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from leaxer_qwen3_tts_tpu.config import CodePredictorConfig, TransformerConfig
+from leaxer_qwen3_tts_tpu.models.code_predictor import (
+    init_code_predictor_params,
+    predict_subcodes,
+    prepare_fused_step,
+)
+from leaxer_qwen3_tts_tpu.ops.fused_step import supports
+from leaxer_qwen3_tts_tpu.runtime.sampling import SamplingParams, sample_token
+
+
+@pytest.fixture(scope="module")
+def fused_cfg_params():
+    # smallest architecture the kernel supports: H == 1024
+    t = TransformerConfig(
+        hidden_size=1024,
+        num_layers=1,
+        num_heads=8,
+        num_kv_heads=4,
+        head_dim=128,
+        intermediate_size=3072,
+        dtype="float32",
+    )
+    cfg = CodePredictorConfig(
+        transformer=t, num_steps=3, subcode_vocab_size=256, max_seq_len=5
+    )
+    assert supports(t)
+    params = init_code_predictor_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    tables = jnp.asarray(
+        rng.standard_normal((cfg.num_steps, cfg.subcode_vocab_size, 1024)) * 0.02,
+        jnp.float32,
+    )
+    return cfg, params, tables
+
+
+def test_supports_gate():
+    small = TransformerConfig(hidden_size=64, num_heads=4, num_kv_heads=2, head_dim=16)
+    assert not supports(small)
+
+
+def test_fused_matches_cached(fused_cfg_params):
+    cfg, params, tables = fused_cfg_params
+    rng = np.random.default_rng(1)
+    hidden = jnp.asarray(rng.standard_normal((1, 1024)) * 0.5, jnp.float32)
+    c0e = jnp.asarray(rng.standard_normal((1, 1024)) * 0.02, jnp.float32)
+    sp = SamplingParams.create(temperature=0.0)
+    sample_fn = lambda k, lg: sample_token(k, lg, sp)
+    key = jax.random.PRNGKey(0)
+
+    # same int8 weights on both paths: differences are bf16 rounding only
+    from leaxer_qwen3_tts_tpu.ops.quant import fuse_params, quantize_params
+
+    qparams = quantize_params(fuse_params({"code_predictor": params}))[
+        "code_predictor"
+    ]
+
+    cached = dataclasses.replace(cfg, impl="cached")
+    subs_c, sum_c = predict_subcodes(
+        cached, qparams, tables, hidden, c0e, key, sample_fn
+    )
+
+    fused_params = prepare_fused_step(cfg, qparams)
+    assert "fused_step" in fused_params
+    fused = dataclasses.replace(cfg, impl="fused")
+    subs_f, sum_f = predict_subcodes(
+        fused, fused_params, tables, hidden, c0e, key, sample_fn
+    )
+
+    agree = float((np.asarray(subs_c) == np.asarray(subs_f)).mean())
+    assert agree >= 2 / 3, (subs_c, subs_f)
+    np.testing.assert_allclose(
+        np.asarray(sum_f), np.asarray(sum_c), atol=0.05, rtol=0.05
+    )
