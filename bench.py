@@ -108,6 +108,12 @@ def main() -> None:
         params["code_predictor"] = jax.jit(
             lambda p: prepare_fused_step(cfg.code_predictor, p)
         )(params["code_predictor"])
+    if cfg.talker.decode_impl == "fused" and os.environ.get("BENCH_NO_FUSED_TALKER") != "1":
+        from leaxer_qwen3_tts_tpu.models.talker import prepare_fused_talker
+
+        params["talker"] = jax.jit(
+            lambda p: prepare_fused_talker(cfg.talker, p)
+        )(params["talker"])
     sync(params["talker"]["lm_head"])
     log(f"init {model} params (quant={quant}): {time.perf_counter() - t0:.1f}s")
 

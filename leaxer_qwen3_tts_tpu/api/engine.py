@@ -152,6 +152,16 @@ class TTSEngine:
                 self.params["code_predictor"] = prepare_fused_step(
                     self.cfg.code_predictor, self.params["code_predictor"]
                 )
+            if (
+                self.cfg.talker.decode_impl == "fused"
+                and mesh is None
+                and jax.default_backend() == "tpu"
+            ):
+                from ..models.talker import prepare_fused_talker
+
+                self.params["talker"] = prepare_fused_talker(
+                    self.cfg.talker, self.params["talker"]
+                )
             if mesh is not None:
                 # TP over "model" + DP over "data" (parallel/mesh.py rules);
                 # GSPMD propagates KV-cache/activation shardings from these

@@ -136,6 +136,11 @@ class TalkerConfig:
     transformer: TransformerConfig = TransformerConfig()
     codec_vocab_size: int = 3072  # codebook-0 tokens 0..2047 + control 2048..3071
     text_vocab_size: int = 151936  # Qwen2.5/Qwen3 BPE text vocab
+    # decode-step implementation: "xla" or "fused" (one Pallas kernel per
+    # step, ops/fused_step.py; applies at batch 1 on TPU for cache buckets
+    # <= fused_max_cache — beyond that the cache block outgrows VMEM)
+    decode_impl: str = "xla"
+    fused_max_cache: int = 512
     # text_project: Embed(text_vocab, text_embed_dim) -> Dense(hidden).  If
     # text_embed_dim == hidden_size the Dense is still applied (projection is part
     # of the reference text_project.onnx contract, tts_onnx.cpp:545-559).
@@ -320,6 +325,7 @@ class TTSModelConfig:
 # The MTP runs as the fused Pallas step kernel on TPU (ops/fused_step.py;
 # engines fall back to the cached path off-TPU or at batch > 1).
 QWEN3_TTS_06B = TTSModelConfig(
+    talker=TalkerConfig(decode_impl="fused"),
     code_predictor=CodePredictorConfig(impl="fused"),
 )
 

@@ -35,6 +35,19 @@ def talker_init_cache(cfg: TalkerConfig, batch: int, max_len: int) -> KVCache:
     return init_kv_cache(cfg.transformer, batch, max_len)
 
 
+def prepare_fused_talker(cfg: TalkerConfig, talker_params: dict) -> dict:
+    """Attach pre-packed fused-step weights when the architecture qualifies."""
+    from ..ops.fused_step import pack_fused_weights, supports
+
+    if not supports(cfg.transformer):
+        return talker_params
+    out = dict(talker_params)
+    out["fused_step"] = pack_fused_weights(
+        cfg.transformer, talker_params["transformer"]["layers"]
+    )
+    return out
+
+
 def talker_prefill(
     cfg: TalkerConfig,
     params: dict,
@@ -105,8 +118,38 @@ def talker_decode_step(
 ) -> Tuple[jax.Array, jax.Array, KVCache, jax.Array]:
     """One decode step.  Returns (logits [B, V] f32, hidden [B, H], cache, valid_mask)."""
     B, H = embed.shape
+    t = cfg.transformer
+    if (
+        cfg.decode_impl == "fused"
+        and "fused_step" in params
+        and B == 1
+        and cache.max_len <= cfg.fused_max_cache
+    ):
+        # ONE Pallas kernel for all 28 layers (ops/fused_step.py); final norm,
+        # logit head, and bookkeeping stay outside the kernel
+        import jax as _jax
+
+        from ..models.layers import rms_norm
+        from ..ops.fused_step import fused_decode_step
+
+        interpret = _jax.default_backend() != "tpu"
+        pos = position[0]
+        x_out, kc, vc = fused_decode_step(
+            t, params["fused_step"], embed, pos, cache.k, cache.v,
+            interpret=interpret,
+        )
+        hidden = rms_norm(
+            x_out, params["transformer"]["final_norm"], t.rms_norm_eps
+        ).astype(embed.dtype)
+        logits = dense(hidden, params["lm_head"])
+        new_valid = jax.lax.dynamic_update_slice(
+            valid_mask, jnp.ones((1, 1), bool), (0, pos)
+        )
+        new_cache = KVCache(k=kc, v=vc, length=cache.length + 1)
+        return logits, hidden, new_cache, new_valid
+
     hidden, cache, valid_mask = transformer_forward(
-        cfg.transformer,
+        t,
         params["transformer"],
         embed[:, None, :],
         position[:, None],

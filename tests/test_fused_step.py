@@ -42,6 +42,53 @@ def fused_cfg_params():
     return cfg, params, tables
 
 
+def test_fused_talker_step_matches_xla():
+    """talker_decode_step with decode_impl='fused' == the XLA path, given the
+    same int8 weights (interpret mode)."""
+    from leaxer_qwen3_tts_tpu.config import TalkerConfig
+    from leaxer_qwen3_tts_tpu.models.talker import (
+        init_talker_params,
+        prepare_fused_talker,
+        talker_decode_step,
+        talker_init_cache,
+    )
+    from leaxer_qwen3_tts_tpu.ops.quant import fuse_params, quantize_params
+
+    t = TransformerConfig(
+        hidden_size=1024, num_layers=1, num_heads=8, num_kv_heads=4,
+        head_dim=128, intermediate_size=3072, dtype="float32",
+    )
+    cfg_xla = TalkerConfig(transformer=t, codec_vocab_size=256,
+                           text_vocab_size=152000, decode_impl="xla")
+    cfg_fused = dataclasses.replace(cfg_xla, decode_impl="fused")
+
+    params = init_talker_params(cfg_xla, jax.random.PRNGKey(0))
+    qparams = quantize_params(fuse_params({"talker": params}))["talker"]
+    fparams = prepare_fused_talker(cfg_fused, qparams)
+
+    rng = np.random.default_rng(0)
+    embed = jnp.asarray(rng.standard_normal((1, 1024)) * 0.3, jnp.float32)
+    pos = jnp.asarray([3], jnp.int32)
+    cache = talker_init_cache(cfg_xla, 1, 16)
+    cache = cache._replace(
+        k=jnp.asarray(rng.standard_normal(cache.k.shape) * 0.2, jnp.float32),
+        v=jnp.asarray(rng.standard_normal(cache.v.shape) * 0.2, jnp.float32),
+        length=jnp.asarray(3, jnp.int32),
+    )
+    valid = jnp.asarray(np.arange(16)[None, :] < 3)
+
+    lg_x, h_x, c_x, v_x = talker_decode_step(cfg_xla, qparams, embed, pos, cache, valid)
+    lg_f, h_f, c_f, v_f = talker_decode_step(cfg_fused, fparams, embed, pos, cache, valid)
+
+    np.testing.assert_array_equal(np.asarray(v_x), np.asarray(v_f))
+    np.testing.assert_allclose(np.asarray(h_f), np.asarray(h_x), atol=0.03, rtol=0.03)
+    corr = np.corrcoef(np.asarray(lg_x).ravel(), np.asarray(lg_f).ravel())[0, 1]
+    assert corr > 0.999, corr
+    np.testing.assert_allclose(
+        np.asarray(c_f.k), np.asarray(c_x.k), atol=0.02
+    )
+
+
 def test_supports_gate():
     small = TransformerConfig(hidden_size=64, num_heads=4, num_kv_heads=2, head_dim=16)
     assert not supports(small)
