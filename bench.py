@@ -53,9 +53,11 @@ def main() -> None:
 
     platform = jax.default_backend()
     on_accel = platform in ("tpu", "axon", "gpu")
-    frames = int(os.environ.get("BENCH_FRAMES", "192" if on_accel else "16"))
+    # defaults: a 32 s utterance decoded in 96-frame chunks — the sustained
+    # single-stream serving shape (TTFA uses its own 8-frame first chunk)
+    frames = int(os.environ.get("BENCH_FRAMES", "384" if on_accel else "16"))
     batch = int(os.environ.get("BENCH_BATCH", "1"))
-    chunk = int(os.environ.get("BENCH_CHUNK", "32"))
+    chunk = int(os.environ.get("BENCH_CHUNK", "96" if on_accel else "8"))
     ttfa_chunk = int(os.environ.get("BENCH_TTFA_CHUNK", "8"))
     frames = max(chunk, (frames // chunk) * chunk)
     log(f"bench: platform={platform} frames={frames} batch={batch} chunk={chunk}")
