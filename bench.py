@@ -104,13 +104,18 @@ def main() -> None:
         from leaxer_qwen3_tts_tpu.ops.quant import quantize_params
 
         params = jax.jit(quantize_params)(params)
-    if mtp_impl == "fused":
+    on_tpu = platform == "tpu"  # fused kernels interpret (=crawl) off-TPU
+    if mtp_impl == "fused" and on_tpu:
         from leaxer_qwen3_tts_tpu.models.code_predictor import prepare_fused_step
 
         params["code_predictor"] = jax.jit(
             lambda p: prepare_fused_step(cfg.code_predictor, p)
         )(params["code_predictor"])
-    if cfg.talker.decode_impl == "fused" and os.environ.get("BENCH_NO_FUSED_TALKER") != "1":
+    if (
+        cfg.talker.decode_impl == "fused"
+        and on_tpu
+        and os.environ.get("BENCH_NO_FUSED_TALKER") != "1"
+    ):
         from leaxer_qwen3_tts_tpu.models.talker import prepare_fused_talker
 
         params["talker"] = jax.jit(

@@ -215,6 +215,9 @@ def make_http_server(server: BatchingServer, host: str = "127.0.0.1", port: int 
                 self.send_error(404)
 
         def do_POST(self):
+            if self.path == "/synthesize_stream":
+                self._do_stream()
+                return
             if self.path != "/synthesize":
                 self.send_error(404)
                 return
@@ -244,5 +247,50 @@ def make_http_server(server: BatchingServer, host: str = "127.0.0.1", port: int 
             self.send_header("X-RTF", f"{result.metrics.rtf:.2f}")
             self.end_headers()
             self.wfile.write(body)
+
+        def _do_stream(self):
+            """Chunked-transfer streaming: raw 16-bit PCM frames as they
+            decode (the engine's low-TTFA path; bypasses the batcher).
+            Content-Type audio/L16 (mono, 24 kHz, little-endian)."""
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                req = json.loads(self.rfile.read(length) or b"{}")
+                text = req["text"]
+            except Exception:
+                self.send_error(400, "expected JSON body with a 'text' field")
+                return
+            try:
+                gen = server.engine.synthesize_stream(
+                    text,
+                    language=req.get("language", "auto"),
+                    temperature=float(req.get("temperature", 0.8)),
+                    top_k=int(req.get("top_k", 50)),
+                    top_p=float(req.get("top_p", 0.95)),
+                    max_tokens=req.get("max_tokens"),
+                )
+                self.send_response(200)
+                self.send_header("Content-Type", "audio/L16;rate=24000;channels=1")
+                self.send_header("Transfer-Encoding", "chunked")
+                self.end_headers()
+                import numpy as _np
+
+                for item in gen:
+                    if hasattr(item, "metrics"):  # final SynthesisResult
+                        break
+                    pcm = (
+                        _np.clip(item, -1.0, 1.0) * 32767.0
+                    ).astype("<i2").tobytes()
+                    self.wfile.write(f"{len(pcm):x}\r\n".encode())
+                    self.wfile.write(pcm)
+                    self.wfile.write(b"\r\n")
+                self.wfile.write(b"0\r\n\r\n")
+            except BrokenPipeError:
+                pass
+            except Exception as e:
+                log.exception("stream failed")
+                try:
+                    self.wfile.write(b"0\r\n\r\n")
+                except Exception:
+                    pass
 
     return ThreadingHTTPServer((host, port), Handler)

@@ -103,5 +103,18 @@ def test_http_facade(server):
         )
         with pytest.raises(urllib.error.HTTPError):
             urllib.request.urlopen(bad, timeout=60)
+
+        # chunked-streaming endpoint: raw PCM arrives incrementally
+        sreq = urllib.request.Request(
+            f"http://127.0.0.1:{port}/synthesize_stream",
+            data=json.dumps({"text": "hello", "temperature": 0.0}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(sreq, timeout=300) as r:
+            assert r.headers["Content-Type"].startswith("audio/L16")
+            pcm = r.read()
+        assert len(pcm) > 0 and len(pcm) % 2 == 0
+        samples = np.frombuffer(pcm, "<i2")
+        assert len(samples) % 2000 == 0  # whole frames
     finally:
         httpd.shutdown()
