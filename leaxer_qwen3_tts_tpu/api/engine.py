@@ -79,6 +79,7 @@ class TTSEngine:
         tokenizer: Optional[Tokenizer] = None,
         max_frames: int = MAX_NEW_TOKENS,
         chunk_len: int = 32,
+        first_chunk_len: int = 8,
         text_bucket: int = 16,
         quantize: Optional[str] = None,
         fuse: bool = True,
@@ -92,6 +93,9 @@ class TTSEngine:
         self.tokenizer = tokenizer
         self.max_frames = int(max_frames)
         self.chunk_len = max(1, min(int(chunk_len), self.max_frames))
+        # TTFA ramp: a small first decode chunk gets audio out early, then
+        # full-size chunks carry the steady state
+        self.first_chunk_len = max(1, min(int(first_chunk_len), self.chunk_len))
         full = self.max_frames + 32
         # KV-cache bucket ladder: attention reads scale with the CURRENT
         # bucket, so early frames of a long-form request decode at
@@ -409,15 +413,17 @@ class TTSEngine:
         return ids
 
     def _get_fns(self, batch: int, t_bucket: int, lang_id, has_speaker: bool,
-                 kv_bucket: Optional[int] = None, i_bucket: int = 0):
+                 kv_bucket: Optional[int] = None, i_bucket: int = 0,
+                 chunk_len: Optional[int] = None):
         kv_bucket = self.kv_ladder[-1] if kv_bucket is None else kv_bucket
-        key = (batch, t_bucket, lang_id, has_speaker, kv_bucket, i_bucket)
+        chunk_len = self.chunk_len if chunk_len is None else chunk_len
+        key = (batch, t_bucket, lang_id, has_speaker, kv_bucket, i_bucket, chunk_len)
         if key not in self._fns_cache:
             self._fns_cache[key] = make_generate_fns(
                 self.cfg,
                 batch=batch,
                 max_len=kv_bucket,
-                chunk_len=self.chunk_len,
+                chunk_len=chunk_len,
                 lang_id=lang_id,
                 has_speaker=has_speaker,
                 has_instruct=i_bucket > 0,
@@ -543,21 +549,23 @@ class TTSEngine:
 
         voc_cfg = cfg.vocoder
         spf = voc_cfg.samples_per_frame
-        ctx = min(voc_cfg.left_context_frames, self.chunk_len)
         frames_chunks: List[np.ndarray] = []
         valid_chunks: List[np.ndarray] = []
         audio_chunks: List[np.ndarray] = []
         tail: Optional[jax.Array] = None  # rolling [B, ctx, 16] vocoder context
         steps = 0
+        first = True
         while steps < max_tokens:
-            if P + steps + self.chunk_len + 1 > self.kv_ladder[bidx]:
+            cur_chunk = self.first_chunk_len if first else self.chunk_len
+            if P + steps + cur_chunk + 1 > self.kv_ladder[bidx]:
                 bidx += 1  # grow the cache into the next bucket
                 state = self._grow_state(state, self.kv_ladder[bidx])
-                fns = self._get_fns(
-                    B, t_bucket, lang_id, has_speaker, self.kv_ladder[bidx], i_bucket
-                )
+            cur_fns = self._get_fns(
+                B, t_bucket, lang_id, has_speaker, self.kv_ladder[bidx],
+                i_bucket, cur_chunk,
+            )
             with timer.stage("decode"):
-                state, frames, valid = fns.decode(
+                state, frames, valid = cur_fns.decode(
                     self.params,
                     state,
                     bundle.trailing,
@@ -569,22 +577,29 @@ class TTSEngine:
             valid_np = np.asarray(valid)
             frames_chunks.append(np.asarray(frames))
             valid_chunks.append(valid_np)
-            steps += self.chunk_len
+            steps += cur_chunk
 
             # streaming vocode of this chunk (causal left context -> exact)
             with timer.stage("vocode"):
                 if tail is None:
                     window, n_ctx = frames, 0
                 else:
-                    window, n_ctx = jnp.concatenate([tail, frames], axis=1), ctx
+                    n_ctx = int(tail.shape[1])
+                    window = jnp.concatenate([tail, frames], axis=1)
                 vf = self._get_vocode_fn(int(window.shape[1]), n_ctx)
                 audio = np.asarray(vf(self.params["vocoder"], window), np.float32)
-                tail = frames[:, self.chunk_len - ctx :]
+                all_so_far = (
+                    frames if tail is None
+                    else jnp.concatenate([tail, frames], axis=1)
+                )
+                ctx = min(voc_cfg.left_context_frames, int(all_so_far.shape[1]))
+                tail = all_so_far[:, all_so_far.shape[1] - ctx :]
             # zero out samples of invalid (post-EOS) frames
             mask = np.repeat(valid_np, spf, axis=1)
             audio = audio * mask
             audio_chunks.append(audio)
             timer.mark_first_audio()
+            first = False
             yield audio[0] if B == 1 else audio
 
             if bool(np.asarray(state.done).all()):

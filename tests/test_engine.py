@@ -184,6 +184,34 @@ def test_speaker_with_table(tiny_model, tiny_vocab_files):
         eng.synthesize_speaker("hello", "not-a-speaker")
 
 
+def test_first_chunk_ramp(tiny_model, tiny_vocab_files):
+    """TTFA ramp: a small first decode chunk streams audio earlier and is
+    bit-identical to uniform chunking (the early vocoder context is the
+    complete history, so no seams)."""
+    from leaxer_qwen3_tts_tpu.frontend import Tokenizer
+
+    cfg, params = tiny_model
+    vocab_path, merges_path, _ = tiny_vocab_files
+    tok = Tokenizer(vocab_path, merges_path)
+    common = dict(config=cfg, params=params, tokenizer=tok, max_frames=8)
+    ramped = TTSEngine(**common, chunk_len=4, first_chunk_len=2)
+    uniform = TTSEngine(**common, chunk_len=4, first_chunk_len=4)
+
+    chunks = []
+    result = None
+    for item in ramped.synthesize_stream("hello world", temperature=0.0):
+        if hasattr(item, "metrics"):
+            result = item
+        else:
+            chunks.append(item)
+    assert chunks[0].size == 2 * SPF  # small first chunk
+    assert all(c.size == 4 * SPF for c in chunks[1:])
+
+    r_uniform = uniform.synthesize("hello world", temperature=0.0)
+    np.testing.assert_array_equal(result.codes, r_uniform.codes)
+    np.testing.assert_allclose(result.audio, r_uniform.audio, atol=2e-5)
+
+
 def test_kv_bucket_ladder_matches_single_bucket(tiny_model, tiny_vocab_files):
     """Greedy output is identical whether the cache grows through buckets or
     starts at full size (pad slots are invalid until written)."""
