@@ -343,6 +343,7 @@ QWEN3_TTS_17B = TTSModelConfig(
             intermediate_size=6144,
         ),
         text_embed_dim=2048,
+        decode_impl="fused",  # H=2048 units, ops/fused_step.py
     ),
     code_predictor=CodePredictorConfig(
         transformer=TransformerConfig(
@@ -353,6 +354,7 @@ QWEN3_TTS_17B = TTSModelConfig(
             head_dim=128,
             intermediate_size=6144,
         ),
+        impl="fused",
     ),
 )
 

@@ -15,9 +15,9 @@ Unit schedule per layer (all matmuls pre-packed into one int8 mega-tensor by
   u in [.., +I/H)               wd K-blocks      x += act[koff] @ W_u
                                 (first one applies silu(gate)*up)
 
-Restrictions (asserted): batch 1, S=1, hidden size == weight-unit K (1024),
-q_dim/kv_dim/intermediate multiples of 1024.  Used by the MTP inner loop
-(code_predictor impl="fused"); the same kernel shape fits the 0.6B talker.
+Restrictions (asserted): batch 1, S=1, hidden size a multiple of 1024,
+q_dim a multiple of H, qkv/gate-up widths multiples of 1024.  Covers the
+0.6B (H=1024) and 1.7B (H=2048) talkers and both MTP stacks.
 """
 
 from __future__ import annotations
@@ -58,11 +58,15 @@ class FusedStepWeights(NamedTuple):
 
 
 def _unit_counts(cfg: TransformerConfig) -> Tuple[int, int, int, int]:
+    """Unit counts per group.  Units are uniform [H, N_UNIT] slices:
+    N-split groups (qkv, gate/up) tile the output dim; K-split groups
+    (wo, wd) tile BOTH the contraction dim (by H) and the output dim
+    (by N_UNIT), accumulating into output slices."""
     H = cfg.hidden_size
     n_qkv = (cfg.q_dim + 2 * cfg.kv_dim) // N_UNIT
-    n_wo = cfg.q_dim // H
+    n_wo = (cfg.q_dim // H) * (H // N_UNIT)
     n_gu = 2 * cfg.intermediate_size // N_UNIT
-    n_wd = cfg.intermediate_size // H
+    n_wd = (cfg.intermediate_size // H) * (H // N_UNIT)
     return n_qkv, n_wo, n_gu, n_wd
 
 
@@ -70,7 +74,7 @@ def supports(cfg: TransformerConfig) -> bool:
     H = cfg.hidden_size
     A = cfg.q_dim + 2 * cfg.kv_dim
     return (
-        H == N_UNIT
+        H % N_UNIT == 0
         and A % N_UNIT == 0
         and cfg.q_dim % H == 0
         and (2 * cfg.intermediate_size) % N_UNIT == 0
@@ -116,11 +120,16 @@ def pack_fused_weights(cfg: TransformerConfig, layer_params: dict) -> FusedStepW
             scales.append(qw.scale[..., i * N_UNIT : (i + 1) * N_UNIT])
 
     def k_split(qw: QuantizedLinear):
-        # [L, k*H, N_UNIT] -> k units [L, H, N_UNIT]; same output scale each
+        # [L, k*H, n*N_UNIT] -> k*n units [L, H, N_UNIT] (k-major order);
+        # the output scale column-slice repeats for every k chunk
         k = qw.q.shape[-2] // H
+        n = qw.q.shape[-1] // N_UNIT
         for i in range(k):
-            units.append(qw.q[:, i * H : (i + 1) * H, :])
-            scales.append(qw.scale)
+            for j in range(n):
+                units.append(
+                    qw.q[:, i * H : (i + 1) * H, j * N_UNIT : (j + 1) * N_UNIT]
+                )
+                scales.append(qw.scale[..., j * N_UNIT : (j + 1) * N_UNIT])
 
     n_split(wqkv)
     k_split(wo)
@@ -186,20 +195,21 @@ def _make_kernel(cfg: TransformerConfig, T: int):
     ):
         l = pl.program_id(0)
         u = pl.program_id(1)
-        # unit schedule, computed from u against the static boundaries
+        # unit schedule, computed from u against the static boundaries.
+        # N-split units (qkv, gate/up) write one N_UNIT output column slice;
+        # K-split units (wo, wd) are k-major x n-minor over [H, N_UNIT] tiles
+        # and accumulate into an output slice.
+        nn = H // N_UNIT  # n-tiles per K-split row group (1 for H=1024)
         kind = jnp.where(u < b1, 0, jnp.where(u < b2, 1, jnp.where(u < b3, 2, 3)))
-        off = jnp.where(
-            u < b1,
-            u * N_UNIT,
-            jnp.where(
-                u < b2,
-                (u - b1) * H,
-                jnp.where(u < b3, (u - b2) * N_UNIT, (u - b3) * H),
-            ),
-        )
-        # every branch above is a multiple of 1024; Mosaic needs the proof
-        # for lane-aligned dynamic slices
+        off = jnp.where(u < b1, u * N_UNIT, (u - b2) * N_UNIT)  # N-split kinds
+        i_ks = jnp.where(kind == 1, u - b1, u - b3)  # K-split unit index
+        k_off = (i_ks // nn) * H
+        n_off = (i_ks % nn) * N_UNIT
+        # all offsets are multiples of N_UNIT; Mosaic needs the proof for
+        # lane-aligned dynamic slices
         off = pl.multiple_of(off, N_UNIT)
+        k_off = pl.multiple_of(k_off, N_UNIT)
+        n_off = pl.multiple_of(n_off, N_UNIT)
         pos = pos_ref[0]
 
         @pl.when(jnp.logical_and(l == 0, u == 0))
@@ -283,17 +293,21 @@ def _make_kernel(cfg: TransformerConfig, T: int):
         def _qkv():
             qkv_s[:, pl.ds(off, N_UNIT)] = matmul(h_s[:])
 
-        @pl.when(kind == 1)  # wo K-block: x += attn[koff] @ W
+        @pl.when(kind == 1)  # wo [H, N_UNIT] tile: x[noff] += attn[koff] @ W
         def _wo():
-            x_s[:] = x_s[:] + matmul(attn_s[:, pl.ds(off, H)])
+            x_s[:, pl.ds(n_off, N_UNIT)] = x_s[:, pl.ds(n_off, N_UNIT)] + matmul(
+                attn_s[:, pl.ds(k_off, H)]
+            )
 
         @pl.when(kind == 2)  # gate/up N-block
         def _gu():
             gu_s[:, pl.ds(off, N_UNIT)] = matmul(h_s[:])
 
-        @pl.when(kind == 3)  # wd K-block: x += act[koff] @ W
+        @pl.when(kind == 3)  # wd [H, N_UNIT] tile: x[noff] += act[koff] @ W
         def _wd():
-            x_s[:] = x_s[:] + matmul(gu_s[:, pl.ds(off, H)])
+            x_s[:, pl.ds(n_off, N_UNIT)] = x_s[:, pl.ds(n_off, N_UNIT)] + matmul(
+                gu_s[:, pl.ds(k_off, H)]
+            )
 
         # final-norm is applied OUTSIDE (caller), matching transformer_forward
         x_out[:] = x_s[:]

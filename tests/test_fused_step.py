@@ -92,6 +92,84 @@ def test_fused_talker_step_matches_xla():
 def test_supports_gate():
     small = TransformerConfig(hidden_size=64, num_heads=4, num_kv_heads=2, head_dim=16)
     assert not supports(small)
+    h2048 = TransformerConfig(
+        hidden_size=2048, num_heads=16, num_kv_heads=8, head_dim=128,
+        intermediate_size=6144,
+    )
+    assert supports(h2048)  # the 1.7B talker shape
+
+
+def test_fused_step_h2048_matches_reference():
+    """1.7B-shaped layer (H=2048: dual-offset K-split units) vs jnp math."""
+    from leaxer_qwen3_tts_tpu.models.layers import init_transformer_params
+    from leaxer_qwen3_tts_tpu.ops.fused_step import (
+        fused_decode_step,
+        pack_fused_weights,
+    )
+
+    t = TransformerConfig(
+        hidden_size=2048, num_layers=1, num_heads=16, num_kv_heads=8,
+        head_dim=128, intermediate_size=6144, dtype="float32",
+    )
+    params = init_transformer_params(t, jax.random.PRNGKey(0))
+    fw = pack_fused_weights(t, params["layers"])
+    assert fw.units.shape == (1, 4 + 2 + 12 + 6, 2048, 1024)
+
+    rng = np.random.default_rng(0)
+    T, nk, d = 9, 8, 128
+    x = jnp.asarray(rng.standard_normal((1, 2048)) * 0.3, jnp.float32)
+    kc = jnp.asarray(rng.standard_normal((1, 1, nk, T, d)) * 0.2, jnp.float32)
+    vc = jnp.asarray(rng.standard_normal((1, 1, nk, T, d)) * 0.2, jnp.float32)
+    pos = jnp.asarray(4, jnp.int32)
+    x_out, kc2, vc2 = fused_decode_step(t, fw, x, pos, kc, vc, interpret=True)
+
+    # reference with the same dequantized units
+    def deq(u):
+        return fw.units[0, u].astype(jnp.float32) * fw.scales[0, u]
+
+    def rms(v, w, eps=t.rms_norm_eps):
+        return v * jax.lax.rsqrt(jnp.mean(v * v, -1, keepdims=True) + eps) * w
+
+    def rope(v):
+        half = d // 2
+        freqs = 1.0 / (t.rope_theta ** (jnp.arange(half) / half))
+        a = pos.astype(jnp.float32) * freqs
+        c, s = jnp.cos(a)[None, :], jnp.sin(a)[None, :]
+        v1, v2 = v[:, :half], v[:, half:]
+        return jnp.concatenate([v1 * c - v2 * s, v2 * c + v1 * s], -1)
+
+    H, qd, kvd, I = 2048, 2048, 1024, 6144
+    nn = H // 1024
+    h = rms(x, fw.attn_norm[0])
+    qkv = jnp.concatenate([h @ deq(u) for u in range(4)], -1)[0]
+    q = rope(rms(qkv[:qd].reshape(16, d), fw.q_norm[0, 0]))
+    k = rope(rms(qkv[qd : qd + kvd].reshape(nk, d), fw.k_norm[0, 0]))
+    v = qkv[qd + kvd :].reshape(nk, d)
+    K = jnp.asarray(np.asarray(kc[0, 0]))
+    V = jnp.asarray(np.asarray(vc[0, 0]))
+    K = K.at[:, 4, :].set(k)
+    V = V.at[:, 4, :].set(v)
+    qg = q.reshape(nk, 2, d)
+    sc = jnp.einsum("ngd,ntd->ngt", qg, K) / (d**0.5)
+    sc = jnp.where(jnp.arange(T)[None, None, :] <= 4, sc, -1e30)
+    out = jnp.einsum("ngt,ntd->ngd", jax.nn.softmax(sc, -1), V).reshape(1, qd)
+    xr = x.copy()
+    for i_ks in range(2):  # wo: k-major x n-minor over [H, N_UNIT] tiles
+        k_off, n_off = (i_ks // nn) * H, (i_ks % nn) * 1024
+        xr = xr.at[:, n_off : n_off + 1024].add(
+            out[:, k_off : k_off + H] @ deq(4 + i_ks)
+        )
+    h2 = rms(xr, fw.mlp_norm[0])
+    gu = jnp.concatenate([h2 @ deq(6 + u) for u in range(12)], -1)
+    act = jax.nn.silu(gu[:, :I]) * gu[:, I:]
+    for i_ks in range(6):
+        k_off, n_off = (i_ks // nn) * H, (i_ks % nn) * 1024
+        xr = xr.at[:, n_off : n_off + 1024].add(
+            act[:, k_off : k_off + H] @ deq(18 + i_ks)
+        )
+    rel = float(jnp.abs(x_out - xr).max() / jnp.abs(xr).max())
+    assert rel < 2e-2, rel
+    np.testing.assert_allclose(np.asarray(kc2[0, 0, :, 4]), np.asarray(k), atol=2e-2)
 
 
 def test_fused_matches_cached(fused_cfg_params):
