@@ -8,7 +8,7 @@ the code predictor, matching the reference's last_hidden output contract.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
