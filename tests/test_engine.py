@@ -159,6 +159,17 @@ def test_clone_path(engine, tmp_path):
     )
 
 
+def test_clone_plus_instruct(engine, tmp_path):
+    """Voice clone and voice instruction compose (both condition the prompt)."""
+    sr = 16000
+    t = np.arange(sr) / sr
+    ref_path = str(tmp_path / "ref2.wav")
+    write_wav(ref_path, (0.3 * np.sin(2 * np.pi * 330 * t)).astype(np.float32), sr)
+    a = engine.synthesize_clone("hello", ref_path, temperature=0.0)
+    b = engine.synthesize_clone("hello", ref_path, temperature=0.0, instruct="world")
+    assert (a.codes.shape != b.codes.shape) or not np.array_equal(a.codes, b.codes)
+
+
 def test_speaker_fallback_without_table(engine):
     r = engine.synthesize_speaker("hello", "serena", temperature=0.0)
     plain = engine.synthesize("hello", temperature=0.0)
