@@ -278,3 +278,20 @@ def test_cli_errors(tmp_path):
 
     assert main(["-p", "hi"]) == 1  # missing model
     assert main(["-m", str(tmp_path / "nope"), "-p", "hi"]) == 1  # bad dir
+
+
+def test_safetensors_checkpoint_roundtrip(tiny_model, tmp_path):
+    from leaxer_qwen3_tts_tpu.runtime.weights import (
+        load_checkpoint,
+        save_checkpoint,
+    )
+    import jax
+
+    cfg, params = tiny_model
+    d = str(tmp_path / "st_ckpt")
+    save_checkpoint(d, cfg, params, fmt="safetensors")
+    cfg2, params2 = load_checkpoint(d)
+    assert cfg2.talker.transformer.hidden_size == cfg.talker.transformer.hidden_size
+    a = jax.device_get(params["talker"]["lm_head"])
+    b = jax.device_get(params2["talker"]["lm_head"])
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -118,3 +118,36 @@ def test_http_facade(server):
         assert len(samples) % 2000 == 0  # whole frames
     finally:
         httpd.shutdown()
+
+
+def test_server_over_mesh_engine(tiny_model, tiny_vocab_files):
+    """The batching server composes with a TP+DP-sharded engine (the v5e-8
+    serving deployment shape, here on the virtual CPU mesh)."""
+    import jax
+
+    from leaxer_qwen3_tts_tpu.parallel import make_mesh
+
+    cfg, params = tiny_model
+    vocab_path, merges_path, _ = tiny_vocab_files
+    mesh = make_mesh(2, 4)
+    with jax.set_mesh(mesh):
+        eng = TTSEngine(
+            config=cfg,
+            params=params,
+            tokenizer=Tokenizer(vocab_path, merges_path),
+            max_frames=4,
+            chunk_len=2,
+            mesh=mesh,
+        )
+        s = BatchingServer(eng, max_batch=2, max_wait_ms=200.0)
+        try:
+            futs = [
+                s.submit("hello", temperature=0.0),
+                s.submit("hello world", temperature=0.0),
+            ]
+            results = [f.result(timeout=300) for f in futs]
+        finally:
+            s.shutdown()
+    for r in results:
+        assert r.codes.shape[1] == 16
+        assert np.isfinite(r.audio).all()
