@@ -137,10 +137,13 @@ class TalkerConfig:
     codec_vocab_size: int = 3072  # codebook-0 tokens 0..2047 + control 2048..3071
     text_vocab_size: int = 151936  # Qwen2.5/Qwen3 BPE text vocab
     # decode-step implementation: "xla" or "fused" (one Pallas kernel per
-    # step, ops/fused_step.py; applies at batch 1 on TPU for cache buckets
-    # <= fused_max_cache — beyond that the cache block outgrows VMEM)
+    # step, ops/fused_step.py; batch 1 on TPU).  The kernel keeps K/V blocks
+    # VMEM-resident up to 512 slots and switches to an HBM-resident cache
+    # with windowed DMA beyond that.  The DMA variant's K/V scratch must
+    # still fit VMEM (16 MB/core: measured OK at 1024 slots, OOM at 2080),
+    # hence the cap — larger buckets use the XLA path.
     decode_impl: str = "xla"
-    fused_max_cache: int = 512
+    fused_max_cache: int = 1100
     # text_project: Embed(text_vocab, text_embed_dim) -> Dense(hidden).  If
     # text_embed_dim == hidden_size the Dense is still applied (projection is part
     # of the reference text_project.onnx contract, tts_onnx.cpp:545-559).

@@ -159,7 +159,7 @@ def _rope(x, cos, sin):
     return jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
 
 
-def _make_kernel(cfg: TransformerConfig, T: int):
+def _make_kernel(cfg: TransformerConfig, T: int, hbm_cache: bool = False):
     H = cfg.hidden_size
     nq, nk, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     g = nq // nk
@@ -181,16 +181,19 @@ def _make_kernel(cfg: TransformerConfig, T: int):
         mn_ref,  # [1, 1, H] f32 mlp_norm
         qn_ref,  # [1, 1, d] f32 q_norm
         kn_ref,  # [1, 1, d] f32 k_norm
-        kc_in,  # [1, nk, T, d] bf16 cache in (layer block)
+        kc_in,  # VMEM variant: [1, nk, T, d] layer block; HBM variant: full [L, nk, T, d] in ANY
         vc_in,
         x_out,  # [1, H] f32
-        kc_out,  # [1, nk, T, d] bf16 cache out
+        kc_out,  # VMEM variant: layer block; HBM variant: full array aliased to kc_in
         vc_out,
         x_s,  # scratch [1, H] f32 — residual stream
         h_s,  # scratch [1, H] f32 — normed input to the current matmul group
         qkv_s,  # scratch [1, qd + 2*kvd] f32
         attn_s,  # scratch [1, qd] f32
         gu_s,  # scratch [1, 2I] f32
+        k_vm=None,  # HBM variant scratch: [nk, T, d] cache dtype
+        v_vm=None,
+        sems=None,  # HBM variant: DMA semaphores (4,)
     ):
         l = pl.program_id(0)
         u = pl.program_id(1)
@@ -219,6 +222,13 @@ def _make_kernel(cfg: TransformerConfig, T: int):
         # new slot via masked select: Mosaic can't do dynamic sub-tile stores
         # on the sublane axis); other units must leave kc_out untouched
 
+        if hbm_cache:
+            # start streaming this layer's K/V while the qkv matmuls run
+            @pl.when(u == 0)
+            def _cache_in():
+                pltpu.make_async_copy(kc_in.at[l], k_vm, sems.at[0]).start()
+                pltpu.make_async_copy(vc_in.at[l], v_vm, sems.at[1]).start()
+
         @pl.when(u == 0)
         def _norm_attn():
             h_s[:] = _rms(x_s[:], an_ref[0], eps)
@@ -235,18 +245,53 @@ def _make_kernel(cfg: TransformerConfig, T: int):
             k = _rms(k, kn_ref[0, 0], eps)
             q = _rope(q, cos, sin)
             k = _rope(k, cos, sin)
-            # cache write at pos as a masked full-block select
-            slot = jax.lax.broadcasted_iota(jnp.int32, (1, nk, T, d), 2)
-            K_new = jnp.where(
-                slot == pos, k[None, :, None, :].astype(kc_in.dtype), kc_in[:]
-            )
-            V_new = jnp.where(
-                slot == pos, v[None, :, None, :].astype(vc_in.dtype), vc_in[:]
-            )
-            kc_out[:] = K_new
-            vc_out[:] = V_new
-            K = K_new[0].astype(jnp.float32)  # [nk, T, d]
-            V = V_new[0].astype(jnp.float32)
+            if hbm_cache:
+                # K/V live in VMEM scratch (DMA'd at u == 0); place the new
+                # slot via an 8-aligned read-modify-write window, then DMA
+                # only that window back to the HBM cache (aliased in-place)
+                pltpu.make_async_copy(kc_in.at[l], k_vm, sems.at[0]).wait()
+                pltpu.make_async_copy(vc_in.at[l], v_vm, sems.at[1]).wait()
+                w0 = pl.multiple_of((pos // 8) * 8, 8)
+                wslot = jax.lax.broadcasted_iota(jnp.int32, (nk, 8, d), 1) + w0
+                k_win = jnp.where(
+                    wslot == pos, k[:, None, :].astype(k_vm.dtype),
+                    k_vm[:, pl.ds(w0, 8), :],
+                )
+                v_win = jnp.where(
+                    wslot == pos, v[:, None, :].astype(v_vm.dtype),
+                    v_vm[:, pl.ds(w0, 8), :],
+                )
+                k_vm[:, pl.ds(w0, 8), :] = k_win
+                v_vm[:, pl.ds(w0, 8), :] = v_win
+                kout = pltpu.make_async_copy(
+                    k_vm.at[:, pl.ds(w0, 8), :],
+                    kc_out.at[l, :, pl.ds(w0, 8), :],
+                    sems.at[2],
+                )
+                vout = pltpu.make_async_copy(
+                    v_vm.at[:, pl.ds(w0, 8), :],
+                    vc_out.at[l, :, pl.ds(w0, 8), :],
+                    sems.at[3],
+                )
+                kout.start()
+                vout.start()
+                K = k_vm[:].astype(jnp.float32)  # [nk, T, d]
+                V = v_vm[:].astype(jnp.float32)
+                kout.wait()
+                vout.wait()
+            else:
+                # cache write at pos as a masked full-block select
+                slot = jax.lax.broadcasted_iota(jnp.int32, (1, nk, T, d), 2)
+                K_new = jnp.where(
+                    slot == pos, k[None, :, None, :].astype(kc_in.dtype), kc_in[:]
+                )
+                V_new = jnp.where(
+                    slot == pos, v[None, :, None, :].astype(vc_in.dtype), vc_in[:]
+                )
+                kc_out[:] = K_new
+                vc_out[:] = V_new
+                K = K_new[0].astype(jnp.float32)  # [nk, T, d]
+                V = V_new[0].astype(jnp.float32)
             qg = q.reshape(nk, g, d)
             scores = jax.lax.dot_general(
                 qg, K, (((2,), (2,)), ((0,), (0,))),
@@ -333,7 +378,10 @@ def fused_decode_step(
     nk, d = cfg.num_kv_heads, cfg.head_dim
     qd, kvd, I = cfg.q_dim, cfg.kv_dim, cfg.intermediate_size
 
-    kernel, U = _make_kernel(cfg, T)
+    # beyond ~512 slots the per-layer cache blocks outgrow VMEM residency;
+    # the HBM variant streams them through scratch via DMA instead
+    hbm_cache = T > 512
+    kernel, U = _make_kernel(cfg, T, hbm_cache=hbm_cache)
 
     half = d // 2
     freqs = 1.0 / (cfg.rope_theta ** (jnp.arange(half, dtype=jnp.float32) / half))
@@ -346,46 +394,74 @@ def fused_decode_step(
 
     norm_block = lambda l, u: (l, 0, 0)
 
+    in_specs = [
+        pl.BlockSpec(memory_space=_SMEM),  # pos
+        pl.BlockSpec((1, H), lambda l, u: (0, 0), memory_space=_VMEM),
+        pl.BlockSpec((1, half), lambda l, u: (0, 0), memory_space=_VMEM),
+        pl.BlockSpec((1, half), lambda l, u: (0, 0), memory_space=_VMEM),
+        pl.BlockSpec((1, 1, H, N_UNIT), lambda l, u: (l, u, 0, 0),
+                     memory_space=_VMEM),
+        pl.BlockSpec((1, 1, 1, N_UNIT), lambda l, u: (l, u, 0, 0),
+                     memory_space=_VMEM),
+        pl.BlockSpec((1, 1, H), norm_block, memory_space=_VMEM),
+        pl.BlockSpec((1, 1, H), norm_block, memory_space=_VMEM),
+        pl.BlockSpec((1, 1, d), norm_block, memory_space=_VMEM),
+        pl.BlockSpec((1, 1, d), norm_block, memory_space=_VMEM),
+    ]
+    scratch = [
+        pltpu.VMEM((1, H), jnp.float32),
+        pltpu.VMEM((1, H), jnp.float32),
+        pltpu.VMEM((1, qd + 2 * kvd), jnp.float32),
+        pltpu.VMEM((1, qd), jnp.float32),
+        pltpu.VMEM((1, 2 * I), jnp.float32),
+    ]
+    x_out_spec = pl.BlockSpec((1, H), lambda l, u: (0, 0), memory_space=_VMEM)
+    if hbm_cache:
+        # caches stay in HBM (ANY), aliased input->output for in-place update;
+        # the kernel DMAs the layer's K/V through VMEM scratch
+        in_specs += [
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ]
+        out_specs = [
+            x_out_spec,
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ]
+        scratch += [
+            pltpu.VMEM((nk, T, d), kc.dtype),
+            pltpu.VMEM((nk, T, d), vc.dtype),
+            pltpu.SemaphoreType.DMA((4,)),
+        ]
+        aliases = {10: 1, 11: 2}  # kc, vc inputs -> outputs (in-place)
+    else:
+        in_specs += [
+            pl.BlockSpec((1, nk, T, d), lambda l, u: (l, 0, 0, 0),
+                         memory_space=_VMEM),
+            pl.BlockSpec((1, nk, T, d), lambda l, u: (l, 0, 0, 0),
+                         memory_space=_VMEM),
+        ]
+        out_specs = [
+            x_out_spec,
+            pl.BlockSpec((1, nk, T, d), lambda l, u: (l, 0, 0, 0),
+                         memory_space=_VMEM),
+            pl.BlockSpec((1, nk, T, d), lambda l, u: (l, 0, 0, 0),
+                         memory_space=_VMEM),
+        ]
+        aliases = {}
+
     x_out, kc_out, vc_out = pl.pallas_call(
         kernel,
         grid=(L, U),
-        in_specs=[
-            pl.BlockSpec(memory_space=_SMEM),  # pos
-            pl.BlockSpec((1, H), lambda l, u: (0, 0), memory_space=_VMEM),
-            pl.BlockSpec((1, half), lambda l, u: (0, 0), memory_space=_VMEM),
-            pl.BlockSpec((1, half), lambda l, u: (0, 0), memory_space=_VMEM),
-            pl.BlockSpec((1, 1, H, N_UNIT), lambda l, u: (l, u, 0, 0),
-                         memory_space=_VMEM),
-            pl.BlockSpec((1, 1, 1, N_UNIT), lambda l, u: (l, u, 0, 0),
-                         memory_space=_VMEM),
-            pl.BlockSpec((1, 1, H), norm_block, memory_space=_VMEM),
-            pl.BlockSpec((1, 1, H), norm_block, memory_space=_VMEM),
-            pl.BlockSpec((1, 1, d), norm_block, memory_space=_VMEM),
-            pl.BlockSpec((1, 1, d), norm_block, memory_space=_VMEM),
-            pl.BlockSpec((1, nk, T, d), lambda l, u: (l, 0, 0, 0),
-                         memory_space=_VMEM),
-            pl.BlockSpec((1, nk, T, d), lambda l, u: (l, 0, 0, 0),
-                         memory_space=_VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, H), lambda l, u: (0, 0), memory_space=_VMEM),
-            pl.BlockSpec((1, nk, T, d), lambda l, u: (l, 0, 0, 0),
-                         memory_space=_VMEM),
-            pl.BlockSpec((1, nk, T, d), lambda l, u: (l, 0, 0, 0),
-                         memory_space=_VMEM),
-        ],
+        in_specs=in_specs,
+        out_specs=out_specs,
         out_shape=[
             jax.ShapeDtypeStruct((1, H), jnp.float32),
             jax.ShapeDtypeStruct((L, nk, T, d), kc.dtype),
             jax.ShapeDtypeStruct((L, nk, T, d), vc.dtype),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((1, H), jnp.float32),
-            pltpu.VMEM((1, H), jnp.float32),
-            pltpu.VMEM((1, qd + 2 * kvd), jnp.float32),
-            pltpu.VMEM((1, qd), jnp.float32),
-            pltpu.VMEM((1, 2 * I), jnp.float32),
-        ],
+        scratch_shapes=scratch,
+        input_output_aliases=aliases,
         interpret=interpret,
     )(
         jnp.asarray([pos], jnp.int32),

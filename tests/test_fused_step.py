@@ -89,6 +89,56 @@ def test_fused_talker_step_matches_xla():
     )
 
 
+def test_hbm_cache_variant_matches_vmem(fused_cfg_params):
+    """T > 512 switches to the DMA/HBM-cache variant; same math as the VMEM
+    variant on the shared slot range."""
+    from leaxer_qwen3_tts_tpu.models.layers import init_transformer_params
+    from leaxer_qwen3_tts_tpu.ops.fused_step import (
+        fused_decode_step,
+        pack_fused_weights,
+    )
+
+    t = TransformerConfig(
+        hidden_size=1024, num_layers=2, num_heads=8, num_kv_heads=4,
+        head_dim=128, intermediate_size=3072, dtype="float32",
+    )
+    params = init_transformer_params(t, jax.random.PRNGKey(0))
+    fw = pack_fused_weights(t, params["layers"])
+
+    rng = np.random.default_rng(5)
+    L, nk, d = 2, 4, 128
+    x = jnp.asarray(rng.standard_normal((1, 1024)) * 0.3, jnp.float32)
+    pos = jnp.asarray(17, jnp.int32)  # NOT 8-aligned: exercises the window RMW
+
+    # small cache (VMEM variant) as the reference
+    T_small = 512
+    kc = jnp.asarray(rng.standard_normal((L, 1, nk, T_small, d)) * 0.2, jnp.float32)
+    vc = jnp.asarray(rng.standard_normal((L, 1, nk, T_small, d)) * 0.2, jnp.float32)
+    x_ref, kr, vr = fused_decode_step(t, fw, x, pos, kc, vc, interpret=True)
+
+    # same prefix content in a 520-slot cache -> HBM variant
+    T_big = 520
+    pad = ((0, 0), (0, 0), (0, 0), (0, T_big - T_small), (0, 0))
+    kc_b = jnp.pad(kc, pad)
+    vc_b = jnp.pad(vc, pad)
+    x_big, kb, vb = fused_decode_step(t, fw, x, pos, kc_b, vc_b, interpret=True)
+
+    # NOTE: attention masks slot <= pos, so identical prefixes give identical
+    # outputs up to bf16-matmul ulp flips seeded by reduction-order noise
+    # across the two shapes (values ~1 -> bf16 ulp ~8e-3)
+    np.testing.assert_allclose(np.asarray(x_big), np.asarray(x_ref), atol=2e-2)
+    corr = np.corrcoef(np.asarray(x_big).ravel(), np.asarray(x_ref).ravel())[0, 1]
+    assert corr > 0.99999, corr
+    np.testing.assert_allclose(
+        np.asarray(kb[:, :, :, :T_small]), np.asarray(kr), atol=1e-5
+    )
+    # the written slot landed in the right place
+    assert not np.allclose(np.asarray(kb[0, 0, :, 17]), np.asarray(kc_b[0, 0, :, 17]))
+    np.testing.assert_array_equal(
+        np.asarray(kb[0, 0, :, 18]), np.asarray(kc_b[0, 0, :, 18])
+    )
+
+
 def test_supports_gate():
     small = TransformerConfig(hidden_size=64, num_heads=4, num_kv_heads=2, head_dim=16)
     assert not supports(small)
