@@ -203,36 +203,38 @@ def main() -> None:
     sync(a)
     ttfa_s = time.perf_counter() - t0
 
-    # --- multi-stream serving throughput (batch 8, same params) -------------
-    serving_rtf = None
+    # --- multi-stream serving throughput (batched, same params) -------------
+    serving = {}
     if batch == 1 and os.environ.get("BENCH_SKIP_SERVING") != "1":
-        try:
-            B8 = 8
-            fns8 = make_generate_fns(cfg, batch=B8, max_len=frames + 32, chunk_len=chunk)
-            ids8 = jnp.full((B8, T), 100, jnp.int32)
-            lens8 = jnp.full((B8,), T, jnp.int32)
-            st8, bd8 = fns8.prefill(params, ids8, lens8, key)
-            st8, fr8, _ = fns8.decode(
-                params, st8, bd8.trailing, bd8.trailing_len, bd8.tts_pad_embed, sp
-            )
-            sync(fr8)  # compile
-            a8 = voc(params["vocoder"], fr8)
-            sync(a8)  # compile vocoder at batch 8
-            n8 = max(2, n_chunks // 2)
-            t0 = time.perf_counter()
-            a8s = []
-            for _ in range(n8):
-                st8, fr8, _ = fns8.decode(
-                    params, st8, bd8.trailing, bd8.trailing_len, bd8.tts_pad_embed, sp
+        for Bs in (8, 32):
+            try:
+                fnsb = make_generate_fns(
+                    cfg, batch=Bs, max_len=frames + 32, chunk_len=chunk
                 )
-                a8s.append(voc(params["vocoder"], fr8))
-            for a8 in a8s:
-                sync(a8)
-            dt8 = time.perf_counter() - t0
-            serving_rtf = (n8 * chunk * B8 / FRAME_RATE) / dt8
-            log(f"serving batch8: {serving_rtf:.1f}x aggregate RTF")
-        except Exception as e:  # never fail the headline on the extra probe
-            log(f"serving probe failed: {e}")
+                idsb = jnp.full((Bs, T), 100, jnp.int32)
+                lensb = jnp.full((Bs,), T, jnp.int32)
+                stb, bdb = fnsb.prefill(params, idsb, lensb, key)
+                stb, frb, _ = fnsb.decode(
+                    params, stb, bdb.trailing, bdb.trailing_len, bdb.tts_pad_embed, sp
+                )
+                sync(frb)  # compile
+                ab = voc(params["vocoder"], frb)
+                sync(ab)  # compile vocoder at this batch
+                nb = max(2, n_chunks // 2)
+                t0 = time.perf_counter()
+                abs_ = []
+                for _ in range(nb):
+                    stb, frb, _ = fnsb.decode(
+                        params, stb, bdb.trailing, bdb.trailing_len, bdb.tts_pad_embed, sp
+                    )
+                    abs_.append(voc(params["vocoder"], frb))
+                for ab in abs_:
+                    sync(ab)
+                dtb = time.perf_counter() - t0
+                serving[Bs] = (nb * chunk * Bs / FRAME_RATE) / dtb
+                log(f"serving batch{Bs}: {serving[Bs]:.1f}x aggregate RTF")
+            except Exception as e:  # never fail the headline on the extra probe
+                log(f"serving probe (B={Bs}) failed: {e}")
 
     # --- bf16 (quality-exact parity config) probe, batch 1 ------------------
     bf16_frame_ms = None
@@ -304,8 +306,8 @@ def main() -> None:
     }
     result["mtp_impl"] = cfg.code_predictor.impl
     result["quant"] = quant
-    if serving_rtf is not None:
-        result["serving_rtf_batch8"] = round(serving_rtf, 1)
+    for Bs, rtf_b in serving.items():
+        result[f"serving_rtf_batch{Bs}"] = round(rtf_b, 1)
     if bf16_frame_ms is not None:
         result["bf16_decode_ms_per_frame"] = round(bf16_frame_ms, 2)
     if long_frame_ms is not None:

@@ -34,7 +34,7 @@ from ..utils.logging import get_logger
 
 log = get_logger(__name__)
 
-BATCH_BUCKETS = (1, 2, 4, 8)
+BATCH_BUCKETS = (1, 2, 4, 8, 16, 32)
 
 
 @dataclass
