@@ -211,3 +211,50 @@ def test_mtp_dense_matches_cached(tiny_model):
     )
     np.testing.assert_array_equal(np.asarray(subs_c), np.asarray(subs_d))
     np.testing.assert_allclose(np.asarray(sum_c), np.asarray(sum_d), atol=1e-5)
+
+
+def test_prompt_length_accounting():
+    """Static prompt-length math covers every conditioning combination
+    (language x speaker x instruct) — the engine's ladder sizing relies on it."""
+    import jax
+    import jax.numpy as jnp
+
+    from leaxer_qwen3_tts_tpu.config import LANG_ENGLISH
+    from leaxer_qwen3_tts_tpu.models.embeddings import init_embedding_params
+    from leaxer_qwen3_tts_tpu.config import CodePredictorConfig, TalkerConfig
+    from leaxer_qwen3_tts_tpu.runtime.prompt import build_prompt, prompt_length
+
+    tcfg = TalkerConfig()
+    emb = init_embedding_params(
+        TalkerConfig(
+            transformer=tcfg.transformer.__class__(
+                hidden_size=32, num_layers=1, num_heads=2, num_kv_heads=2,
+                head_dim=16, intermediate_size=64, dtype="float32",
+            ),
+            text_vocab_size=152000,
+            text_embed_dim=32,
+        ),
+        CodePredictorConfig(num_steps=2, subcode_vocab_size=8),
+        jax.random.PRNGKey(0),
+    )
+    ids = jnp.asarray([[5, 6, 7]], jnp.int32)
+    lens = jnp.asarray([3], jnp.int32)
+    spk = jnp.zeros((1, 32), jnp.float32)
+    instr = jnp.asarray([[9, 10]], jnp.int32)
+    ilen = jnp.asarray([2], jnp.int32)
+
+    for lang in (None, LANG_ENGLISH):
+        for use_spk in (False, True):
+            for use_instr in (False, True):
+                bundle = build_prompt(
+                    emb, ids, lens, lang,
+                    spk if use_spk else None,
+                    instr if use_instr else None,
+                    ilen if use_instr else None,
+                )
+                expected = prompt_length(
+                    lang, use_spk, instr.shape[1] if use_instr else 0
+                )
+                assert bundle.prompt_embeds.shape[1] == expected, (
+                    lang, use_spk, use_instr,
+                )
