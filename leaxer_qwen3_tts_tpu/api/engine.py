@@ -143,11 +143,14 @@ class TTSEngine:
                 self.params = quantize_params(self.params)
             elif quantize is not None:
                 raise EngineError(f"unknown quantize mode {quantize!r}")
-            if (
-                self.cfg.code_predictor.impl == "fused"
-                and mesh is None
-                and jax.default_backend() == "tpu"
-            ):
+            # The fused Pallas step kernels consume int8 units, so they are
+            # part of the int8 configuration ONLY: with quantize=None every
+            # path (fused-eligible or not) stays bf16, and with quantize=int8
+            # the fused kernel and the XLA fallback (prefill, batch>1, big
+            # buckets) read the SAME QuantizedLinear weights — one numerics
+            # per request, never a silent mid-stream dtype switch.
+            use_fused = quantize == "int8" and mesh is None and jax.default_backend() == "tpu"
+            if self.cfg.code_predictor.impl == "fused" and use_fused:
                 # pre-pack the MTP weights for the fused Pallas step kernel
                 # (TPU only: elsewhere the packed path would run interpreted
                 # and predict_subcodes falls back to the cached impl)
@@ -156,11 +159,7 @@ class TTSEngine:
                 self.params["code_predictor"] = prepare_fused_step(
                     self.cfg.code_predictor, self.params["code_predictor"]
                 )
-            if (
-                self.cfg.talker.decode_impl == "fused"
-                and mesh is None
-                and jax.default_backend() == "tpu"
-            ):
+            if self.cfg.talker.decode_impl == "fused" and use_fused:
                 from ..models.talker import prepare_fused_talker
 
                 self.params["talker"] = prepare_fused_talker(
@@ -328,7 +327,7 @@ class TTSEngine:
             return [result]
         return [
             SynthesisResult(
-                audio=result.audio[b], codes=result.codes[b], metrics=result.metrics
+                audio=result.audio[b], codes=result.codes[b], metrics=result.metrics[b]
             )
             for b in range(len(texts))
         ]
@@ -494,6 +493,15 @@ class TTSEngine:
     ):
         cfg = self.cfg
         B = len(id_lists)
+        # Out-of-range ids would gather NaN embeddings (jnp.take fill) and
+        # surface as silent NaN audio; fail typed at the boundary instead.
+        vocab = cfg.talker.text_vocab_size
+        for ids in list(id_lists) + ([instruct_ids] if instruct_ids else []):
+            bad = [i for i in ids if not 0 <= int(i) < vocab]
+            if bad:
+                raise EngineError(
+                    f"token id(s) out of range [0, {vocab}): {bad[:8]}"
+                )
         lang_id = language_to_codec_id(language if language != "auto" else None)
         max_tokens = self.max_frames if max_tokens is None else min(max_tokens, self.max_frames)
 
@@ -525,6 +533,19 @@ class TTSEngine:
             i_bucket, instr_arr, instr_len = 0, None, None
 
         P = prompt_length(lang_id, has_speaker, i_bucket)
+        # Cap generation so the KV write position can never pass the top
+        # bucket: the last chunk may overshoot max_tokens by up to
+        # chunk_len-1 frames (trimmed after the loop), so the budget reserves
+        # a full chunk below the top.  Without this, long-form + instruct
+        # requests ran the ladder off its end (round-1 advisor finding).
+        top = self.kv_ladder[-1]
+        budget = top - P - self.chunk_len
+        if budget < 1:
+            raise EngineError(
+                f"prompt ({P} positions) too long for the KV cache "
+                f"(top bucket {top}, chunk {self.chunk_len})"
+            )
+        max_tokens = min(max_tokens, budget)
         bidx = next(
             (i for i, b in enumerate(self.kv_ladder) if b >= P + self.chunk_len + 1),
             len(self.kv_ladder) - 1,
@@ -557,7 +578,10 @@ class TTSEngine:
         first = True
         while steps < max_tokens:
             cur_chunk = self.first_chunk_len if first else self.chunk_len
-            if P + steps + cur_chunk + 1 > self.kv_ladder[bidx]:
+            while (
+                P + steps + cur_chunk + 1 > self.kv_ladder[bidx]
+                and bidx + 1 < len(self.kv_ladder)
+            ):
                 bidx += 1  # grow the cache into the next bucket
                 state = self._grow_state(state, self.kv_ladder[bidx])
             cur_fns = self._get_fns(
@@ -624,8 +648,21 @@ class TTSEngine:
                 metrics=metrics,
             )
         else:
+            # per-stream frame/audio counts (stage wall-clock is shared: the
+            # whole batch decodes as one SPMD program, so per-request RTF is
+            # that stream's audio over the batch's wall time)
+            per_stream = []
+            for b in range(B):
+                m = SynthesisMetrics(
+                    stage_seconds=dict(metrics.stage_seconds),
+                    audio_seconds=float(n_valid[b]) * spf / SAMPLE_RATE,
+                    frames=int(n_valid[b]),
+                    ttfa_seconds=metrics.ttfa_seconds,
+                    total_seconds=metrics.total_seconds,
+                )
+                per_stream.append(m)
             yield SynthesisResult(
                 audio=[full_audio[b, : int(n_valid[b]) * spf] for b in range(B)],
                 codes=[all_frames[b][all_valid[b]] for b in range(B)],
-                metrics=metrics,
+                metrics=per_stream,
             )

@@ -113,9 +113,15 @@ def _sample_topk_subset(key, logits, params):
     shape = (1,) * (logits.ndim - 1) + (k_cap,)
     pos = pos.reshape(shape)
 
-    # top-k: positional cut inside the sorted subset
+    # top-k: threshold cut inside the sorted subset — keep vals >= the k-th
+    # value so ties straddling the cutoff survive, exactly like _top_k_mask
+    # and the reference filter (tts_onnx.cpp:917-927)
     top_k = _per_row(params.top_k)
-    keep = jnp.where(top_k > 0, pos < top_k, True)
+    k_idx = jnp.broadcast_to(
+        jnp.clip(top_k - 1, 0, k_cap - 1), vals.shape[:-1] + (1,)
+    ).astype(jnp.int32)
+    threshold = jnp.take_along_axis(vals, k_idx, axis=-1)
+    keep = jnp.where(top_k > 0, vals >= threshold, True)
     t = _per_row(jnp.maximum(params.temperature, 1e-6))
     scaled = jnp.where(keep, vals / t, NEG_INF)
 

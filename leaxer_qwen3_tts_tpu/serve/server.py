@@ -173,7 +173,22 @@ class BatchingServer:
         self._batches_run += 1
         for r, res in zip(batch, results[:n]):
             self._requests_done += 1
-            r.future.set_result(res)
+            r.future.set_result(self._trim(r, res))
+
+    def _trim(self, r: _Request, res: SynthesisResult) -> SynthesisResult:
+        """Enforce the request's own max_tokens: the batch ran with the max
+        over all requests, so shorter bounds must be applied per-result."""
+        if r.max_tokens is None or len(res.codes) <= r.max_tokens:
+            return res
+        spf = self.engine.cfg.vocoder.samples_per_frame
+        m = res.metrics
+        m.frames = int(r.max_tokens)
+        m.audio_seconds = r.max_tokens * spf / float(SAMPLE_RATE)
+        return SynthesisResult(
+            audio=res.audio[: r.max_tokens * spf],
+            codes=res.codes[: r.max_tokens],
+            metrics=m,
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -195,9 +210,20 @@ def wav_bytes(audio: np.ndarray, sample_rate: int = SAMPLE_RATE) -> bytes:
     return out.getvalue()
 
 
-def make_http_server(server: BatchingServer, host: str = "127.0.0.1", port: int = 8080):
-    """ThreadingHTTPServer facade; caller runs .serve_forever()."""
+def make_http_server(
+    server: BatchingServer,
+    host: str = "127.0.0.1",
+    port: int = 8080,
+    max_streams: int = 4,
+):
+    """ThreadingHTTPServer facade; caller runs .serve_forever().
+
+    ``max_streams`` bounds concurrent /synthesize_stream decodes (each runs a
+    private batch-1 decode on the device); excess streamers get 503 instead of
+    serializing unboundedly on the accelerator."""
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    stream_slots = threading.BoundedSemaphore(max_streams)
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # route through our logger
@@ -259,6 +285,9 @@ def make_http_server(server: BatchingServer, host: str = "127.0.0.1", port: int 
             except Exception:
                 self.send_error(400, "expected JSON body with a 'text' field")
                 return
+            if not stream_slots.acquire(blocking=False):
+                self.send_error(503, "too many concurrent streams")
+                return
             try:
                 gen = server.engine.synthesize_stream(
                     text,
@@ -286,11 +315,13 @@ def make_http_server(server: BatchingServer, host: str = "127.0.0.1", port: int 
                 self.wfile.write(b"0\r\n\r\n")
             except BrokenPipeError:
                 pass
-            except Exception as e:
+            except Exception:
                 log.exception("stream failed")
                 try:
                     self.wfile.write(b"0\r\n\r\n")
                 except Exception:
                     pass
+            finally:
+                stream_slots.release()
 
     return ThreadingHTTPServer((host, port), Handler)

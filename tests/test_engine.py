@@ -295,3 +295,93 @@ def test_safetensors_checkpoint_roundtrip(tiny_model, tmp_path):
     a = jax.device_get(params["talker"]["lm_head"])
     b = jax.device_get(params2["talker"]["lm_head"])
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_batch_per_request_metrics(engine):
+    """Each batched result carries its own frame/audio counts (round-1
+    verdict: metrics.frames was the max over streams for every element)."""
+    batch = engine.synthesize_batch(["hello world", "hello"], temperature=0.0)
+    for r in batch:
+        assert r.metrics.frames == r.codes.shape[0]
+        assert r.metrics.audio_seconds == pytest.approx(
+            r.codes.shape[0] * SPF / SAMPLE_RATE
+        )
+    # at least the stage timers are shared (one SPMD program)
+    assert batch[0].metrics.total_seconds == batch[1].metrics.total_seconds
+
+
+def test_token_id_validation(engine):
+    """Out-of-range ids raise a typed error instead of gathering NaN audio
+    (jnp.take fills NaN for out-of-range indices)."""
+    with pytest.raises(EngineError, match="out of range"):
+        engine.synthesize_tokens([10**9])
+    with pytest.raises(EngineError, match="out of range"):
+        engine.synthesize_tokens([-1, 5])
+
+
+def test_kv_ladder_never_overruns(tiny_model, tiny_vocab_files):
+    """A long prompt (big instruct bucket) + full frame budget must cap
+    generation to what the top bucket holds, not run the ladder off its end
+    (round-1 advisor finding: IndexError mid-synthesis)."""
+    cfg, params = tiny_model
+    vocab_path, merges_path, _ = tiny_vocab_files
+    tok = Tokenizer(vocab_path, merges_path)
+    eng = TTSEngine(
+        config=cfg, params=params, tokenizer=tok,
+        max_frames=12, chunk_len=4, text_bucket=4,
+    )
+    # i_bucket=24 -> P=32; top bucket = 12+32=44; budget = 44-32-4 = 8 < 12
+    instruct = " ".join(["hello"] * 12)  # >= 21 tokens
+    assert len(tok.encode(instruct)) >= 21
+    r = eng.synthesize("hello world", temperature=0.0, instruct=instruct)
+    assert r.codes.shape[0] <= 8  # capped to the bucket budget, no crash
+
+
+def test_prompt_too_long_raises(tiny_model, tiny_vocab_files):
+    cfg, params = tiny_model
+    vocab_path, merges_path, _ = tiny_vocab_files
+    tok = Tokenizer(vocab_path, merges_path)
+    eng = TTSEngine(
+        config=cfg, params=params, tokenizer=tok,
+        max_frames=4, chunk_len=4, text_bucket=4,
+    )
+    # i_bucket >= 32 -> P >= 40 > top bucket 36
+    with pytest.raises(EngineError, match="too long"):
+        eng.synthesize(
+            "hello", temperature=0.0, instruct=" ".join(["hello"] * 40)
+        )
+
+
+def test_fused_prep_gated_on_int8(tiny_model, monkeypatch):
+    """The fused Pallas kernels imply int8 units, so they only engage in the
+    int8 configuration; quantize=None must stay pure bf16 on every path
+    (round-1 advisor finding: silent mid-stream numerics switch)."""
+    import dataclasses
+
+    import jax
+
+    import leaxer_qwen3_tts_tpu.models.code_predictor as cp_mod
+    import leaxer_qwen3_tts_tpu.models.talker as talker_mod
+
+    cfg, params = tiny_model
+    cfg2 = dataclasses.replace(
+        cfg,
+        talker=dataclasses.replace(cfg.talker, decode_impl="fused"),
+        code_predictor=dataclasses.replace(cfg.code_predictor, impl="fused"),
+    )
+    calls = []
+    monkeypatch.setattr(
+        talker_mod, "prepare_fused_talker", lambda c, p: (calls.append("t"), p)[1]
+    )
+    monkeypatch.setattr(
+        cp_mod, "prepare_fused_step", lambda c, p: (calls.append("m"), p)[1]
+    )
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    eng = TTSEngine(config=cfg2, params=params)  # quantize=None
+    assert eng.is_ready(), eng.get_error()
+    assert calls == []  # bf16 config: no fused packing
+
+    eng = TTSEngine(config=cfg2, params=params, quantize="int8")
+    assert eng.is_ready(), eng.get_error()
+    assert calls == ["m", "t"]  # int8 config: both kernels packed

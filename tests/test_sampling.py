@@ -106,3 +106,34 @@ def test_forbid_eos():
         jnp.where(jnp.asarray(True), -1e30, 0.0)
     )
     assert int(sample_token(jax.random.PRNGKey(0), masked, sp)[0]) != CODEC_EOS
+
+
+def test_topk_subset_keeps_threshold_ties():
+    """The fast subset path must keep ALL tokens tied at the k-th value, like
+    the full path and the reference filter (tts_onnx.cpp:917-927) — not cut
+    positionally (round-1 advisor finding)."""
+    import jax
+
+    from leaxer_qwen3_tts_tpu.runtime.sampling import (
+        _sample_full,
+        _sample_topk_subset,
+        SamplingParams,
+    )
+
+    V = 300  # > K_CAP so the subset path is the one exercised in production
+    logits = np.full((V,), -10.0, np.float32)
+    logits[3] = 2.0
+    logits[[5, 17, 42]] = 1.0  # three-way tie at the k-th (k=2) value
+    lg = jnp.asarray(logits)[None]
+    sp = SamplingParams.create(temperature=1.0, top_k=2, top_p=1.0)
+
+    def support(fn):
+        out = set()
+        for s in range(64):
+            out.add(int(fn(jax.random.PRNGKey(s), lg, sp)[0]))
+        return out
+
+    sub, full = support(_sample_topk_subset), support(_sample_full)
+    assert sub == full  # identical candidate sets
+    assert {5, 17, 42} & sub  # ties survive
+    assert sub <= {3, 5, 17, 42}

@@ -151,3 +151,37 @@ def test_server_over_mesh_engine(tiny_model, tiny_vocab_files):
     for r in results:
         assert r.codes.shape[1] == 16
         assert np.isfinite(r.audio).all()
+
+
+def test_per_request_max_tokens_trimmed(server):
+    """A request's own max_tokens bounds ITS result even when batch-mates ask
+    for more (the batch runs with the max; round-1 advisor finding)."""
+    f_short = server.submit("hello world", temperature=0.0, max_tokens=1)
+    f_long = server.submit("hello world", temperature=0.0, max_tokens=6)
+    short, long_ = f_short.result(timeout=300), f_long.result(timeout=300)
+    assert short.codes.shape[0] <= 1
+    assert short.audio.size == short.codes.shape[0] * 2000
+    assert short.metrics.frames == short.codes.shape[0]
+    assert long_.codes.shape[0] >= short.codes.shape[0]
+
+
+def test_stream_concurrency_cap(server):
+    """Excess concurrent /synthesize_stream requests get 503, not an unbounded
+    device queue."""
+    import urllib.error
+
+    httpd = make_http_server(server, "127.0.0.1", 0, max_streams=0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        sreq = urllib.request.Request(
+            f"http://127.0.0.1:{port}/synthesize_stream",
+            data=json.dumps({"text": "hello"}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(sreq, timeout=60)
+        assert e.value.code == 503
+    finally:
+        httpd.shutdown()
