@@ -113,8 +113,9 @@ def test_hf_name_mapping_and_stacking():
             (16, H)
         ).astype(np.float32)
 
-    staged, unmapped = map_tensors(tensors)
+    staged, unmapped, conflicts = map_tensors(tensors)
     assert unmapped == ["something.unknown"]
+    assert conflicts == []
     flat = assemble(staged)
     assert flat["code_predictor/heads"].shape == (3, H, 16)
     assert flat["talker/transformer/layers/wq"].shape == (L, H, 2 * H)  # transposed
@@ -207,3 +208,70 @@ def _register_tiny_preset(tiny_model):
     PRESETS[cfg.name] = cfg
     yield
     PRESETS.pop(cfg.name, None)
+
+
+def test_onnx_8graph_roundtrip_strict(tmp_path, tiny_model):
+    """The full proof-of-path for the real export (round-1 verdict item 2):
+    re-export the tiny model as the reference's 8-graph ONNX layout
+    (tools/onnx_export.py, torch naming + layouts), convert it back with
+    ZERO --remap entries under --strict, and assert a bit-identical
+    round-trip for EVERY parameter of every module — talker, MTP, embeddings,
+    vocoder, speaker encoder."""
+    import jax
+
+    import tools.convert as tc
+    from tools.onnx_export import export_onnx_model_dir
+    from leaxer_qwen3_tts_tpu.runtime.weights import (
+        flatten_params,
+        load_checkpoint,
+    )
+
+    cfg, params = tiny_model
+    src = str(tmp_path / "onnx")
+    export_onnx_model_dir(jax.device_get(params), src)
+    names = sorted(os.listdir(src))
+    assert names == [
+        "code_predictor.onnx", "code_predictor_embed.onnx", "codec_embed.onnx",
+        "speaker_encoder.onnx", "talker_decode.onnx", "talker_prefill.onnx",
+        "text_project.onnx", "tokenizer12hz_decode.onnx",
+    ]
+
+    out = str(tmp_path / "ckpt")
+    rc = tc.main([
+        "onnx", "--src", src, "--out", out, "--config", cfg.name, "--strict",
+    ])
+    assert rc == 0  # strict: no unmapped / missing / mismatched / conflicting
+
+    _, params2 = load_checkpoint(out)
+    a = flatten_params(jax.device_get(params))
+    b = flatten_params(jax.device_get(params2))
+    assert set(a) == set(b)
+    for key in a:
+        np.testing.assert_array_equal(
+            np.asarray(a[key], np.float32), np.asarray(b[key], np.float32),
+            err_msg=key,
+        )
+
+
+def test_onnx_conflict_detection(tmp_path):
+    """Tensors staged to the same target from two graphs must agree; a
+    doctored talker_decode with different weights fails strict."""
+    from tools.onnx_tensors import write_onnx_model
+
+    rng = np.random.default_rng(3)
+    w = rng.standard_normal((8, 8)).astype(np.float32)
+    base = {"model.layers.0.self_attn.q_proj.weight": w}
+    src = tmp_path / "onnx"
+    src.mkdir()
+    write_onnx_model(str(src / "talker_prefill.onnx"), base)
+    write_onnx_model(
+        str(src / "talker_decode.onnx"),
+        {"model.layers.0.self_attn.q_proj.weight": w + 1.0},
+    )
+    tensors = {}
+    from tools.convert import load_source
+
+    tensors = load_source("onnx", str(src))
+    staged, unmapped, conflicts = map_tensors(tensors)
+    assert unmapped == []
+    assert len(conflicts) == 1 and "wq" in conflicts[0]

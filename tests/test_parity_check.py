@@ -47,3 +47,52 @@ def test_parity_check_pass_and_fail(model_dir, tmp_path):
         waveform=r.audio + 0.5,
     )
     assert main(["--model", model_dir, "--fixture", bad]) == 1
+
+
+def test_parity_all_stages_across_onnx_roundtrip(model_dir, tmp_path):
+    """The executable per-stage parity gate (round-1 verdict item 3): generate
+    a fixture (embeds / prefill logits / per-step decode logits / codes /
+    waveform) from checkpoint A, push A through the 8-graph ONNX export ->
+    converter round trip, and run the gate against the round-tripped
+    checkpoint.  Every stage must PASS — the same invocation swaps in
+    reference-generated fixtures when real assets arrive."""
+    import jax
+
+    import tools.convert as tc
+    from tools.make_parity_fixtures import main as gen
+    from tools.onnx_export import export_onnx_model_dir
+    from tools.parity_check import main as check
+    from leaxer_qwen3_tts_tpu.runtime.weights import load_checkpoint
+
+    fx = str(tmp_path / "fx.npz")
+    rc = gen([
+        "--model", model_dir, "--text", "hello world",
+        "--max-frames", "4", "--out", fx,
+    ])
+    assert rc == 0
+    with np.load(fx, allow_pickle=True) as z:
+        keys = set(z.files)
+    assert {"prompt_embeds", "prefill_logits", "decode_logits",
+            "codes", "waveform", "token_ids"} <= keys
+
+    onnx_dir = str(tmp_path / "onnx")
+    _, params = load_checkpoint(model_dir)
+    export_onnx_model_dir(jax.device_get(params), onnx_dir)
+    ckpt2 = str(tmp_path / "ckpt2")
+    rc = tc.main([
+        "onnx", "--src", onnx_dir, "--out", ckpt2,
+        "--config", os.path.join(model_dir, "config.json"), "--strict",
+    ])
+    assert rc == 0
+    for f in ("vocab.json", "merges.txt"):
+        shutil.copy(os.path.join(model_dir, f), os.path.join(ckpt2, f))
+
+    assert check(["--model", ckpt2, "--fixture", fx]) == 0
+
+    # corrupted stage fixtures must FAIL the gate
+    with np.load(fx, allow_pickle=True) as z:
+        bad = {k: z[k] for k in z.files}
+    bad["prefill_logits"] = bad["prefill_logits"] + 1.0
+    bad_path = str(tmp_path / "bad.npz")
+    np.savez(bad_path, **bad)
+    assert check(["--model", ckpt2, "--fixture", bad_path]) == 1

@@ -11,10 +11,17 @@ Usage:
   python -m tools.convert hf   --src <dir> --out <ckpt> [--remap map.json]
 
 Mapping: built-in rules cover HF Qwen-style transformer naming
-(model.layers.N.self_attn.q_proj.weight, ...); anything the rules miss can be
-supplied via --remap, a JSON {source_name: target_flat_key} (torch [out,in]
-linear weights are auto-transposed when the target expects [in,out]).
---strict exits nonzero if any model parameter is left unconverted.
+(model.layers.N.self_attn.q_proj.weight, ...) AND the 8-graph ONNX layout —
+ONNX tensors are keyed ``graph::initializer_name`` so the same layer names in
+talker_prefill/talker_decode/code_predictor disambiguate by graph; tensors
+duplicated across the prefill/decode graphs are deduped with a consistency
+check.  Torch layouts are normalized per-rule: Linear [out,in] -> [in,out],
+Conv1d [out,in,K] -> [K,in,out], depthwise Conv1d [C,1,K] -> [K,C].  Anything
+the rules miss can be supplied via --remap, a JSON
+{source_name: target_flat_key} (2-D remap tensors are auto-transposed when
+the target expects [in,out]).  --strict exits nonzero if any model parameter
+is left unconverted.  --config accepts a preset name or a path to a
+config.json.
 """
 
 from __future__ import annotations
@@ -37,30 +44,30 @@ _TRANSPOSE_TARGETS = re.compile(
     r"|code_predictor/heads)$"
 )
 
-# (regex, target template) — {L} = layer index, {prefix} = talker|code_predictor
+# (regex, target template) — {0} = layer index, {prefix} = talker|code_predictor
 _HF_RULES: List[Tuple[str, str]] = [
     (r"(?:talker\.)?model\.layers\.(\d+)\.input_layernorm\.weight",
-     "talker/transformer/layers/attn_norm@{L}"),
+     "talker/transformer/layers/attn_norm@{0}"),
     (r"(?:talker\.)?model\.layers\.(\d+)\.self_attn\.q_proj\.weight",
-     "talker/transformer/layers/wq@{L}"),
+     "talker/transformer/layers/wq@{0}"),
     (r"(?:talker\.)?model\.layers\.(\d+)\.self_attn\.k_proj\.weight",
-     "talker/transformer/layers/wk@{L}"),
+     "talker/transformer/layers/wk@{0}"),
     (r"(?:talker\.)?model\.layers\.(\d+)\.self_attn\.v_proj\.weight",
-     "talker/transformer/layers/wv@{L}"),
+     "talker/transformer/layers/wv@{0}"),
     (r"(?:talker\.)?model\.layers\.(\d+)\.self_attn\.o_proj\.weight",
-     "talker/transformer/layers/wo@{L}"),
+     "talker/transformer/layers/wo@{0}"),
     (r"(?:talker\.)?model\.layers\.(\d+)\.self_attn\.q_norm\.weight",
-     "talker/transformer/layers/q_norm@{L}"),
+     "talker/transformer/layers/q_norm@{0}"),
     (r"(?:talker\.)?model\.layers\.(\d+)\.self_attn\.k_norm\.weight",
-     "talker/transformer/layers/k_norm@{L}"),
+     "talker/transformer/layers/k_norm@{0}"),
     (r"(?:talker\.)?model\.layers\.(\d+)\.post_attention_layernorm\.weight",
-     "talker/transformer/layers/mlp_norm@{L}"),
+     "talker/transformer/layers/mlp_norm@{0}"),
     (r"(?:talker\.)?model\.layers\.(\d+)\.mlp\.gate_proj\.weight",
-     "talker/transformer/layers/wg@{L}"),
+     "talker/transformer/layers/wg@{0}"),
     (r"(?:talker\.)?model\.layers\.(\d+)\.mlp\.up_proj\.weight",
-     "talker/transformer/layers/wu@{L}"),
+     "talker/transformer/layers/wu@{0}"),
     (r"(?:talker\.)?model\.layers\.(\d+)\.mlp\.down_proj\.weight",
-     "talker/transformer/layers/wd@{L}"),
+     "talker/transformer/layers/wd@{0}"),
     (r"(?:talker\.)?model\.norm\.weight", "talker/transformer/final_norm"),
     (r"(?:talker\.)?(?:lm_head|codec_head)\.weight", "talker/lm_head"),
     (r"(?:talker\.)?model\.embed_tokens\.weight", "embeddings/text_embed"),
@@ -68,34 +75,194 @@ _HF_RULES: List[Tuple[str, str]] = [
     (r"(?:talker\.)?(?:model\.)?codec_embed(?:ding)?s?\.weight", "embeddings/codec_embed"),
     # code predictor (MTP) block
     (r"(?:talker\.)?code_predictor\.(?:model\.)?layers\.(\d+)\.input_layernorm\.weight",
-     "code_predictor/transformer/layers/attn_norm@{L}"),
+     "code_predictor/transformer/layers/attn_norm@{0}"),
     (r"(?:talker\.)?code_predictor\.(?:model\.)?layers\.(\d+)\.self_attn\.q_proj\.weight",
-     "code_predictor/transformer/layers/wq@{L}"),
+     "code_predictor/transformer/layers/wq@{0}"),
     (r"(?:talker\.)?code_predictor\.(?:model\.)?layers\.(\d+)\.self_attn\.k_proj\.weight",
-     "code_predictor/transformer/layers/wk@{L}"),
+     "code_predictor/transformer/layers/wk@{0}"),
     (r"(?:talker\.)?code_predictor\.(?:model\.)?layers\.(\d+)\.self_attn\.v_proj\.weight",
-     "code_predictor/transformer/layers/wv@{L}"),
+     "code_predictor/transformer/layers/wv@{0}"),
     (r"(?:talker\.)?code_predictor\.(?:model\.)?layers\.(\d+)\.self_attn\.o_proj\.weight",
-     "code_predictor/transformer/layers/wo@{L}"),
+     "code_predictor/transformer/layers/wo@{0}"),
     (r"(?:talker\.)?code_predictor\.(?:model\.)?layers\.(\d+)\.self_attn\.q_norm\.weight",
-     "code_predictor/transformer/layers/q_norm@{L}"),
+     "code_predictor/transformer/layers/q_norm@{0}"),
     (r"(?:talker\.)?code_predictor\.(?:model\.)?layers\.(\d+)\.self_attn\.k_norm\.weight",
-     "code_predictor/transformer/layers/k_norm@{L}"),
+     "code_predictor/transformer/layers/k_norm@{0}"),
     (r"(?:talker\.)?code_predictor\.(?:model\.)?layers\.(\d+)\.post_attention_layernorm\.weight",
-     "code_predictor/transformer/layers/mlp_norm@{L}"),
+     "code_predictor/transformer/layers/mlp_norm@{0}"),
     (r"(?:talker\.)?code_predictor\.(?:model\.)?layers\.(\d+)\.mlp\.gate_proj\.weight",
-     "code_predictor/transformer/layers/wg@{L}"),
+     "code_predictor/transformer/layers/wg@{0}"),
     (r"(?:talker\.)?code_predictor\.(?:model\.)?layers\.(\d+)\.mlp\.up_proj\.weight",
-     "code_predictor/transformer/layers/wu@{L}"),
+     "code_predictor/transformer/layers/wu@{0}"),
     (r"(?:talker\.)?code_predictor\.(?:model\.)?layers\.(\d+)\.mlp\.down_proj\.weight",
-     "code_predictor/transformer/layers/wd@{L}"),
+     "code_predictor/transformer/layers/wd@{0}"),
     (r"(?:talker\.)?code_predictor\.(?:model\.)?norm\.weight",
      "code_predictor/transformer/final_norm"),
     # per-step MTP heads / embedding tables: index = generation step
     (r"(?:talker\.)?code_predictor\.(?:lm_)?heads?\.(\d+)\.weight",
-     "code_predictor/heads@{L}"),
+     "code_predictor/heads@{0}"),
     (r"(?:talker\.)?code_predictor\.(?:embed(?:_tokens)?s?|embedding)\.(\d+)\.weight",
-     "embeddings/pred_embed@{L}"),
+     "embeddings/pred_embed@{0}"),
+]
+
+
+# ---------------------------------------------------------------------------
+# Torch-export layout transforms (applied per-rule)
+# ---------------------------------------------------------------------------
+
+
+def _t_lin(a: np.ndarray) -> np.ndarray:
+    """nn.Linear.weight [out, in] -> [in, out]."""
+    return a.T if a.ndim == 2 else a
+
+
+def _t_conv(a: np.ndarray) -> np.ndarray:
+    """nn.Conv1d.weight [out, in, K] -> [K, in, out]."""
+    return a.transpose(2, 1, 0) if a.ndim == 3 else a
+
+
+def _t_dw(a: np.ndarray) -> np.ndarray:
+    """depthwise nn.Conv1d.weight [C, 1, K] -> [K, C]."""
+    return a[:, 0, :].T if a.ndim == 3 else a
+
+
+# ---------------------------------------------------------------------------
+# ONNX rules: matched against the FULL "graph::initializer" key, so identical
+# module names inside talker_prefill / talker_decode / code_predictor resolve
+# by graph.  Covers all 8 graphs of the reference distribution
+# (tts_onnx.cpp:91-107; I/O contracts :545-776).
+# ---------------------------------------------------------------------------
+
+_G_TALKER = r"(?:talker_prefill|talker_decode)::(?:talker\.)?"
+_G_CP = r"code_predictor::(?:model\.)?"
+_G_VOC = r"tokenizer12hz_decode::"
+_G_SPK = r"speaker_encoder::"
+
+_ONNX_RULES: List[Tuple[str, str, object]] = [
+    # --- text_project.onnx (tts_onnx.cpp:545-559) ---
+    (r"text_project::(?:model\.)?embed_tokens\.weight",
+     "embeddings/text_embed", None),
+    (r"text_project::(?:model\.)?text_proj(?:ection)?\.weight",
+     "embeddings/text_proj", _t_lin),
+    # --- codec_embed.onnx (:561-590) ---
+    (r"codec_embed::(?:model\.)?(?:codec_)?embed(?:ding)?(?:_tokens)?s?\.weight",
+     "embeddings/codec_embed", None),
+    # --- code_predictor_embed.onnx (:592-613): one table per step ---
+    (r"code_predictor_embed::(?:model\.)?embed(?:_tokens)?s?\.(\d+)\.weight",
+     "embeddings/pred_embed@{0}", None),
+    # --- talker_prefill.onnx / talker_decode.onnx (:615-732): same 28-layer
+    #     GQA transformer in both graphs (deduped on stage) ---
+    (_G_TALKER + r"model\.layers\.(\d+)\.input_layernorm\.weight",
+     "talker/transformer/layers/attn_norm@{0}", None),
+    (_G_TALKER + r"model\.layers\.(\d+)\.self_attn\.q_proj\.weight",
+     "talker/transformer/layers/wq@{0}", _t_lin),
+    (_G_TALKER + r"model\.layers\.(\d+)\.self_attn\.k_proj\.weight",
+     "talker/transformer/layers/wk@{0}", _t_lin),
+    (_G_TALKER + r"model\.layers\.(\d+)\.self_attn\.v_proj\.weight",
+     "talker/transformer/layers/wv@{0}", _t_lin),
+    (_G_TALKER + r"model\.layers\.(\d+)\.self_attn\.o_proj\.weight",
+     "talker/transformer/layers/wo@{0}", _t_lin),
+    (_G_TALKER + r"model\.layers\.(\d+)\.self_attn\.q_norm\.weight",
+     "talker/transformer/layers/q_norm@{0}", None),
+    (_G_TALKER + r"model\.layers\.(\d+)\.self_attn\.k_norm\.weight",
+     "talker/transformer/layers/k_norm@{0}", None),
+    (_G_TALKER + r"model\.layers\.(\d+)\.post_attention_layernorm\.weight",
+     "talker/transformer/layers/mlp_norm@{0}", None),
+    (_G_TALKER + r"model\.layers\.(\d+)\.mlp\.gate_proj\.weight",
+     "talker/transformer/layers/wg@{0}", _t_lin),
+    (_G_TALKER + r"model\.layers\.(\d+)\.mlp\.up_proj\.weight",
+     "talker/transformer/layers/wu@{0}", _t_lin),
+    (_G_TALKER + r"model\.layers\.(\d+)\.mlp\.down_proj\.weight",
+     "talker/transformer/layers/wd@{0}", _t_lin),
+    (_G_TALKER + r"model\.norm\.weight", "talker/transformer/final_norm", None),
+    (_G_TALKER + r"(?:lm|codec)_head\.weight", "talker/lm_head", _t_lin),
+    # --- code_predictor.onnx (:734-757) ---
+    (_G_CP + r"layers\.(\d+)\.input_layernorm\.weight",
+     "code_predictor/transformer/layers/attn_norm@{0}", None),
+    (_G_CP + r"layers\.(\d+)\.self_attn\.q_proj\.weight",
+     "code_predictor/transformer/layers/wq@{0}", _t_lin),
+    (_G_CP + r"layers\.(\d+)\.self_attn\.k_proj\.weight",
+     "code_predictor/transformer/layers/wk@{0}", _t_lin),
+    (_G_CP + r"layers\.(\d+)\.self_attn\.v_proj\.weight",
+     "code_predictor/transformer/layers/wv@{0}", _t_lin),
+    (_G_CP + r"layers\.(\d+)\.self_attn\.o_proj\.weight",
+     "code_predictor/transformer/layers/wo@{0}", _t_lin),
+    (_G_CP + r"layers\.(\d+)\.self_attn\.q_norm\.weight",
+     "code_predictor/transformer/layers/q_norm@{0}", None),
+    (_G_CP + r"layers\.(\d+)\.self_attn\.k_norm\.weight",
+     "code_predictor/transformer/layers/k_norm@{0}", None),
+    (_G_CP + r"layers\.(\d+)\.post_attention_layernorm\.weight",
+     "code_predictor/transformer/layers/mlp_norm@{0}", None),
+    (_G_CP + r"layers\.(\d+)\.mlp\.gate_proj\.weight",
+     "code_predictor/transformer/layers/wg@{0}", _t_lin),
+    (_G_CP + r"layers\.(\d+)\.mlp\.up_proj\.weight",
+     "code_predictor/transformer/layers/wu@{0}", _t_lin),
+    (_G_CP + r"layers\.(\d+)\.mlp\.down_proj\.weight",
+     "code_predictor/transformer/layers/wd@{0}", _t_lin),
+    (_G_CP + r"norm\.weight", "code_predictor/transformer/final_norm", None),
+    (r"code_predictor::(?:lm_)?heads?\.(\d+)\.weight",
+     "code_predictor/heads@{0}", _t_lin),
+    # --- tokenizer12hz_decode.onnx (vocoder, :759-776) ---
+    (_G_VOC + r"(?:quantizer\.)?codebooks\.(\d+)\.weight",
+     "vocoder/codebooks@{0}", None),
+    (_G_VOC + r"decoder\.prenet\.(\d+)\.dwconv\.weight",
+     "vocoder/prenet/{0}/dw", _t_dw),
+    (_G_VOC + r"decoder\.prenet\.(\d+)\.norm\.weight",
+     "vocoder/prenet/{0}/ln_scale", None),
+    (_G_VOC + r"decoder\.prenet\.(\d+)\.norm\.bias",
+     "vocoder/prenet/{0}/ln_bias", None),
+    (_G_VOC + r"decoder\.prenet\.(\d+)\.pwconv1\.weight",
+     "vocoder/prenet/{0}/w1", _t_lin),
+    (_G_VOC + r"decoder\.prenet\.(\d+)\.pwconv1\.bias",
+     "vocoder/prenet/{0}/b1", None),
+    (_G_VOC + r"decoder\.prenet\.(\d+)\.pwconv2\.weight",
+     "vocoder/prenet/{0}/w2", _t_lin),
+    (_G_VOC + r"decoder\.prenet\.(\d+)\.pwconv2\.bias",
+     "vocoder/prenet/{0}/b2", None),
+    (_G_VOC + r"decoder\.ups\.(\d+)\.weight", "vocoder/stages/{0}/up_w", _t_conv),
+    (_G_VOC + r"decoder\.ups\.(\d+)\.bias", "vocoder/stages/{0}/up_b", None),
+    (_G_VOC + r"decoder\.ups\.(\d+)\.res(?:blocks)?\.(\d+)\.conv1\.weight",
+     "vocoder/stages/{0}/res/{1}/w1", _t_conv),
+    (_G_VOC + r"decoder\.ups\.(\d+)\.res(?:blocks)?\.(\d+)\.conv1\.bias",
+     "vocoder/stages/{0}/res/{1}/b1", None),
+    (_G_VOC + r"decoder\.ups\.(\d+)\.res(?:blocks)?\.(\d+)\.conv2\.weight",
+     "vocoder/stages/{0}/res/{1}/w2", _t_conv),
+    (_G_VOC + r"decoder\.ups\.(\d+)\.res(?:blocks)?\.(\d+)\.conv2\.bias",
+     "vocoder/stages/{0}/res/{1}/b2", None),
+    (_G_VOC + r"decoder\.final(?:_conv)?\.weight", "vocoder/final_w", _t_conv),
+    (_G_VOC + r"decoder\.final(?:_conv)?\.bias", "vocoder/final_b", None),
+    # --- speaker_encoder.onnx (:367-403) ---
+    (_G_SPK + r"(?:input|in)_proj\.weight", "speaker_encoder/in_proj", _t_lin),
+    (_G_SPK + r"(?:input|in)_proj\.bias", "speaker_encoder/in_bias", None),
+    (_G_SPK + r"encoder\.layers\.(\d+)\.norm1\.weight",
+     "speaker_encoder/layers/{0}/ln1_s", None),
+    (_G_SPK + r"encoder\.layers\.(\d+)\.norm1\.bias",
+     "speaker_encoder/layers/{0}/ln1_b", None),
+    (_G_SPK + r"encoder\.layers\.(\d+)\.self_attn\.q_proj\.weight",
+     "speaker_encoder/layers/{0}/wq", _t_lin),
+    (_G_SPK + r"encoder\.layers\.(\d+)\.self_attn\.k_proj\.weight",
+     "speaker_encoder/layers/{0}/wk", _t_lin),
+    (_G_SPK + r"encoder\.layers\.(\d+)\.self_attn\.v_proj\.weight",
+     "speaker_encoder/layers/{0}/wv", _t_lin),
+    (_G_SPK + r"encoder\.layers\.(\d+)\.self_attn\.o(?:ut)?_proj\.weight",
+     "speaker_encoder/layers/{0}/wo", _t_lin),
+    (_G_SPK + r"encoder\.layers\.(\d+)\.norm2\.weight",
+     "speaker_encoder/layers/{0}/ln2_s", None),
+    (_G_SPK + r"encoder\.layers\.(\d+)\.norm2\.bias",
+     "speaker_encoder/layers/{0}/ln2_b", None),
+    (_G_SPK + r"encoder\.layers\.(\d+)\.linear1\.weight",
+     "speaker_encoder/layers/{0}/w1", _t_lin),
+    (_G_SPK + r"encoder\.layers\.(\d+)\.linear1\.bias",
+     "speaker_encoder/layers/{0}/b1", None),
+    (_G_SPK + r"encoder\.layers\.(\d+)\.linear2\.weight",
+     "speaker_encoder/layers/{0}/w2", _t_lin),
+    (_G_SPK + r"encoder\.layers\.(\d+)\.linear2\.bias",
+     "speaker_encoder/layers/{0}/b2", None),
+    (_G_SPK + r"pool(?:ing)?\.(?:attention|w)\.weight",
+     "speaker_encoder/pool_w", _t_lin),
+    (_G_SPK + r"pool(?:ing)?\.v\.weight", "speaker_encoder/pool_v", _t_lin),
+    (_G_SPK + r"(?:output|out)_proj\.weight", "speaker_encoder/out_proj", _t_lin),
+    (_G_SPK + r"(?:output|out)_proj\.bias", "speaker_encoder/out_bias", None),
 ]
 
 
@@ -131,38 +298,66 @@ def load_source(kind: str, src: str) -> Dict[str, np.ndarray]:
 def map_tensors(
     tensors: Dict[str, np.ndarray],
     remap: Optional[Dict[str, str]] = None,
-) -> Tuple[Dict[str, Dict[int, np.ndarray]], List[str]]:
-    """Returns ({target_key: {index_or_-1: tensor}}, unmapped_names)."""
+) -> Tuple[Dict[str, Dict[int, np.ndarray]], List[str], List[str]]:
+    """Returns ({target_key: {index_or_-1: tensor}}, unmapped, conflicts).
+
+    ONNX sources (names with a ``graph::`` prefix) try the graph-qualified
+    _ONNX_RULES first, then the bare-name _HF_RULES.  Tensors staged twice
+    (the talker transformer appears in both talker_prefill and talker_decode)
+    must agree bit-for-bit; disagreement is reported in ``conflicts``.
+    """
     staged: Dict[str, Dict[int, np.ndarray]] = {}
     unmapped: List[str] = []
+    conflicts: List[str] = []
 
-    def stage(target: str, arr: np.ndarray):
+    def stage(target: str, arr: np.ndarray, src: str, auto_t: bool):
         if "@" in target:
             key, idx = target.split("@")
             idx = int(idx)
         else:
             key, idx = target, -1
-        if _TRANSPOSE_TARGETS.match(key) and arr.ndim == 2:
+        if auto_t and _TRANSPOSE_TARGETS.match(key) and arr.ndim == 2:
             arr = arr.T
-        staged.setdefault(key, {})[idx] = arr
+        slot = staged.setdefault(key, {})
+        if idx in slot:
+            if slot[idx].shape != arr.shape or not np.array_equal(slot[idx], arr):
+                conflicts.append(f"{src} -> {target}: disagrees with earlier source")
+            return
+        slot[idx] = arr
+
+    def fill(template: str, groups) -> str:
+        out = template
+        for i, g in enumerate(groups):
+            out = out.replace("{" + str(i) + "}", g or "")
+        return out
 
     for name, arr in tensors.items():
         bare = name.split("::", 1)[-1]
         if remap and name in remap:
-            stage(remap[name], arr)
+            stage(remap[name], arr, name, auto_t=True)
             continue
         if remap and bare in remap:
-            stage(remap[bare], arr)
+            stage(remap[bare], arr, name, auto_t=True)
             continue
-        for pattern, template in _HF_RULES:
-            m = re.fullmatch(pattern, bare)
-            if m:
-                L = m.group(1) if m.groups() else None
-                stage(template.replace("{L}", L or ""), arr)
-                break
-        else:
+        matched = False
+        if "::" in name:
+            for pattern, template, transform in _ONNX_RULES:
+                m = re.fullmatch(pattern, name)
+                if m:
+                    a = transform(arr) if transform is not None else arr
+                    stage(fill(template, m.groups()), a, name, auto_t=False)
+                    matched = True
+                    break
+        if not matched:
+            for pattern, template in _HF_RULES:
+                m = re.fullmatch(pattern, bare)
+                if m:
+                    stage(fill(template, m.groups()), arr, name, auto_t=True)
+                    matched = True
+                    break
+        if not matched:
             unmapped.append(name)
-    return staged, unmapped
+    return staged, unmapped, conflicts
 
 
 def assemble(staged: Dict[str, Dict[int, np.ndarray]]) -> Dict[str, np.ndarray]:
@@ -191,7 +386,13 @@ def convert(kind: str, src: str, out: str, config_name: str,
         unflatten_params,
     )
 
-    cfg = PRESETS[config_name]
+    if config_name.endswith(".json") or os.path.sep in config_name:
+        from leaxer_qwen3_tts_tpu.config import TTSModelConfig
+
+        with open(config_name) as f:
+            cfg = TTSModelConfig.from_json(f.read())
+    else:
+        cfg = PRESETS[config_name]
     remap = None
     if remap_path:
         with open(remap_path) as f:
@@ -199,11 +400,20 @@ def convert(kind: str, src: str, out: str, config_name: str,
 
     tensors = load_source(kind, src)
     print(f"loaded {len(tensors)} source tensors")
-    staged, unmapped = map_tensors(tensors, remap)
+    staged, unmapped, conflicts = map_tensors(tensors, remap)
     converted = assemble(staged)
 
-    # start from random init so shapes/dtypes are authoritative, then overlay
-    ref = flatten_params(jax.device_get(init_params(cfg, jax.random.PRNGKey(0))))
+    # start from random init so shapes/dtypes are authoritative, then overlay.
+    # speaker_encoder.onnx is optional in the reference distribution
+    # (tts_onnx.cpp:107): absent source -> checkpoint without the encoder.
+    has_spk = any(k.startswith("speaker_encoder/") for k in converted)
+    if not has_spk:
+        print("no speaker_encoder tensors in source (optional); omitting")
+    ref = flatten_params(
+        jax.device_get(
+            init_params(cfg, jax.random.PRNGKey(0), with_speaker_encoder=has_spk)
+        )
+    )
     missing, bad_shape, applied = [], [], 0
     for key, refarr in ref.items():
         if key not in converted:
@@ -223,6 +433,7 @@ def convert(kind: str, src: str, out: str, config_name: str,
         ("MISSING model parameters", missing),
         ("SHAPE MISMATCH", bad_shape),
         ("UNKNOWN targets", extra),
+        ("CONFLICTS (same target, different values)", conflicts),
     ):
         if items:
             print(f"{title} ({len(items)}):")
@@ -231,7 +442,7 @@ def convert(kind: str, src: str, out: str, config_name: str,
             if len(items) > 40:
                 print(f"  ... and {len(items) - 40} more")
 
-    if strict and (missing or bad_shape or unmapped):
+    if strict and (missing or bad_shape or unmapped or conflicts):
         print("strict mode: conversion incomplete", file=sys.stderr)
         return 1
 

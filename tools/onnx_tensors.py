@@ -198,3 +198,76 @@ def _walk_graph(graph_buf: bytes, base_dir: str, out: Dict[str, np.ndarray]) -> 
                     for f3, w3, v3 in _iter_fields(v2):
                         if f3 == 6 and w3 == 2:  # AttributeProto.g (subgraph)
                             _walk_graph(v3, base_dir, out)
+
+
+# ---------------------------------------------------------------------------
+# Minimal ONNX *writer* (test fixtures / re-export): emits a ModelProto whose
+# graph carries the given initializers.  Mirrors the reader above; used to
+# fabricate graphs with the reference export's naming so the converter path
+# is provable without the real assets (SURVEY §2.2 contracts).
+# ---------------------------------------------------------------------------
+
+_DTYPE_CODES = {
+    np.dtype(np.float32): 1,
+    np.dtype(np.uint8): 2,
+    np.dtype(np.int8): 3,
+    np.dtype(np.int16): 5,
+    np.dtype(np.int32): 6,
+    np.dtype(np.int64): 7,
+    np.dtype(np.bool_): 9,
+    np.dtype(np.float16): 10,
+    np.dtype(np.float64): 11,
+}
+
+
+def _varint(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _tag(field: int, wire: int) -> bytes:
+    return _varint((field << 3) | wire)
+
+
+def _len_field(field: int, payload: bytes) -> bytes:
+    return _tag(field, 2) + _varint(len(payload)) + payload
+
+
+def _encode_tensor(name: str, arr: np.ndarray) -> bytes:
+    arr = np.ascontiguousarray(arr)
+    code = _DTYPE_CODES.get(arr.dtype)
+    if code is None:
+        if str(arr.dtype) == "bfloat16":
+            code = 16
+            raw = arr.view(np.uint16).astype("<u2").tobytes()
+        else:
+            raise ValueError(f"unsupported dtype {arr.dtype} for {name}")
+    else:
+        raw = arr.astype(arr.dtype.newbyteorder("<"), copy=False).tobytes()
+    out = bytearray()
+    for d in arr.shape:
+        out += _tag(1, 0) + _varint(int(d))
+    out += _tag(2, 0) + _varint(code)
+    out += _len_field(8, name.encode("utf-8"))
+    out += _len_field(9, raw)
+    return bytes(out)
+
+
+def write_onnx_model(path: str, initializers: Dict[str, np.ndarray],
+                     graph_name: str = "g") -> None:
+    """Write a minimal .onnx file whose graph holds ``initializers``."""
+    graph = bytearray()
+    for name, arr in initializers.items():
+        graph += _len_field(5, _encode_tensor(name, np.asarray(arr)))
+    graph += _len_field(2, graph_name.encode("utf-8"))
+    model = _tag(1, 0) + _varint(10)  # ir_version
+    model += _len_field(7, bytes(graph))
+    with open(path, "wb") as f:
+        f.write(model)

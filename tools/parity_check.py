@@ -7,15 +7,21 @@ subset of stages, given a fixture .npz with any of these keys:
   token_ids           : int32 [T] — expected BPE ids (tokenizer stage)
   mel_input_wav       : str path  — reference WAV fed to the mel stage
   mel                 : f32 [frames, 128] — expected log-mel
-  prefill_logits      : f32 [V]   — talker logits after the prompt (greedy)
+  prompt_embeds       : f32 [P, H] — assembled prompt embedding sequence
+                        (reference build_prompt_embeddings, tts_onnx.cpp:442-539)
+  prefill_logits      : f32 [V]   — talker logits after the prompt
+  decode_logits       : f32 [F, V] — per-frame talker logits under greedy
+                        decode (logits after frame t select frame t+1's code0)
   codes               : int32 [F, 16] — greedy codec frames
   waveform            : f32 [N]   — final audio (<=1e-2 L-inf gate)
 
-Fixtures are produced by instrumenting the reference (its ONNX graphs emit
-every intermediate; SURVEY §4) — this tool is the "compare" half, committed
-now so the gate runs the moment assets exist:
+Fixtures come from either (a) instrumenting the reference (its ONNX graphs
+emit every intermediate; SURVEY §4) once real assets exist, or (b) this
+repo's own generator ``tools/make_parity_fixtures.py`` — used today to prove
+the full gate end-to-end across the ONNX export->convert round trip
+(tests/test_parity_check.py).
 
-  python -m tools.parity_check --model <ckpt_dir> --fixture fx.npz [--seed 0]
+  python -m tools.parity_check --model <ckpt_dir> --fixture fx.npz
 
 Exit code 0 = all present stages pass; 1 = any stage fails.
 """
@@ -28,7 +34,82 @@ import sys
 import numpy as np
 
 WAVEFORM_LINF = 1e-2  # BASELINE.md gate
-LOGITS_RTOL = 1e-3
+EMBEDS_LINF = 1e-2
+LOGITS_LINF = 5e-2  # logit magnitudes ~10; bf16 checkpoints need the slack
+
+
+def compute_stages(engine, text: str, language: str = "auto",
+                   max_frames=None) -> dict:
+    """Greedy per-stage oracles for ``text`` on ``engine``'s model.
+
+    Returns {token_ids, prompt_embeds, prefill_logits, decode_logits, codes,
+    waveform}; decode runs one frame per dispatch so every frame's logits are
+    observable (the reference's per-step run_decode boundary, SURVEY §3.1).
+    """
+    import jax
+
+    from leaxer_qwen3_tts_tpu.config import language_to_codec_id
+    from leaxer_qwen3_tts_tpu.models.codec12hz import vocoder_forward
+    from leaxer_qwen3_tts_tpu.runtime.generate import make_generate_fns
+    from leaxer_qwen3_tts_tpu.runtime.sampling import SamplingParams
+
+    cfg = engine.cfg
+    ids = engine.tokenizer.encode(text)
+    lang_id = language_to_codec_id(language if language != "auto" else None)
+    max_frames = engine.max_frames if max_frames is None else int(max_frames)
+
+    t_bucket = ((len(ids) + 15) // 16) * 16
+    ids_arr = np.zeros((1, t_bucket), np.int32)
+    ids_arr[0, : len(ids)] = ids
+    lens = np.asarray([len(ids)], np.int32)
+
+    fns = make_generate_fns(
+        cfg, batch=1, max_len=engine.kv_ladder[-1], chunk_len=1, lang_id=lang_id
+    )
+    state, bundle = fns.prefill(
+        engine.params, ids_arr, lens, jax.random.PRNGKey(0)
+    )
+    P = int(np.asarray(bundle.prompt_len)[0])
+    out = {
+        "text": text,
+        "token_ids": np.asarray(ids, np.int32),
+        "prompt_embeds": np.asarray(bundle.prompt_embeds, np.float32)[0, :P],
+        "prefill_logits": np.asarray(state.last_logits, np.float32)[0],
+    }
+    sp = SamplingParams.create(temperature=0.0)
+    frames, valids, logits_seq = [], [], []
+    for _ in range(max_frames):
+        state, frame, valid = fns.decode(
+            engine.params, state, bundle.trailing, bundle.trailing_len,
+            bundle.tts_pad_embed, sp,
+        )
+        frames.append(np.asarray(frame)[0, 0])
+        valids.append(bool(np.asarray(valid)[0, 0]))
+        logits_seq.append(np.asarray(state.last_logits, np.float32)[0])
+        if bool(np.asarray(state.done).all()):
+            break
+    n_valid = sum(valids)
+    codes = np.asarray(frames[:n_valid], np.int32).reshape(n_valid, -1)
+    out["codes"] = codes
+    out["decode_logits"] = np.asarray(logits_seq[:n_valid], np.float32)
+    if n_valid:
+        wav = vocoder_forward(cfg.vocoder, engine.params["vocoder"], codes[None])
+        out["waveform"] = np.asarray(wav, np.float32)[0]
+    else:
+        out["waveform"] = np.zeros((0,), np.float32)
+    return out
+
+
+def _linf_stage(name, got, want, bound, failures):
+    if got.shape != want.shape:
+        print(f"{name}: FAIL (shape {got.shape} vs {want.shape})")
+        failures.append(name)
+        return
+    err = float(np.max(np.abs(got - want))) if got.size else 0.0
+    ok = err <= bound
+    print(f"{name}: {'PASS' if ok else 'FAIL'} (L-inf {err:.2e} <= {bound})")
+    if not ok:
+        failures.append(name)
 
 
 def main(argv=None) -> int:
@@ -73,7 +154,29 @@ def main(argv=None) -> int:
         if not ok:
             failures.append("mel")
 
-    needs_generation = any(k in fx for k in ("prefill_logits", "codes", "waveform"))
+    needs_stages = any(
+        k in fx for k in ("prompt_embeds", "prefill_logits", "decode_logits")
+    )
+    if needs_stages and text is not None:
+        st = compute_stages(
+            engine, text, args.language,
+            max_frames=len(fx["decode_logits"]) if "decode_logits" in fx else None,
+        )
+        if "prompt_embeds" in fx:
+            _linf_stage("prompt_embeds", st["prompt_embeds"],
+                        fx["prompt_embeds"].astype(np.float32), EMBEDS_LINF,
+                        failures)
+        if "prefill_logits" in fx:
+            _linf_stage("prefill_logits", st["prefill_logits"],
+                        fx["prefill_logits"].astype(np.float32).ravel(),
+                        LOGITS_LINF, failures)
+        if "decode_logits" in fx:
+            want = fx["decode_logits"].astype(np.float32)
+            n = min(len(st["decode_logits"]), len(want))
+            _linf_stage("decode_logits", st["decode_logits"][:n], want[:n],
+                        LOGITS_LINF, failures)
+
+    needs_generation = any(k in fx for k in ("codes", "waveform"))
     if needs_generation and text is not None:
         # bound generation by the fixture's length (greedy is deterministic,
         # so equal-length runs are comparable frame-for-frame)
