@@ -258,13 +258,26 @@ def main() -> None:
             log(f"bf16 probe failed: {e}")
 
     # --- long-form probe: 2048-frame KV bucket (BASELINE config 4) ----------
-    # static shapes mean decode cost at ANY fill level equals the max_len
-    # cost, so two chunks at the 2080 bucket measure the whole regime
+    # bucket 2560 = 2048+32 rounded to the fused kernel's 512-slot window
+    # (the engine ladder rounds identically).  The windowed kernel streams
+    # K/V only up to the fill level, so early long-form frames are CHEAPER
+    # than the bucket suggests; the probe measures the fresh-cache regime.
     long_frame_ms = None
     if os.environ.get("BENCH_SKIP_LONGFORM") != "1":
         try:
-            fnsl = make_generate_fns(cfg, batch=1, max_len=2080, chunk_len=chunk)
+            fnsl = make_generate_fns(cfg, batch=1, max_len=2560, chunk_len=chunk)
             stl, bdl = fnsl.prefill(params, ids[:1], lens[:1], key)
+            # fast-forward to the EXPENSIVE end of a 2048-frame request (the
+            # windowed kernel streams K/V only up to the fill level, so a
+            # fresh cache would measure the cheap regime)
+            fill = jnp.asarray(2000, jnp.int32)
+            stl = stl._replace(
+                pos=jnp.full_like(stl.pos, fill),
+                cache=stl.cache._replace(
+                    length=jnp.full_like(stl.cache.length, fill)
+                ),
+                valid_mask=jnp.ones_like(stl.valid_mask),
+            )
             stl, frl, _ = fnsl.decode(
                 params, stl, bdl.trailing, bdl.trailing_len, bdl.tts_pad_embed, sp
             )

@@ -97,6 +97,11 @@ class TTSEngine:
         # full-size chunks carry the steady state
         self.first_chunk_len = max(1, min(int(first_chunk_len), self.chunk_len))
         full = self.max_frames + 32
+        if full > 1024:
+            # the windowed fused decode kernel streams K/V in 512-slot
+            # chunks; WINDOW-align the top bucket so long-form requests stay
+            # on the fused path (ops/fused_step.py)
+            full = _round_up(full, 512)
         # KV-cache bucket ladder: attention reads scale with the CURRENT
         # bucket, so early frames of a long-form request decode at
         # short-form cost; the cache is zero-padded up a bucket when the

@@ -29,8 +29,9 @@ class KVCache(NamedTuple):
     """Static per-model KV cache, HEAD-MAJOR layout.
 
     k, v: [num_layers, batch, num_kv_heads, max_len, head_dim]
-    length: scalar int32 — number of filled slots (same for every sequence; a
-        separate validity mask marks right-padded prompt slots as unattendable).
+    length: [batch] int32 — filled slots PER SEQUENCE (continuous serving
+        admits streams mid-flight, so fill levels diverge; a separate validity
+        mask marks right-padded prompt slots as unattendable).
 
     Head-major (heads before time) makes the decode-step attention a clean
     batched [g, d] x [d, T] GEMM with NO cache transposes; the time-major
@@ -40,7 +41,7 @@ class KVCache(NamedTuple):
 
     k: jax.Array
     v: jax.Array
-    length: jax.Array  # scalar int32
+    length: jax.Array  # [batch] int32
 
     @property
     def max_len(self) -> int:
@@ -57,7 +58,7 @@ def init_kv_cache(cfg: TransformerConfig, batch: int, max_len: int) -> KVCache:
     return KVCache(
         k=jnp.zeros(shape, dtype),
         v=jnp.zeros(shape, dtype),
-        length=jnp.zeros((), jnp.int32),
+        length=jnp.zeros((batch,), jnp.int32),
     )
 
 
@@ -186,7 +187,7 @@ def _block(
     sin: jax.Array,
     k_cache: jax.Array,  # [B, Nk, T, D] head-major
     v_cache: jax.Array,
-    cache_len: jax.Array,  # scalar int32
+    cache_len: jax.Array,  # [B] int32 — per-sequence write offset
     attn_mask: jax.Array,  # [B, S, T] bool
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     B, S, H = x.shape
@@ -205,15 +206,16 @@ def _block(
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
-    # Write this step's K/V into the head-major cache at slot cache_len (the
-    # new [B,S,Nk,D] slab transposes once — S*Nk*D elements, trivial — so the
-    # big cache is never relayouted).
-    k_cache = lax.dynamic_update_slice(
-        k_cache, jnp.swapaxes(k, 1, 2), (0, 0, cache_len, 0)
+    # Write this step's K/V into the head-major cache at the per-sequence
+    # slot cache_len[b] (vmapped dynamic_update_slice — sequences fill at
+    # different rates under continuous serving).  The new [B,S,Nk,D] slab
+    # transposes once — S*Nk*D elements, trivial — so the big cache is never
+    # relayouted.
+    write = jax.vmap(
+        lambda c, new, off: lax.dynamic_update_slice(c, new, (0, off, 0))
     )
-    v_cache = lax.dynamic_update_slice(
-        v_cache, jnp.swapaxes(v, 1, 2), (0, 0, cache_len, 0)
-    )
+    k_cache = write(k_cache, jnp.swapaxes(k, 1, 2), cache_len)
+    v_cache = write(v_cache, jnp.swapaxes(v, 1, 2), cache_len)
 
     out = attend(q, k_cache, v_cache, attn_mask, impl=cfg.attn_impl)  # [B,S,Nq,D]
     out = out.reshape(B, S, nq * d)
@@ -235,13 +237,16 @@ def transformer_forward(
 ) -> Tuple[jax.Array, KVCache, jax.Array]:
     """Unified prefill/decode forward.
 
-    Writes S new tokens at cache slots [cache.length, cache.length+S) and lets
-    query i attend to cache slot t iff ``valid_mask[b, t]`` and t <= cache.length+i
-    (causal over write order).  Returns post-final-norm hidden states [B, S, H],
-    the updated cache (length advanced by S), and the updated validity mask.
+    Writes S new tokens at cache slots [length[b], length[b]+S) and lets
+    query i attend to cache slot t iff ``valid_mask[b, t]`` and
+    t <= length[b]+i (causal over write order).  Lengths are per-sequence so
+    continuous serving can run streams at different fill levels in one batch.
+    Returns post-final-norm hidden states [B, S, H], the updated cache
+    (lengths advanced by S), and the updated validity mask.
     """
     B, S, H = embeds.shape
     T = cache.max_len
+    length = cache.length  # [B]
 
     cos, sin = rope_angles(positions, cfg.head_dim, cfg.rope_theta)
 
@@ -249,28 +254,30 @@ def transformer_forward(
     slot_ids = jnp.arange(T, dtype=jnp.int32)
     if query_valid is None:
         query_valid = jnp.ones((B, S), bool)
-    new_slots = (slot_ids[None, :] >= cache.length) & (slot_ids[None, :] < cache.length + S)
+    new_slots = (slot_ids[None, :] >= length[:, None]) & (
+        slot_ids[None, :] < (length + S)[:, None]
+    )  # [B, T]
     # scatter query_valid into the new slot range
-    write_idx = jnp.clip(slot_ids[None, :] - cache.length, 0, S - 1)
+    write_idx = jnp.clip(slot_ids[None, :] - length[:, None], 0, S - 1)  # [B, T]
     written_valid = jnp.take_along_axis(query_valid, write_idx, axis=1)
     valid_mask = jnp.where(new_slots, written_valid, valid_mask)
 
     # attention mask [B, S, T]: causal over global write order + validity
-    global_q = cache.length + jnp.arange(S, dtype=jnp.int32)  # [S]
-    causal = slot_ids[None, None, :] <= global_q[None, :, None]  # [1, S, T]
+    global_q = length[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]  # [B, S]
+    causal = slot_ids[None, None, :] <= global_q[:, :, None]  # [B, S, T]
     attn_mask = causal & valid_mask[:, None, :]
 
     x = embeds
 
     def body(x, layer):
         p, kc, vc = layer
-        x, kc, vc = _block(cfg, p, x, cos, sin, kc, vc, cache.length, attn_mask)
+        x, kc, vc = _block(cfg, p, x, cos, sin, kc, vc, length, attn_mask)
         return x, (kc, vc)
 
     x, (new_k, new_v) = lax.scan(body, x, (params["layers"], cache.k, cache.v))
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
 
-    new_cache = KVCache(k=new_k, v=new_v, length=cache.length + S)
+    new_cache = KVCache(k=new_k, v=new_v, length=length + S)
     return x, new_cache, valid_mask
 
 

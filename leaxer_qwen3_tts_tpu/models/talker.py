@@ -119,11 +119,15 @@ def talker_decode_step(
     """One decode step.  Returns (logits [B, V] f32, hidden [B, H], cache, valid_mask)."""
     B, H = embed.shape
     t = cfg.transformer
+    # fused eligibility: small buckets always; big buckets via the windowed
+    # (online-softmax) kernel, which needs the bucket to be WINDOW-aligned
+    # (the engine rounds its ladder top accordingly)
+    fused_ok = cache.max_len <= cfg.fused_max_cache or cache.max_len % 512 == 0
     if (
         cfg.decode_impl == "fused"
         and "fused_step" in params
         and B == 1
-        and cache.max_len <= cfg.fused_max_cache
+        and fused_ok
     ):
         # ONE Pallas kernel for all 28 layers (ops/fused_step.py); final norm,
         # logit head, and bookkeeping stay outside the kernel

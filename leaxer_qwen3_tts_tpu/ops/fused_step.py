@@ -159,7 +159,16 @@ def _rope(x, cos, sin):
     return jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
 
 
-def _make_kernel(cfg: TransformerConfig, T: int, hbm_cache: bool = False):
+WINDOW = 512  # K/V slots per streamed attention window (windowed mode)
+
+
+def _make_kernel(cfg: TransformerConfig, T: int, mode: str = "vmem"):
+    """mode: "vmem"  — per-layer K/V cache blocks resident in VMEM (T <= 512)
+             "hbm"   — cache in HBM, whole [nk, T, d] DMA'd through scratch
+             "win"   — cache in HBM, streamed in WINDOW-slot chunks with
+                       ONLINE-SOFTMAX accumulation (any T; the VMEM cost is
+                       2 double-buffered windows, not the whole context)
+    """
     H = cfg.hidden_size
     nq, nk, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     g = nq // nk
@@ -169,6 +178,7 @@ def _make_kernel(cfg: TransformerConfig, T: int, hbm_cache: bool = False):
     n_qkv, n_wo, n_gu, n_wd = _unit_counts(cfg)
     U = n_qkv + n_wo + n_gu + n_wd
     b1, b2, b3 = n_qkv, n_qkv + n_wo, n_qkv + n_wo + n_gu  # static boundaries
+    hbm_cache = mode in ("hbm", "win")
 
     def kernel(
         pos_ref,  # SMEM [1] int32 — write slot / current position
@@ -181,19 +191,21 @@ def _make_kernel(cfg: TransformerConfig, T: int, hbm_cache: bool = False):
         mn_ref,  # [1, 1, H] f32 mlp_norm
         qn_ref,  # [1, 1, d] f32 q_norm
         kn_ref,  # [1, 1, d] f32 k_norm
-        kc_in,  # VMEM variant: [1, nk, T, d] layer block; HBM variant: full [L, nk, T, d] in ANY
+        kc_in,  # VMEM variant: [1, nk, T, d] layer block; HBM variants: full [L, nk, T, d] in ANY
         vc_in,
         x_out,  # [1, H] f32
-        kc_out,  # VMEM variant: layer block; HBM variant: full array aliased to kc_in
+        kc_out,  # VMEM variant: layer block; HBM variants: full array aliased to kc_in
         vc_out,
         x_s,  # scratch [1, H] f32 — residual stream
         h_s,  # scratch [1, H] f32 — normed input to the current matmul group
         qkv_s,  # scratch [1, qd + 2*kvd] f32
         attn_s,  # scratch [1, qd] f32
         gu_s,  # scratch [1, 2I] f32
-        k_vm=None,  # HBM variant scratch: [nk, T, d] cache dtype
+        k_vm=None,  # "hbm": [nk, T, d] scratch; "win": [2, nk, WINDOW, d]
         v_vm=None,
-        sems=None,  # HBM variant: DMA semaphores (4,)
+        slot_k=None,  # "win": [nk, 8, d] RMW window around pos
+        slot_v=None,
+        sems=None,  # HBM variants: DMA semaphores
     ):
         l = pl.program_id(0)
         u = pl.program_id(1)
@@ -222,12 +234,37 @@ def _make_kernel(cfg: TransformerConfig, T: int, hbm_cache: bool = False):
         # new slot via masked select: Mosaic can't do dynamic sub-tile stores
         # on the sublane axis); other units must leave kc_out untouched
 
-        if hbm_cache:
+        if mode == "hbm":
             # start streaming this layer's K/V while the qkv matmuls run
             @pl.when(u == 0)
             def _cache_in():
                 pltpu.make_async_copy(kc_in.at[l], k_vm, sems.at[0]).start()
                 pltpu.make_async_copy(vc_in.at[l], v_vm, sems.at[1]).start()
+
+        if mode == "win":
+            # start the RMW slot window + the first K/V attention window while
+            # the qkv matmuls run
+            @pl.when(u == 0)
+            def _win_prefetch():
+                pos_ = pos_ref[0]
+                w0 = pl.multiple_of((pos_ // 8) * 8, 8)
+                pltpu.make_async_copy(
+                    kc_in.at[l, :, pl.ds(w0, 8), :], slot_k, sems.at[4]
+                ).start()
+                pltpu.make_async_copy(
+                    vc_in.at[l, :, pl.ds(w0, 8), :], slot_v, sems.at[5]
+                ).start()
+
+                @pl.when(pos_ > 0)
+                def _():
+                    pltpu.make_async_copy(
+                        kc_in.at[l, :, pl.ds(0, WINDOW), :], k_vm.at[0],
+                        sems.at[0],
+                    ).start()
+                    pltpu.make_async_copy(
+                        vc_in.at[l, :, pl.ds(0, WINDOW), :], v_vm.at[0],
+                        sems.at[2],
+                    ).start()
 
         @pl.when(u == 0)
         def _norm_attn():
@@ -245,6 +282,105 @@ def _make_kernel(cfg: TransformerConfig, T: int, hbm_cache: bool = False):
             k = _rms(k, kn_ref[0, 0], eps)
             q = _rope(q, cos, sin)
             k = _rope(k, cos, sin)
+            if mode == "win":
+                # --- streamed attention: online softmax over WINDOW chunks.
+                # Slots [0, pos) stream from the HBM cache (double-buffered
+                # DMA); the new slot's contribution comes straight from
+                # registers, so the cache write-back below never races the
+                # streamed reads (it only rewrites values < pos unchanged).
+                w0 = pl.multiple_of((pos // 8) * 8, 8)
+                pltpu.make_async_copy(
+                    kc_in.at[l, :, pl.ds(w0, 8), :], slot_k, sems.at[4]
+                ).wait()
+                pltpu.make_async_copy(
+                    vc_in.at[l, :, pl.ds(w0, 8), :], slot_v, sems.at[5]
+                ).wait()
+                wslot = jax.lax.broadcasted_iota(jnp.int32, (nk, 8, d), 1) + w0
+                slot_k[:] = jnp.where(
+                    wslot == pos, k[:, None, :].astype(slot_k.dtype), slot_k[:]
+                )
+                slot_v[:] = jnp.where(
+                    wslot == pos, v[:, None, :].astype(slot_v.dtype), slot_v[:]
+                )
+                kout = pltpu.make_async_copy(
+                    slot_k, kc_out.at[l, :, pl.ds(w0, 8), :], sems.at[6]
+                )
+                vout = pltpu.make_async_copy(
+                    slot_v, vc_out.at[l, :, pl.ds(w0, 8), :], sems.at[7]
+                )
+                kout.start()
+                vout.start()
+
+                qg = q.reshape(nk, g, d)
+                inv_sqrt_d = 1.0 / (d**0.5)
+                n_win = pl.cdiv(pos, WINDOW)  # windows covering [0, pos)
+
+                def win_body(i, carry):
+                    m, s, acc = carry
+                    buf = jax.lax.rem(i, 2)
+                    nxt = jax.lax.rem(i + 1, 2)
+                    off_next = pl.multiple_of((i + 1) * WINDOW, WINDOW)
+
+                    @pl.when(i + 1 < n_win)
+                    def _():
+                        pltpu.make_async_copy(
+                            kc_in.at[l, :, pl.ds(off_next, WINDOW), :],
+                            k_vm.at[nxt], sems.at[nxt],
+                        ).start()
+                        pltpu.make_async_copy(
+                            vc_in.at[l, :, pl.ds(off_next, WINDOW), :],
+                            v_vm.at[nxt], sems.at[2 + nxt],
+                        ).start()
+
+                    off_i = pl.multiple_of(i * WINDOW, WINDOW)
+                    pltpu.make_async_copy(
+                        kc_in.at[l, :, pl.ds(off_i, WINDOW), :], k_vm.at[buf],
+                        sems.at[buf],
+                    ).wait()
+                    pltpu.make_async_copy(
+                        vc_in.at[l, :, pl.ds(off_i, WINDOW), :], v_vm.at[buf],
+                        sems.at[2 + buf],
+                    ).wait()
+                    K_w = k_vm[buf].astype(jnp.float32)  # [nk, W, d]
+                    V_w = v_vm[buf].astype(jnp.float32)
+                    sc = jax.lax.dot_general(
+                        qg, K_w, (((2,), (2,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32,
+                    ) * inv_sqrt_d  # [nk, g, W]
+                    gslot = (
+                        jax.lax.broadcasted_iota(jnp.int32, (nk, g, WINDOW), 2)
+                        + i * WINDOW
+                    )
+                    sc = jnp.where(gslot < pos, sc, -1e30)
+                    m_new = jnp.maximum(m, jnp.max(sc, axis=-1, keepdims=True))
+                    alpha = jnp.exp(m - m_new)
+                    e = jnp.exp(sc - m_new)
+                    s_new = s * alpha + jnp.sum(e, axis=-1, keepdims=True)
+                    acc_new = acc * alpha + jax.lax.dot_general(
+                        e, V_w, (((2,), (1,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32,
+                    )
+                    return m_new, s_new, acc_new
+
+                m0 = jnp.full((nk, g, 1), -1e30, jnp.float32)
+                s0 = jnp.zeros((nk, g, 1), jnp.float32)
+                a0 = jnp.zeros((nk, g, d), jnp.float32)
+                m, s, acc = jax.lax.fori_loop(0, n_win, win_body, (m0, s0, a0))
+
+                # diagonal term: the new slot (k, v of THIS step, registers)
+                sc_d = (
+                    jnp.sum(qg * k[:, None, :], axis=-1, keepdims=True)
+                    * inv_sqrt_d
+                )  # [nk, g, 1]
+                m2 = jnp.maximum(m, sc_d)
+                alpha = jnp.exp(m - m2)
+                e_d = jnp.exp(sc_d - m2)
+                s = s * alpha + e_d
+                acc = acc * alpha + e_d * v[:, None, :]
+                attn_s[:] = (acc / s).reshape(1, qd)
+                kout.wait()
+                vout.wait()
+                return
             if hbm_cache:
                 # K/V live in VMEM scratch (DMA'd at u == 0); place the new
                 # slot via an 8-aligned read-modify-write window, then DMA
@@ -359,7 +495,21 @@ def _make_kernel(cfg: TransformerConfig, T: int, hbm_cache: bool = False):
     return kernel, U
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
+def _pick_mode(T: int) -> str:
+    # beyond ~512 slots the per-layer cache blocks outgrow VMEM residency; the
+    # "hbm" variant streams the whole layer cache through scratch, and beyond
+    # 1024 even that scratch outgrows VMEM (measured 21.9 MB at T=2080), so
+    # "win" streams WINDOW-slot chunks with online softmax — any T, bounded
+    # VMEM.  QTTS_FUSED_MODE overrides for A/B benching.
+    import os
+
+    mode = "vmem" if T <= 512 else ("hbm" if T <= 1024 else "win")
+    env_mode = os.environ.get("QTTS_FUSED_MODE")
+    if env_mode in ("vmem", "hbm", "win"):
+        mode = env_mode
+    return mode
+
+
 def fused_decode_step(
     cfg: TransformerConfig,
     fw: FusedStepWeights,
@@ -368,20 +518,46 @@ def fused_decode_step(
     k_cache: jax.Array,  # [L, 1, nk, T, d]
     v_cache: jax.Array,
     interpret: bool = False,
+    mode: str = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """One fused decode step over all layers (pre-final-norm output).
 
-    Returns (x_out [1, H] f32, k_cache, v_cache)."""
+    Returns (x_out [1, H] f32, k_cache, v_cache).  ``mode`` (vmem/hbm/win)
+    defaults by cache size — resolved OUTSIDE jit so env overrides and
+    explicit choices are never shadowed by a cached trace."""
+    T = k_cache.shape[3]
+    if mode is None:
+        mode = _pick_mode(T)
+    if mode == "win" and T % WINDOW != 0:
+        raise ValueError(
+            f"windowed fused decode needs the KV bucket ({T}) to be a "
+            f"multiple of {WINDOW}; round the bucket up (engine does this)"
+        )
+    if mode == "vmem" and T > 512:
+        raise ValueError(f"vmem mode caps at 512 cache slots, got {T}")
+    return _fused_decode_step_jit(cfg, fw, x, pos, k_cache, v_cache,
+                                  interpret, mode)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret", "mode"))
+def _fused_decode_step_jit(
+    cfg: TransformerConfig,
+    fw: FusedStepWeights,
+    x: jax.Array,
+    pos: jax.Array,
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    interpret: bool,
+    mode: str,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
     L = fw.units.shape[0]
     T = k_cache.shape[3]
     H = cfg.hidden_size
     nk, d = cfg.num_kv_heads, cfg.head_dim
     qd, kvd, I = cfg.q_dim, cfg.kv_dim, cfg.intermediate_size
 
-    # beyond ~512 slots the per-layer cache blocks outgrow VMEM residency;
-    # the HBM variant streams them through scratch via DMA instead
-    hbm_cache = T > 512
-    kernel, U = _make_kernel(cfg, T, hbm_cache=hbm_cache)
+    hbm_cache = mode in ("hbm", "win")
+    kernel, U = _make_kernel(cfg, T, mode=mode)
 
     half = d // 2
     freqs = 1.0 / (cfg.rope_theta ** (jnp.arange(half, dtype=jnp.float32) / half))
@@ -428,11 +604,22 @@ def fused_decode_step(
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ]
-        scratch += [
-            pltpu.VMEM((nk, T, d), kc.dtype),
-            pltpu.VMEM((nk, T, d), vc.dtype),
-            pltpu.SemaphoreType.DMA((4,)),
-        ]
+        if mode == "win":
+            scratch += [
+                pltpu.VMEM((2, nk, WINDOW, d), kc.dtype),  # double-buffered
+                pltpu.VMEM((2, nk, WINDOW, d), vc.dtype),
+                pltpu.VMEM((nk, 8, d), kc.dtype),  # RMW slot window
+                pltpu.VMEM((nk, 8, d), vc.dtype),
+                pltpu.SemaphoreType.DMA((8,)),
+            ]
+        else:
+            scratch += [
+                pltpu.VMEM((nk, T, d), kc.dtype),
+                pltpu.VMEM((nk, T, d), vc.dtype),
+                pltpu.VMEM((nk, 8, d), kc.dtype),  # unused (signature pad)
+                pltpu.VMEM((nk, 8, d), vc.dtype),
+                pltpu.SemaphoreType.DMA((8,)),
+            ]
         aliases = {10: 1, 11: 2}  # kc, vc inputs -> outputs (in-place)
     else:
         in_specs += [

@@ -40,7 +40,9 @@ class GenerateState(NamedTuple):
     last_logits: jax.Array  # [B, V] f32
     last_hidden: jax.Array  # [B, H]
     pos: jax.Array  # [B] int32 — RoPE position of the next token
-    step: jax.Array  # scalar int32 — frames generated so far
+    step: jax.Array  # [B] int32 — frames generated so far, PER STREAM
+    # (per-stream so continuous serving can admit a new request into a slot
+    # mid-flight: its text drip restarts at 0 while batch-mates keep going)
     done: jax.Array  # [B] bool — EOS latched
     key: jax.Array  # PRNG key
 
@@ -62,7 +64,7 @@ def init_state_from_prefill(
         last_logits=last_logits,
         last_hidden=last_hidden,
         pos=bundle.prompt_len,
-        step=jnp.zeros((), jnp.int32),
+        step=jnp.zeros((B,), jnp.int32),
         done=jnp.zeros((B,), bool),
         key=key,
     )
@@ -107,8 +109,10 @@ def _frame_step(
 
     # --- next talker input: codec sum + text drip (reference :823-842) ---
     T = trailing.shape[1]
-    drip_idx = jnp.minimum(state.step, T - 1)
-    drip = trailing[:, drip_idx]  # [B, H]
+    drip_idx = jnp.minimum(state.step, T - 1)  # [B] per-stream drip cursor
+    drip = jnp.take_along_axis(
+        trailing, drip_idx[:, None, None], axis=1
+    )[:, 0]  # [B, H]
     use_text = state.step < trailing_len  # [B]
     drip = jnp.where(use_text[:, None], drip, tts_pad_embed[None, :].astype(drip.dtype))
     next_embed = (code0_embed + sub_sum + drip).astype(code0_embed.dtype)

@@ -1,0 +1,416 @@
+"""Continuous batching: a persistent SPMD decode pool with per-slot admit/retire.
+
+The static batcher (server.py) forms a batch, runs it to completion, and only
+then admits new work — a long utterance holds its batch-mates hostage and a
+language change head-of-line-blocks the queue.  This pool fixes both:
+
+  * B decode SLOTS run one shared chunked-decode program forever; requests are
+    ADMITTED into free slots at chunk boundaries and RETIRED independently on
+    EOS or their own max_tokens.  A short request admitted mid-flight
+    finishes without waiting for a long batch-mate.
+  * language / speaker-style conditioning lives entirely in the per-request
+    PREFILL (batch-1, its own jit signature); the pool decode program is
+    signature-uniform, so mixed languages coexist in one batch — no
+    head-of-line blocking on jit signatures.
+  * per-request sampling knobs ride as [B] vectors (runtime/sampling.py) and
+    are updated host-side on admission.
+
+Mechanics: admission runs a batch-1 prefill sized to the pool's KV bucket,
+then SPLICES the resulting single-stream state into slot b of the pool state
+(per-slot ``pos`` / ``step`` / text-drip buffers — GenerateState carries all
+of these as [B] vectors).  Retirement vocodes the stream's own codes (length
+bucketed) and resolves its future.
+
+Determinism note: the pool threads ONE PRNG chain through the shared decode
+program, so a request's sampled output depends on what else is in flight.
+Per-request seeded determinism needs the offline API (engine.synthesize).
+
+The reference has no serving layer at all (SURVEY §2.3: one process, one
+request, batch fixed at 1 — tts_onnx.cpp:547,618,672,760).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..api.engine import EngineError, SynthesisResult, TTSEngine
+from ..config import SAMPLE_RATE, language_to_codec_id
+from ..models.codec12hz import vocoder_forward
+from ..models.talker import talker_init_cache
+from ..runtime.generate import GenerateState, make_generate_fns
+from ..runtime.prompt import prompt_length
+from ..runtime.sampling import SamplingParams
+from ..utils.logging import get_logger
+from ..utils.metrics import SynthesisMetrics
+
+log = get_logger(__name__)
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((max(n, 1) + m - 1) // m) * m
+
+
+@dataclass
+class _PoolRequest:
+    text: str
+    language: str
+    temperature: float
+    top_k: int
+    top_p: float
+    max_tokens: Optional[int]
+    forbid_eos: bool = False  # benchmarking / length-forcing knob
+    future: Future = field(default_factory=Future)
+    enqueued_at: float = field(default_factory=time.perf_counter)
+
+
+@dataclass
+class _Active:
+    req: _PoolRequest
+    budget: int
+    frames: List[np.ndarray] = field(default_factory=list)  # [16] rows
+    admitted_at: float = field(default_factory=time.perf_counter)
+
+
+class ContinuousBatcher:
+    """Drop-in alternative to BatchingServer with continuous admission.
+
+    Same surface: ``submit`` -> Future[SynthesisResult], ``synthesize``,
+    ``stats``, ``shutdown``; composes with ``make_http_server``.
+    """
+
+    def __init__(
+        self,
+        engine: TTSEngine,
+        pool_size: int = 8,
+        chunk_len: int = 16,
+        kv_bucket: int = 512,
+        text_bucket_max: int = 64,
+        seed: int = 0,
+    ):
+        if not engine.is_ready():
+            raise EngineError(f"engine not ready: {engine.get_error()}")
+        if engine.mesh is not None:
+            raise EngineError("continuous pool is single-program; no mesh yet")
+        self.engine = engine
+        self.cfg = engine.cfg
+        self.pool_size = int(pool_size)
+        self.chunk_len = int(chunk_len)
+        self.kv_bucket = int(kv_bucket)
+        self.text_bucket_max = int(text_bucket_max)
+
+        cfg = self.cfg
+        B, T = self.pool_size, self.kv_bucket
+        self._fns = make_generate_fns(cfg, batch=B, max_len=T,
+                                      chunk_len=self.chunk_len)
+        self._prefill_cache: Dict[tuple, object] = {}
+        self._splice_cache: Dict[int, object] = {}
+        self._vocode_cache: Dict[int, object] = {}
+
+        t = cfg.talker.transformer
+        H, V = cfg.talker.hidden_size, cfg.talker.codec_vocab_size
+        dt = t.jnp_dtype
+        cache = talker_init_cache(cfg.talker, B, T)
+        self._state = GenerateState(
+            cache=cache,
+            valid_mask=jnp.zeros((B, T), bool),
+            last_logits=jnp.zeros((B, V), jnp.float32),
+            last_hidden=jnp.zeros((B, H), jnp.float32),
+            pos=jnp.zeros((B,), jnp.int32),
+            step=jnp.zeros((B,), jnp.int32),
+            done=jnp.ones((B,), bool),  # empty slots idle as "done"
+            key=jax.random.PRNGKey(seed),
+        )
+        self._trailing = jnp.zeros((B, self.text_bucket_max, H), dt)
+        self._trailing_len = jnp.zeros((B,), jnp.int32)
+        from ..models.embeddings import text_project
+        from ..config import TTS_PAD
+
+        self._tts_pad = jax.jit(
+            lambda p: text_project(p, jnp.asarray(TTS_PAD, jnp.int32))
+        )(engine.params["embeddings"])
+
+        # host-side per-slot sampling knobs ([B] vectors into the decode jit)
+        self._temps = np.full((B,), 0.8, np.float32)
+        self._top_ks = np.full((B,), 50, np.int32)
+        self._top_ps = np.full((B,), 0.95, np.float32)
+        self._forbid = np.zeros((B,), bool)
+
+        self._slots: List[Optional[_Active]] = [None] * B
+        self._queue: "queue.Queue[_PoolRequest]" = queue.Queue()
+        self._stop = threading.Event()
+        self._requests_done = 0
+        self._chunks_run = 0
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    # ------------------------------------------------------------------
+    def submit(
+        self,
+        text: str,
+        language: str = "auto",
+        temperature: float = 0.8,
+        top_k: int = 50,
+        top_p: float = 0.95,
+        max_tokens: Optional[int] = None,
+        forbid_eos: bool = False,
+    ) -> "Future[SynthesisResult]":
+        if self._stop.is_set():
+            raise RuntimeError("server is shut down")
+        req = _PoolRequest(text, language, temperature, top_k, top_p,
+                           max_tokens, forbid_eos)
+        self._queue.put(req)
+        return req.future
+
+    def synthesize(self, text: str, **kw) -> SynthesisResult:
+        return self.submit(text, **kw).result()
+
+    @property
+    def stats(self) -> dict:
+        return {
+            "chunks": self._chunks_run,
+            "requests": self._requests_done,
+            "queued": self._queue.qsize(),
+            "active": sum(s is not None for s in self._slots),
+        }
+
+    def shutdown(self, wait: bool = True) -> None:
+        self._stop.set()
+        if wait:
+            self._thread.join(timeout=60)
+
+    # ------------------------------------------------------------------
+    # jitted helpers (cached per signature)
+    # ------------------------------------------------------------------
+
+    def _get_prefill(self, t_bucket: int, lang_id):
+        key = (t_bucket, lang_id)
+        if key not in self._prefill_cache:
+            self._prefill_cache[key] = make_generate_fns(
+                self.cfg, batch=1, max_len=self.kv_bucket, chunk_len=1,
+                lang_id=lang_id,
+            ).prefill
+        return self._prefill_cache[key]
+
+    def _get_splice(self, t_bucket: int):
+        if t_bucket not in self._splice_cache:
+            TB = self.text_bucket_max
+
+            def splice(state, trailing, trailing_len, slot,
+                       k1, v1, len1, valid1, logits1, hidden1, pos1, t1, t1len):
+                cache = state.cache._replace(
+                    k=jax.lax.dynamic_update_slice(
+                        state.cache.k, k1, (0, slot, 0, 0, 0)
+                    ),
+                    v=jax.lax.dynamic_update_slice(
+                        state.cache.v, v1, (0, slot, 0, 0, 0)
+                    ),
+                    length=jax.lax.dynamic_update_slice(
+                        state.cache.length, len1, (slot,)
+                    ),
+                )
+                z32 = jnp.zeros((1,), jnp.int32)
+                new = state._replace(
+                    cache=cache,
+                    valid_mask=jax.lax.dynamic_update_slice(
+                        state.valid_mask, valid1, (slot, 0)
+                    ),
+                    last_logits=jax.lax.dynamic_update_slice(
+                        state.last_logits, logits1, (slot, 0)
+                    ),
+                    last_hidden=jax.lax.dynamic_update_slice(
+                        state.last_hidden,
+                        hidden1.astype(state.last_hidden.dtype), (slot, 0),
+                    ),
+                    pos=jax.lax.dynamic_update_slice(state.pos, pos1, (slot,)),
+                    step=jax.lax.dynamic_update_slice(state.step, z32, (slot,)),
+                    done=jax.lax.dynamic_update_slice(
+                        state.done, jnp.zeros((1,), bool), (slot,)
+                    ),
+                )
+                row = jnp.zeros((1, TB, trailing.shape[2]), trailing.dtype)
+                row = jax.lax.dynamic_update_slice(row, t1, (0, 0, 0))
+                trailing = jax.lax.dynamic_update_slice(
+                    trailing, row, (slot, 0, 0)
+                )
+                trailing_len = jax.lax.dynamic_update_slice(
+                    trailing_len, t1len, (slot,)
+                )
+                return new, trailing, trailing_len
+
+            self._splice_cache[t_bucket] = jax.jit(
+                splice, donate_argnums=(0, 1, 2)
+            )
+        return self._splice_cache[t_bucket]
+
+    def _get_mark_done(self):
+        if "mark_done" not in self._splice_cache:
+            def mark(state, slot):
+                return state._replace(
+                    done=jax.lax.dynamic_update_slice(
+                        state.done, jnp.ones((1,), bool), (slot,)
+                    )
+                )
+
+            self._splice_cache["mark_done"] = jax.jit(mark, donate_argnums=(0,))
+        return self._splice_cache["mark_done"]
+
+    def _vocode(self, codes: np.ndarray) -> np.ndarray:
+        """Length-bucketed whole-utterance vocode at retirement."""
+        F = len(codes)
+        if F == 0:
+            return np.zeros((0,), np.float32)
+        Fb = _round_up(F, self.chunk_len)
+        if Fb not in self._vocode_cache:
+            voc_cfg = self.cfg.vocoder
+            self._vocode_cache[Fb] = jax.jit(
+                lambda p, c: vocoder_forward(voc_cfg, p, c)
+            )
+        padded = np.zeros((1, Fb, 16), np.int32)
+        padded[0, :F] = codes
+        audio = self._vocode_cache[Fb](self.engine.params["vocoder"], padded)
+        spf = self.cfg.vocoder.samples_per_frame
+        return np.asarray(audio, np.float32)[0, : F * spf]
+
+    # ------------------------------------------------------------------
+    # pool loop
+    # ------------------------------------------------------------------
+
+    def _admit(self, slot: int, req: _PoolRequest) -> None:
+        eng = self.engine
+        ids = eng._tokenize(req.text)
+        vocab = self.cfg.talker.text_vocab_size
+        bad = [i for i in ids if not 0 <= int(i) < vocab]
+        if bad:
+            raise EngineError(f"token id(s) out of range [0, {vocab}): {bad[:8]}")
+        t_bucket = _round_up(len(ids), 16)
+        if t_bucket > self.text_bucket_max:
+            raise EngineError(
+                f"text too long for the pool ({len(ids)} tokens > "
+                f"{self.text_bucket_max} bucket)"
+            )
+        lang_id = language_to_codec_id(
+            req.language if req.language != "auto" else None
+        )
+        P = prompt_length(lang_id, False, 0)
+        budget = self.kv_bucket - P - self.chunk_len
+        if budget < 1:
+            raise EngineError("pool kv_bucket too small for the prompt")
+        if req.max_tokens is not None:
+            budget = min(budget, int(req.max_tokens))
+
+        ids_arr = np.zeros((1, t_bucket), np.int32)
+        ids_arr[0, : len(ids)] = ids
+        lens = np.asarray([len(ids)], np.int32)
+        prefill = self._get_prefill(t_bucket, lang_id)
+        # the single-stream key is discarded by the splice (the pool threads
+        # its own shared PRNG chain through the decode program)
+        s1, bundle = prefill(self.engine.params, ids_arr, lens, jax.random.PRNGKey(0))
+
+        splice = self._get_splice(t_bucket)
+        self._state, self._trailing, self._trailing_len = splice(
+            self._state, self._trailing, self._trailing_len,
+            jnp.asarray(slot, jnp.int32),
+            s1.cache.k, s1.cache.v, s1.cache.length, s1.valid_mask,
+            s1.last_logits, s1.last_hidden, s1.pos, bundle.trailing,
+            bundle.trailing_len,
+        )
+        self._temps[slot] = req.temperature
+        self._top_ks[slot] = req.top_k
+        self._top_ps[slot] = req.top_p
+        self._forbid[slot] = req.forbid_eos
+        self._slots[slot] = _Active(req=req, budget=budget)
+
+    def _retire(self, slot: int) -> None:
+        active = self._slots[slot]
+        self._slots[slot] = None
+        self._state = self._get_mark_done()(
+            self._state, jnp.asarray(slot, jnp.int32)
+        )
+        codes = (
+            np.stack(active.frames).astype(np.int32)
+            if active.frames else np.zeros((0, 16), np.int32)
+        )
+        codes = codes[: active.budget]
+        audio = self._vocode(codes)
+        now = time.perf_counter()
+        spf = self.cfg.vocoder.samples_per_frame
+        m = SynthesisMetrics(
+            audio_seconds=len(codes) * spf / float(SAMPLE_RATE),
+            frames=len(codes),
+            total_seconds=now - active.req.enqueued_at,
+        )
+        m.stage_seconds["queued"] = active.admitted_at - active.req.enqueued_at
+        self._requests_done += 1
+        active.req.future.set_result(
+            SynthesisResult(audio=audio, codes=codes, metrics=m)
+        )
+
+    def _try_admissions(self) -> None:
+        for slot in range(self.pool_size):
+            if self._slots[slot] is not None:
+                continue
+            try:
+                req = self._queue.get_nowait()
+            except queue.Empty:
+                return
+            try:
+                self._admit(slot, req)
+            except Exception as e:
+                log.exception("admission failed")
+                if not req.future.done():
+                    req.future.set_exception(e)
+
+    def _loop(self) -> None:
+        params = self.engine.params
+        while not self._stop.is_set():
+            self._try_admissions()
+            if not any(s is not None for s in self._slots):
+                time.sleep(0.005)
+                continue
+            sp = SamplingParams.create(
+                jnp.asarray(self._temps), jnp.asarray(self._top_ks),
+                jnp.asarray(self._top_ps), forbid_eos=jnp.asarray(self._forbid),
+            )
+            try:
+                self._state, frames, valid = self._fns.decode(
+                    params, self._state, self._trailing, self._trailing_len,
+                    self._tts_pad, sp,
+                )
+                frames_np = np.asarray(frames)
+                valid_np = np.asarray(valid)
+                done_np = np.asarray(self._state.done)
+            except Exception as e:  # pragma: no cover
+                log.exception("pool decode failed; failing active requests")
+                for slot, active in enumerate(self._slots):
+                    if active is not None and not active.req.future.done():
+                        active.req.future.set_exception(e)
+                    self._slots[slot] = None
+                continue
+            self._chunks_run += 1
+            for slot, active in enumerate(self._slots):
+                if active is None:
+                    continue
+                for frame, ok in zip(frames_np[slot], valid_np[slot]):
+                    if ok and len(active.frames) < active.budget:
+                        active.frames.append(frame)
+                if bool(done_np[slot]) or len(active.frames) >= active.budget:
+                    self._retire(slot)
+        # drain on shutdown
+        for active in self._slots:
+            if active is not None and not active.req.future.done():
+                active.req.future.set_exception(RuntimeError("server shut down"))
+        while True:
+            try:
+                r = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            r.future.set_exception(RuntimeError("server shut down"))

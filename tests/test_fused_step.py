@@ -73,7 +73,7 @@ def test_fused_talker_step_matches_xla():
     cache = cache._replace(
         k=jnp.asarray(rng.standard_normal(cache.k.shape) * 0.2, jnp.float32),
         v=jnp.asarray(rng.standard_normal(cache.v.shape) * 0.2, jnp.float32),
-        length=jnp.asarray(3, jnp.int32),
+        length=jnp.full((1,), 3, jnp.int32),
     )
     valid = jnp.asarray(np.arange(16)[None, :] < 3)
 
@@ -255,3 +255,73 @@ def test_fused_matches_cached(fused_cfg_params):
     np.testing.assert_allclose(
         np.asarray(sum_f), np.asarray(sum_c), atol=0.05, rtol=0.05
     )
+
+
+def test_windowed_variant_matches_hbm(fused_cfg_params):
+    """The online-softmax windowed variant (T > 1024 / batched-serving path)
+    == the whole-cache HBM variant on a shared T=1024 cache, including a pos
+    that spans two windows plus the in-register diagonal term."""
+    from leaxer_qwen3_tts_tpu.models.layers import init_transformer_params
+    from leaxer_qwen3_tts_tpu.ops.fused_step import (
+        fused_decode_step,
+        pack_fused_weights,
+    )
+
+    t = TransformerConfig(
+        hidden_size=1024, num_layers=2, num_heads=8, num_kv_heads=4,
+        head_dim=128, intermediate_size=3072, dtype="float32",
+    )
+    params = init_transformer_params(t, jax.random.PRNGKey(0))
+    fw = pack_fused_weights(t, params["layers"])
+
+    rng = np.random.default_rng(7)
+    L, nk, d, T = 2, 4, 128, 1024
+    x = jnp.asarray(rng.standard_normal((1, 1024)) * 0.3, jnp.float32)
+    kc = jnp.asarray(rng.standard_normal((L, 1, nk, T, d)) * 0.2, jnp.float32)
+    vc = jnp.asarray(rng.standard_normal((L, 1, nk, T, d)) * 0.2, jnp.float32)
+
+    for pos_val in (0, 511, 700):  # no window / window edge / two windows
+        pos = jnp.asarray(pos_val, jnp.int32)
+        x_h, kh, vh = fused_decode_step(
+            t, fw, x, pos, kc, vc, interpret=True, mode="hbm"
+        )
+        x_w, kw, vw = fused_decode_step(
+            t, fw, x, pos, kc, vc, interpret=True, mode="win"
+        )
+        np.testing.assert_allclose(
+            np.asarray(x_w), np.asarray(x_h), atol=2e-2, err_msg=f"pos={pos_val}"
+        )
+        corr = np.corrcoef(np.asarray(x_w).ravel(), np.asarray(x_h).ravel())[0, 1]
+        assert corr > 0.99999, (pos_val, corr)
+        # untouched slots are preserved bit-exactly; the written slot in
+        # layers > 0 carries the modes' bf16 reduction-order noise (its k/v
+        # derive from the previous layer's attention output)
+        kw_n, kh_n = np.asarray(kw), np.asarray(kh)
+        mask = np.ones(T, bool)
+        mask[pos_val] = False
+        np.testing.assert_array_equal(kw_n[:, :, :, mask], kh_n[:, :, :, mask])
+        np.testing.assert_allclose(
+            kw_n[:, :, :, pos_val], kh_n[:, :, :, pos_val], atol=2e-2
+        )
+        np.testing.assert_allclose(np.asarray(vw), np.asarray(vh), atol=2e-2)
+
+
+def test_windowed_rejects_misaligned_bucket(fused_cfg_params):
+    from leaxer_qwen3_tts_tpu.models.layers import init_transformer_params
+    from leaxer_qwen3_tts_tpu.ops.fused_step import (
+        fused_decode_step,
+        pack_fused_weights,
+    )
+
+    t = TransformerConfig(
+        hidden_size=1024, num_layers=1, num_heads=8, num_kv_heads=4,
+        head_dim=128, intermediate_size=3072, dtype="float32",
+    )
+    params = init_transformer_params(t, jax.random.PRNGKey(0))
+    fw = pack_fused_weights(t, params["layers"])
+    kc = jnp.zeros((1, 1, 4, 520, 128), jnp.float32)
+    with pytest.raises(ValueError, match="multiple of"):
+        fused_decode_step(
+            t, fw, jnp.zeros((1, 1024)), jnp.asarray(3, jnp.int32), kc, kc,
+            interpret=True, mode="win",
+        )

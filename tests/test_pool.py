@@ -1,0 +1,132 @@
+"""Continuous-batching pool: mid-flight admission, independent retirement,
+mixed-language coexistence, greedy parity with the offline engine."""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from leaxer_qwen3_tts_tpu.api.engine import TTSEngine
+from leaxer_qwen3_tts_tpu.frontend import Tokenizer
+from leaxer_qwen3_tts_tpu.serve import ContinuousBatcher
+
+SPF = 2000
+
+
+@pytest.fixture(scope="module")
+def engine(tiny_model, tiny_vocab_files):
+    cfg, params = tiny_model
+    vocab_path, merges_path, _ = tiny_vocab_files
+    return TTSEngine(
+        config=cfg,
+        params=params,
+        tokenizer=Tokenizer(vocab_path, merges_path),
+        max_frames=8,
+        chunk_len=4,
+    )
+
+
+@pytest.fixture()
+def pool(engine):
+    p = ContinuousBatcher(
+        engine, pool_size=4, chunk_len=2, kv_bucket=64, text_bucket_max=16
+    )
+    yield p
+    p.shutdown()
+
+
+def test_pool_basic_and_mixed_language(pool):
+    """Requests with different languages decode CONCURRENTLY in one pool
+    (conditioning lives in the per-request prefill) — the static batcher
+    head-of-line-blocked on language."""
+    futs = {
+        lang: pool.submit("hello world", language=lang, temperature=0.0,
+                          max_tokens=6)
+        for lang in ("auto", "en", "zh")
+    }
+    results = {k: f.result(timeout=600) for k, f in futs.items()}
+    for r in results.values():
+        assert r.codes.shape[1] == 16
+        assert r.audio.size == r.codes.shape[0] * SPF
+        assert np.isfinite(r.audio).all()
+        assert r.metrics.frames == r.codes.shape[0]
+    # language token conditions generation through the pool prefill
+    assert (results["en"].codes.shape != results["auto"].codes.shape) or not (
+        np.array_equal(results["en"].codes, results["auto"].codes)
+    )
+    assert pool.stats["requests"] == 3
+
+
+def test_short_request_not_blocked_by_long(pool):
+    """THE continuous-batching property: a short request admitted mid-flight
+    completes while a long one is still decoding (round-1 verdict item 6)."""
+    order = []
+    long_f = pool.submit("hello world", temperature=0.0, forbid_eos=True,
+                         max_tokens=40)
+    long_f.add_done_callback(lambda f: order.append("long"))
+    # wait until the long request is genuinely in flight
+    deadline = time.time() + 300
+    while pool.stats["chunks"] < 1 or pool.stats["active"] < 1:
+        assert time.time() < deadline, "long request never started"
+        time.sleep(0.01)
+    short_f = pool.submit("hello", temperature=0.0, forbid_eos=True,
+                          max_tokens=2)
+    short_f.add_done_callback(lambda f: order.append("short"))
+    short = short_f.result(timeout=600)
+    long_ = long_f.result(timeout=600)
+    assert short.codes.shape[0] == 2
+    assert long_.codes.shape[0] == 40
+    assert order == ["short", "long"]  # retired independently, in length order
+
+
+def test_pool_matches_engine_greedy(pool, engine):
+    got = pool.synthesize("hello world", temperature=0.0, max_tokens=4)
+    want = engine.synthesize("hello world", temperature=0.0, max_tokens=4)
+    np.testing.assert_array_equal(got.codes, want.codes)
+    np.testing.assert_allclose(got.audio, want.audio, atol=2e-4)
+
+
+def test_pool_more_requests_than_slots(pool):
+    """Queue drains through admissions: 10 requests through 4 slots."""
+    futs = [
+        pool.submit("hello", temperature=0.0, max_tokens=3) for _ in range(10)
+    ]
+    results = [f.result(timeout=600) for f in futs]
+    assert len(results) == 10
+    for r in results:
+        assert r.codes.shape[0] <= 3
+    # identical greedy requests produce identical codes regardless of slot
+    for r in results[1:]:
+        np.testing.assert_array_equal(r.codes, results[0].codes)
+
+
+def test_pool_rejects_overlong_text(pool):
+    f = pool.submit("hello " * 40, temperature=0.0)  # > text_bucket_max tokens
+    with pytest.raises(Exception, match="too long"):
+        f.result(timeout=600)
+
+
+def test_pool_http_facade(pool):
+    """The HTTP facade composes with the continuous pool unchanged."""
+    import json
+    import urllib.request
+
+    from leaxer_qwen3_tts_tpu.serve import make_http_server
+
+    httpd = make_http_server(pool, "127.0.0.1", 0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/synthesize",
+            data=json.dumps({"text": "hello", "temperature": 0.0,
+                             "max_tokens": 3}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=600) as r:
+            assert r.headers["Content-Type"] == "audio/wav"
+            assert r.read()[:4] == b"RIFF"
+    finally:
+        httpd.shutdown()

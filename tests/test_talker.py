@@ -107,10 +107,10 @@ def test_cache_length_advances(setup):
     B, P, H = 1, 5, 64
     embeds = jnp.zeros((B, P, H))
     cache = talker_init_cache(cfg, B, 16)
-    assert int(cache.length) == 0
+    assert int(cache.length[0]) == 0
     _, _, cache, vm = talker_prefill(cfg, params, embeds, jnp.array([P]), cache)
-    assert int(cache.length) == P
+    assert int(cache.length[0]) == P
     _, _, cache, vm = talker_decode_step(cfg, params, embeds[:, 0], jnp.array([P]), cache, vm)
-    assert int(cache.length) == P + 1
+    assert int(cache.length[0]) == P + 1
     assert bool(vm[0, P])
     assert not bool(vm[0, P + 1])
