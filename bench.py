@@ -156,30 +156,32 @@ def main() -> None:
     sync(audio)
     log(f"vocoder compile+run: {time.perf_counter() - t0:.1f}s")
 
-    # --- measured prefill (compiled) ---------------------------------------
+    # --- measured prefill (compiled; diagnostic — includes one tunnel RPC) --
     t0 = time.perf_counter()
     state, bundle = fns.prefill(params, ids, lens, key)
     sync(state.last_logits)
     prefill_s = time.perf_counter() - t0
 
-    # --- measured steady-state decode + streaming vocode --------------------
-    # Chained dispatch with ONE final sync: the axon tunnel costs ~33 ms per
-    # synced call (measured), which is host-RPC latency, not TPU time.  The
-    # decode chunks chain through `state`, so the device pipeline never
-    # stalls; production hosts attached to the chip see the chained numbers.
+    # --- measured end-to-end request: prefill + decode + streaming vocode ---
+    # Everything chains through `state` with ONE final sync: the axon tunnel
+    # costs ~33-60 ms per synced call (measured, host-RPC latency, not TPU
+    # time), so syncing after prefill would bill a tunnel round-trip to the
+    # model.  Production hosts attached to the chip see the chained numbers;
+    # prefill_ms above is the RPC-inflated diagnostic.
     n_chunks = frames // chunk
     audios = []
     t0 = time.perf_counter()
+    state, bundle = fns.prefill(params, ids, lens, key)
     for i in range(n_chunks):
         state, frames_out, valid = decode_chunk(state, bundle)
         audios.append(voc(params["vocoder"], frames_out))
     for a in audios:
         sync(a)
-    total_s = time.perf_counter() - t0 + prefill_s
+    total_s = time.perf_counter() - t0
 
     audio_s = frames / FRAME_RATE * batch  # aggregate audio across streams
     rtf = audio_s / total_s
-    frame_ms = (total_s - prefill_s) / (n_chunks * chunk) * 1e3
+    frame_ms = total_s / (n_chunks * chunk) * 1e3  # incl. amortized prefill
     vocode_s = 0.0  # folded into the chained pipeline
 
     # --- TTFA: small first chunk (prefill + ttfa_chunk frames + vocode) -----
@@ -208,8 +210,12 @@ def main() -> None:
     if batch == 1 and os.environ.get("BENCH_SKIP_SERVING") != "1":
         for Bs in (8, 32):
             try:
+                # round the bucket so the batched fused kernel's window size
+                # divides it (engine ladder buckets are aligned already);
+                # B > 8 stays on the XLA path — keep its bucket tight
+                blen = ((frames + 32 + 127) // 128) * 128 if Bs <= 8 else frames + 32
                 fnsb = make_generate_fns(
-                    cfg, batch=Bs, max_len=frames + 32, chunk_len=chunk
+                    cfg, batch=Bs, max_len=blen, chunk_len=chunk
                 )
                 idsb = jnp.full((Bs, T), 100, jnp.int32)
                 lensb = jnp.full((Bs,), T, jnp.int32)

@@ -70,6 +70,10 @@ def predict_subcodes(
         return predict_subcodes_fused(
             cfg, params, pred_embed_tables, last_hidden, code0_embed, key, sample_fn
         )
+    if cfg.impl == "fused" and "fused_step" in params and 2 <= last_hidden.shape[0] <= 8:
+        return predict_subcodes_fused_batched(
+            cfg, params, pred_embed_tables, last_hidden, code0_embed, key, sample_fn
+        )
     t = cfg.transformer
     B, H = last_hidden.shape
     n = cfg.num_steps
@@ -243,6 +247,73 @@ def predict_subcodes_fused(
             t, fw, emb_j, 2 + j, kc, vc, interpret=interpret
         )
         # final norm (the kernel emits the pre-norm residual stream)
+        h_new = rms_norm(x_out, fnorm, t.rms_norm_eps).astype(h_prev.dtype)
+        return (h_new, kc, vc, key), (subcode_j, emb_j)
+
+    (h_last, kc, vc, key), (subcodes, embs) = lax.scan(
+        step, (h_last, cache.k, cache.v, key), jnp.arange(n - 1, dtype=jnp.int32)
+    )
+    key, sub = jax.random.split(key)
+    logits_last = head_logits(h_last, n - 1)
+    subcode_last = sample_fn(sub, logits_last)
+    emb_last = jnp.take(pred_embed_tables[n - 1], subcode_last, axis=0)
+
+    subcodes = jnp.moveaxis(subcodes, 0, 1)
+    subcodes = jnp.concatenate([subcodes, subcode_last[:, None]], axis=1)
+    sub_sum = jnp.sum(embs, axis=0) + emb_last
+    return subcodes, sub_sum.astype(last_hidden.dtype)
+
+
+def predict_subcodes_fused_batched(
+    cfg: CodePredictorConfig,
+    params: dict,
+    pred_embed_tables: jax.Array,
+    last_hidden: jax.Array,  # [B, H], 2 <= B <= 8
+    code0_embed: jax.Array,
+    key: jax.Array,
+    sample_fn: Callable[[jax.Array, jax.Array], jax.Array],
+) -> Tuple[jax.Array, jax.Array]:
+    """Batched fused MTP: one Pallas kernel per incremental step for the whole
+    serving batch (ops/fused_step.fused_decode_step_batched, bvmem mode — the
+    17-slot MTP cache fits VMEM at any supported B).  Weights stream ONCE per
+    step for all B streams."""
+    from ..ops.fused_step import fused_decode_step_batched
+
+    t = cfg.transformer
+    B, H = last_hidden.shape
+    n = cfg.num_steps
+    interpret = jax.default_backend() != "tpu"
+
+    cache = init_kv_cache(t, B, cfg.max_seq_len)
+    valid = jnp.zeros((B, cfg.max_seq_len), bool)
+    prefix = jnp.stack(
+        [last_hidden.astype(t.jnp_dtype), code0_embed.astype(t.jnp_dtype)], axis=1
+    )
+    positions = jnp.broadcast_to(jnp.arange(2, dtype=jnp.int32), (B, 2))
+    hidden, cache, valid = transformer_forward(
+        t, params["transformer"], prefix, positions, cache, valid
+    )
+    h_last = hidden[:, 1]
+
+    fw = params["fused_step"]
+    fnorm = params["transformer"]["final_norm"]
+
+    def head_logits(h, j):
+        w = index_weight(params["heads"], j)
+        return dense(h, w)
+
+    def step(carry, j):
+        h_prev, kc, vc, key = carry
+        key, sub = jax.random.split(key)
+        logits_j = head_logits(h_prev, j)
+        subcode_j = sample_fn(sub, logits_j)  # [B]
+        table = lax.dynamic_index_in_dim(pred_embed_tables, j, axis=0, keepdims=False)
+        emb_j = jnp.take(table, subcode_j, axis=0)  # [B, H]
+
+        pos = jnp.full((B,), 2 + j, jnp.int32)
+        x_out, kc, vc = fused_decode_step_batched(
+            t, fw, emb_j, pos, kc, vc, interpret=interpret
+        )
         h_new = rms_norm(x_out, fnorm, t.rms_norm_eps).astype(h_prev.dtype)
         return (h_new, kc, vc, key), (subcode_j, emb_j)
 

@@ -206,16 +206,26 @@ def _block(
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
-    # Write this step's K/V into the head-major cache at the per-sequence
-    # slot cache_len[b] (vmapped dynamic_update_slice — sequences fill at
-    # different rates under continuous serving).  The new [B,S,Nk,D] slab
-    # transposes once — S*Nk*D elements, trivial — so the big cache is never
-    # relayouted.
-    write = jax.vmap(
-        lambda c, new, off: lax.dynamic_update_slice(c, new, (0, off, 0))
-    )
-    k_cache = write(k_cache, jnp.swapaxes(k, 1, 2), cache_len)
-    v_cache = write(v_cache, jnp.swapaxes(v, 1, 2), cache_len)
+    # Write this step's K/V into the head-major cache.  The new [B,S,Nk,D]
+    # slab transposes once — S*Nk*D elements, trivial — so the big cache is
+    # never relayouted.  Uniform fill (scalar cache_len: every sequence at
+    # the same slot — the engine/serving-batch path) lowers to ONE contiguous
+    # dynamic_update_slice that updates S slots in place; per-sequence fills
+    # (continuous pool) need the vmapped scatter, which is why the uniform
+    # path is kept separate (the scatter costs whole-cache traffic at B>1).
+    if cache_len.ndim == 0:
+        k_cache = lax.dynamic_update_slice(
+            k_cache, jnp.swapaxes(k, 1, 2), (0, 0, cache_len, 0)
+        )
+        v_cache = lax.dynamic_update_slice(
+            v_cache, jnp.swapaxes(v, 1, 2), (0, 0, cache_len, 0)
+        )
+    else:
+        write = jax.vmap(
+            lambda c, new, off: lax.dynamic_update_slice(c, new, (0, off, 0))
+        )
+        k_cache = write(k_cache, jnp.swapaxes(k, 1, 2), cache_len)
+        v_cache = write(v_cache, jnp.swapaxes(v, 1, 2), cache_len)
 
     out = attend(q, k_cache, v_cache, attn_mask, impl=cfg.attn_impl)  # [B,S,Nq,D]
     out = out.reshape(B, S, nq * d)
@@ -234,19 +244,24 @@ def transformer_forward(
     cache: KVCache,
     valid_mask: jax.Array,  # [B, T] bool — cache slots that hold real tokens
     query_valid: Optional[jax.Array] = None,  # [B, S] bool — real (non-pad) queries
+    uniform_fill: bool = True,
 ) -> Tuple[jax.Array, KVCache, jax.Array]:
     """Unified prefill/decode forward.
 
     Writes S new tokens at cache slots [length[b], length[b]+S) and lets
     query i attend to cache slot t iff ``valid_mask[b, t]`` and
     t <= length[b]+i (causal over write order).  Lengths are per-sequence so
-    continuous serving can run streams at different fill levels in one batch.
+    continuous serving can run streams at different fill levels in one batch;
+    ``uniform_fill=True`` (the default — engine and serving-batch paths,
+    where every stream fills in lockstep) keeps the cheap single
+    dynamic_update_slice cache write instead of the batched scatter.
     Returns post-final-norm hidden states [B, S, H], the updated cache
     (lengths advanced by S), and the updated validity mask.
     """
     B, S, H = embeds.shape
     T = cache.max_len
     length = cache.length  # [B]
+    len_col = length[0:1, None] if uniform_fill else length[:, None]  # [1|B, 1]
 
     cos, sin = rope_angles(positions, cfg.head_dim, cfg.rope_theta)
 
@@ -254,24 +269,28 @@ def transformer_forward(
     slot_ids = jnp.arange(T, dtype=jnp.int32)
     if query_valid is None:
         query_valid = jnp.ones((B, S), bool)
-    new_slots = (slot_ids[None, :] >= length[:, None]) & (
-        slot_ids[None, :] < (length + S)[:, None]
-    )  # [B, T]
+    new_slots = (slot_ids[None, :] >= len_col) & (
+        slot_ids[None, :] < len_col + S
+    )  # [1|B, T]
     # scatter query_valid into the new slot range
-    write_idx = jnp.clip(slot_ids[None, :] - length[:, None], 0, S - 1)  # [B, T]
-    written_valid = jnp.take_along_axis(query_valid, write_idx, axis=1)
+    write_idx = jnp.clip(slot_ids[None, :] - len_col, 0, S - 1)  # [1|B, T]
+    written_valid = jnp.take_along_axis(
+        query_valid, jnp.broadcast_to(write_idx, (B, T)), axis=1
+    )
     valid_mask = jnp.where(new_slots, written_valid, valid_mask)
 
     # attention mask [B, S, T]: causal over global write order + validity
-    global_q = length[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]  # [B, S]
-    causal = slot_ids[None, None, :] <= global_q[:, :, None]  # [B, S, T]
+    global_q = len_col + jnp.arange(S, dtype=jnp.int32)[None, :]  # [1|B, S]
+    causal = slot_ids[None, None, :] <= global_q[:, :, None]  # [1|B, S, T]
     attn_mask = causal & valid_mask[:, None, :]
 
     x = embeds
 
+    cache_len = length[0] if uniform_fill else length
+
     def body(x, layer):
         p, kc, vc = layer
-        x, kc, vc = _block(cfg, p, x, cos, sin, kc, vc, length, attn_mask)
+        x, kc, vc = _block(cfg, p, x, cos, sin, kc, vc, cache_len, attn_mask)
         return x, (kc, vc)
 
     x, (new_k, new_v) = lax.scan(body, x, (params["layers"], cache.k, cache.v))

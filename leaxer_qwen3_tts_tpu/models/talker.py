@@ -115,14 +115,42 @@ def talker_decode_step(
     position: jax.Array,  # [B] int32 RoPE position of this token
     cache: KVCache,
     valid_mask: jax.Array,  # [B, T] bool
+    uniform_fill: bool = True,
 ) -> Tuple[jax.Array, jax.Array, KVCache, jax.Array]:
-    """One decode step.  Returns (logits [B, V] f32, hidden [B, H], cache, valid_mask)."""
+    """One decode step.  Returns (logits [B, V] f32, hidden [B, H], cache, valid_mask).
+
+    ``uniform_fill=False`` (continuous serving pool) switches the cache write
+    to per-sequence offsets; the default keeps the cheap lockstep path."""
     B, H = embed.shape
     t = cfg.transformer
     # fused eligibility: small buckets always; big buckets via the windowed
     # (online-softmax) kernel, which needs the bucket to be WINDOW-aligned
     # (the engine rounds its ladder top accordingly)
     fused_ok = cache.max_len <= cfg.fused_max_cache or cache.max_len % 512 == 0
+    if cfg.decode_impl == "fused" and "fused_step" in params and 2 <= B <= 8:
+        # batched fused step: per-stream positions, weights read ONCE for the
+        # whole serving batch (ops/fused_step.fused_decode_step_batched)
+        from ..ops.fused_step import batched_window, fused_decode_step_batched
+
+        if cache.max_len <= 64 or cache.max_len % batched_window(B) == 0:
+            import jax as _jax
+
+            from ..models.layers import rms_norm
+
+            interpret = _jax.default_backend() != "tpu"
+            x_out, kc, vc = fused_decode_step_batched(
+                t, params["fused_step"], embed, position, cache.k, cache.v,
+                interpret=interpret,
+            )
+            hidden = rms_norm(
+                x_out, params["transformer"]["final_norm"], t.rms_norm_eps
+            ).astype(embed.dtype)
+            logits = dense(hidden, params["lm_head"])
+            new_valid = valid_mask | (
+                jnp.arange(cache.max_len)[None, :] == position[:, None]
+            )
+            new_cache = KVCache(k=kc, v=vc, length=cache.length + 1)
+            return logits, hidden, new_cache, new_valid
     if (
         cfg.decode_impl == "fused"
         and "fused_step" in params
@@ -159,6 +187,7 @@ def talker_decode_step(
         position[:, None],
         cache,
         valid_mask,
+        uniform_fill=uniform_fill,
     )
     hidden = hidden[:, 0]
     logits = dense(hidden, params["lm_head"])

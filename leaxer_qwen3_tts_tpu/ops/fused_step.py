@@ -526,6 +526,9 @@ def fused_decode_step(
     defaults by cache size — resolved OUTSIDE jit so env overrides and
     explicit choices are never shadowed by a cached trace."""
     T = k_cache.shape[3]
+    # clamp like dynamic_update_slice would: an overflowing position (idle
+    # done stream in a serving pool) must not DMA outside the cache
+    pos = jnp.minimum(jnp.asarray(pos, jnp.int32), T - 1)
     if mode is None:
         mode = _pick_mode(T)
     if mode == "win" and T % WINDOW != 0:
@@ -665,3 +668,482 @@ def _fused_decode_step_jit(
         vc,
     )
     return x_out, kc_out.reshape(L, 1, nk, T, d), vc_out.reshape(L, 1, nk, T, d)
+
+
+# ---------------------------------------------------------------------------
+# Batched (B > 1) variant: one fused step for a whole serving batch.
+#
+# Same unit schedule as the B=1 kernel, but activations are [B, *] (the
+# matvecs become real [B, H] x [H, 1024] GEMMs — better MXU occupancy and the
+# weight bytes amortize over B streams).  Attention handles PER-STREAM
+# positions (continuous serving: slots fill at different rates):
+#   * T <= 64  ("bvmem"): per-layer cache blocks resident in VMEM (MTP).
+#   * larger T ("bwin"):  cache in HBM; K/V stream through double-buffered
+#     windows of BWIN(B) slots with online softmax; each stream's new slot is
+#     DMA'd straight to its cache row (no RMW — a [nk, 1, d] write at an
+#     arbitrary slot offset is a plain strided DMA).
+# ---------------------------------------------------------------------------
+
+
+def batched_window(B: int) -> int:
+    """Window slots per DMA for batch B (VMEM budget: 2 bufs x B x nk x W x d)."""
+    return max(128, 512 // B)
+
+
+def _make_kernel_batched(cfg: TransformerConfig, T: int, B: int, mode: str):
+    H = cfg.hidden_size
+    nq, nk, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    g = nq // nk
+    qd, kvd = cfg.q_dim, cfg.kv_dim
+    I = cfg.intermediate_size
+    eps = cfg.rms_norm_eps
+    n_qkv, n_wo, n_gu, n_wd = _unit_counts(cfg)
+    U = n_qkv + n_wo + n_gu + n_wd
+    b1, b2, b3 = n_qkv, n_qkv + n_wo, n_qkv + n_wo + n_gu
+    W = batched_window(B)
+
+    def kernel(
+        pos_ref,  # SMEM [B] int32 — per-stream write slot / position
+        x_ref,  # [B, H] f32
+        pos_vm,  # [B, 1] int32 (vector copy of pos for mask math)
+        cos_ref,  # [B, d//2] f32
+        sin_ref,  # [B, d//2] f32
+        w_ref,  # [1, 1, H, N_UNIT] int8
+        s_ref,  # [1, 1, 1, N_UNIT] f32
+        an_ref,
+        mn_ref,
+        qn_ref,
+        kn_ref,
+        kc_in,  # bvmem: [1, B, nk, T, d] block; bwin: full [L, B, nk, T, d] ANY
+        vc_in,
+        x_out,  # [B, H] f32
+        kc_out,
+        vc_out,
+        x_s,  # [B, H] f32
+        h_s,  # [B, H] f32
+        qkv_s,  # [B, qd + 2*kvd] f32
+        attn_s,  # [B, qd] f32
+        gu_s,  # [B, 2I] f32
+        k_vm=None,  # bwin: [2, B, nk, W, d] cache dtype
+        v_vm=None,
+        kslot=None,  # bwin: [B, nk, 8, d] per-stream RMW windows
+        vslot=None,
+        sems=None,  # bwin: DMA sems (4 + 2*B,)
+    ):
+        l = pl.program_id(0)
+        u = pl.program_id(1)
+        nn = H // N_UNIT
+        kind = jnp.where(u < b1, 0, jnp.where(u < b2, 1, jnp.where(u < b3, 2, 3)))
+        off = jnp.where(u < b1, u * N_UNIT, (u - b2) * N_UNIT)
+        i_ks = jnp.where(kind == 1, u - b1, u - b3)
+        k_off = (i_ks // nn) * H
+        n_off = (i_ks % nn) * N_UNIT
+        off = pl.multiple_of(off, N_UNIT)
+        k_off = pl.multiple_of(k_off, N_UNIT)
+        n_off = pl.multiple_of(n_off, N_UNIT)
+
+        @pl.when(jnp.logical_and(l == 0, u == 0))
+        def _init():
+            x_s[:] = x_ref[:]
+
+        if mode == "bwin":
+            @pl.when(u == 0)
+            def _prefetch():
+                # max fill level decides the window trip count; start window 0
+                m = pos_ref[0]
+                for b in range(1, B):
+                    m = jnp.maximum(m, pos_ref[b])
+
+                @pl.when(m > 0)
+                def _():
+                    pltpu.make_async_copy(
+                        kc_in.at[l, :, :, pl.ds(0, W), :], k_vm.at[0],
+                        sems.at[0],
+                    ).start()
+                    pltpu.make_async_copy(
+                        vc_in.at[l, :, :, pl.ds(0, W), :], v_vm.at[0],
+                        sems.at[2],
+                    ).start()
+
+        @pl.when(u == 0)
+        def _norm_attn():
+            h_s[:] = _rms(x_s[:], an_ref[0], eps)
+
+        @pl.when(u == n_qkv)
+        def _attention():
+            qkv = qkv_s[:]  # [B, qd + 2kvd]
+            cos = cos_ref[:][:, None, :]  # [B, 1, half]
+            sin = sin_ref[:][:, None, :]
+            q = qkv[:, :qd].reshape(B, nq, d)
+            k = qkv[:, qd : qd + kvd].reshape(B, nk, d)
+            v = qkv[:, qd + kvd :].reshape(B, nk, d)
+            q = _rms(q, qn_ref[0, 0], eps)
+            k = _rms(k, kn_ref[0, 0], eps)
+            half = d // 2
+            def rope_b(x):
+                x1, x2 = x[..., :half], x[..., half:]
+                return jnp.concatenate(
+                    [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1
+                )
+            q = rope_b(q)
+            k = rope_b(k)
+            qg = q.reshape(B, nk, g, d)
+            inv_sqrt_d = 1.0 / (d**0.5)
+            pos_col = pos_vm[:]  # [B, 1]
+
+            if mode == "bvmem":
+                # masked-select write of each stream's new slot, full-T attn
+                slot = jax.lax.broadcasted_iota(jnp.int32, (1, B, nk, T, d), 3)
+                pos_b = pos_col.reshape(1, B, 1, 1, 1)
+                K_new = jnp.where(
+                    slot == pos_b, k[None, :, :, None, :].astype(kc_in.dtype),
+                    kc_in[:],
+                )
+                V_new = jnp.where(
+                    slot == pos_b, v[None, :, :, None, :].astype(vc_in.dtype),
+                    vc_in[:],
+                )
+                kc_out[:] = K_new
+                vc_out[:] = V_new
+                # Mosaic tpu.matmul supports ONE batch dim: fold (B, nk)
+                K = K_new[0].astype(jnp.float32).reshape(B * nk, T, d)
+                V = V_new[0].astype(jnp.float32).reshape(B * nk, T, d)
+                qf = qg.reshape(B * nk, g, d)
+                sc = jax.lax.dot_general(
+                    qf, K, (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                ) * inv_sqrt_d  # [B*nk, g, T]
+                sc = sc.reshape(B, nk, g, T)
+                tslot = jax.lax.broadcasted_iota(jnp.int32, (B, nk, g, T), 3)
+                sc = jnp.where(tslot <= pos_col.reshape(B, 1, 1, 1), sc, -1e30)
+                m = jnp.max(sc, axis=-1, keepdims=True)
+                e = jnp.exp(sc - m)
+                wts = (e / jnp.sum(e, axis=-1, keepdims=True)).reshape(
+                    B * nk, g, T
+                )
+                out = jax.lax.dot_general(
+                    wts, V, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )  # [B*nk, g, d]
+                attn_s[:] = out.reshape(B, qd)
+                return
+
+            # --- bwin: per-stream 8-aligned RMW window around pos[b] (the
+            # B=1 kernel's approach; a 1-slot staging buffer is not sliceable
+            # under bf16 sublane tiling).  Writes back slots < pos unchanged,
+            # so it never races the streamed window reads.
+            ins = []
+            for b in range(B):
+                w0b = pl.multiple_of((pos_ref[b] // 8) * 8, 8)
+                ki = pltpu.make_async_copy(
+                    kc_in.at[l, b, :, pl.ds(w0b, 8), :], kslot.at[b],
+                    sems.at[4 + 2 * b],
+                )
+                vi = pltpu.make_async_copy(
+                    vc_in.at[l, b, :, pl.ds(w0b, 8), :], vslot.at[b],
+                    sems.at[5 + 2 * b],
+                )
+                ki.start()
+                vi.start()
+                ins.append((ki, vi))
+            for ki, vi in ins:
+                ki.wait()
+                vi.wait()
+            wpos = jax.lax.broadcasted_iota(jnp.int32, (B, nk, 8, d), 2)
+            rel = (pos_col - (pos_col // 8) * 8).reshape(B, 1, 1, 1)
+            kslot[:] = jnp.where(
+                wpos == rel, k[:, :, None, :].astype(kslot.dtype), kslot[:]
+            )
+            vslot[:] = jnp.where(
+                wpos == rel, v[:, :, None, :].astype(vslot.dtype), vslot[:]
+            )
+            outs = []
+            for b in range(B):
+                w0b = pl.multiple_of((pos_ref[b] // 8) * 8, 8)
+                ko = pltpu.make_async_copy(
+                    kslot.at[b], kc_out.at[l, b, :, pl.ds(w0b, 8), :],
+                    sems.at[4 + 2 * b],
+                )
+                vo = pltpu.make_async_copy(
+                    vslot.at[b], vc_out.at[l, b, :, pl.ds(w0b, 8), :],
+                    sems.at[5 + 2 * b],
+                )
+                ko.start()
+                vo.start()
+                outs.append((ko, vo))
+
+            max_pos = pos_ref[0]
+            for b in range(1, B):
+                max_pos = jnp.maximum(max_pos, pos_ref[b])
+            n_win = pl.cdiv(max_pos, W)
+
+            def win_body(i, carry):
+                m, s, acc = carry
+                buf = jax.lax.rem(i, 2)
+                nxt = jax.lax.rem(i + 1, 2)
+                off_next = pl.multiple_of((i + 1) * W, W)
+
+                @pl.when(i + 1 < n_win)
+                def _():
+                    pltpu.make_async_copy(
+                        kc_in.at[l, :, :, pl.ds(off_next, W), :],
+                        k_vm.at[nxt], sems.at[nxt],
+                    ).start()
+                    pltpu.make_async_copy(
+                        vc_in.at[l, :, :, pl.ds(off_next, W), :],
+                        v_vm.at[nxt], sems.at[2 + nxt],
+                    ).start()
+
+                off_i = pl.multiple_of(i * W, W)
+                pltpu.make_async_copy(
+                    kc_in.at[l, :, :, pl.ds(off_i, W), :], k_vm.at[buf],
+                    sems.at[buf],
+                ).wait()
+                pltpu.make_async_copy(
+                    vc_in.at[l, :, :, pl.ds(off_i, W), :], v_vm.at[buf],
+                    sems.at[2 + buf],
+                ).wait()
+                # Mosaic tpu.matmul supports ONE batch dim: fold (B, nk)
+                K_w = k_vm[buf].astype(jnp.float32).reshape(B * nk, W, d)
+                V_w = v_vm[buf].astype(jnp.float32).reshape(B * nk, W, d)
+                qf = qg.reshape(B * nk, g, d)
+                sc = jax.lax.dot_general(
+                    qf, K_w, (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                ) * inv_sqrt_d  # [B*nk, g, W]
+                sc = sc.reshape(B, nk, g, W)
+                gslot = (
+                    jax.lax.broadcasted_iota(jnp.int32, (B, nk, g, W), 3)
+                    + i * W
+                )
+                sc = jnp.where(gslot < pos_col.reshape(B, 1, 1, 1), sc, -1e30)
+                m_new = jnp.maximum(m, jnp.max(sc, axis=-1, keepdims=True))
+                alpha = jnp.exp(m - m_new)
+                e = jnp.exp(sc - m_new)
+                s_new = s * alpha + jnp.sum(e, axis=-1, keepdims=True)
+                acc_new = acc * alpha + jax.lax.dot_general(
+                    e.reshape(B * nk, g, W), V_w, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                ).reshape(B, nk, g, d)
+                return m_new, s_new, acc_new
+
+            m0 = jnp.full((B, nk, g, 1), -1e30, jnp.float32)
+            s0 = jnp.zeros((B, nk, g, 1), jnp.float32)
+            a0 = jnp.zeros((B, nk, g, d), jnp.float32)
+            m, s, acc = jax.lax.fori_loop(0, n_win, win_body, (m0, s0, a0))
+
+            # diagonal term: each stream's own new slot, from registers
+            sc_d = (
+                jnp.sum(qg * k[:, :, None, :], axis=-1, keepdims=True)
+                * inv_sqrt_d
+            )  # [B, nk, g, 1]
+            m2 = jnp.maximum(m, sc_d)
+            alpha = jnp.exp(m - m2)
+            e_d = jnp.exp(sc_d - m2)
+            s = s * alpha + e_d
+            acc = acc * alpha + e_d * v[:, :, None, :]
+            attn_s[:] = (acc / s).reshape(B, qd)
+            for ko, vo in outs:
+                ko.wait()
+                vo.wait()
+
+        @pl.when(u == n_qkv + n_wo)
+        def _norm_mlp():
+            h_s[:] = _rms(x_s[:], mn_ref[0], eps)
+
+        @pl.when(u == n_qkv + n_wo + n_gu)
+        def _activation():
+            gu = gu_s[:]
+            gate = gu[:, :I]
+            up = gu[:, I:]
+            gu_s[:, :I] = gate * (1.0 / (1.0 + jnp.exp(-gate))) * up
+
+        w_unit = w_ref[0, 0].astype(jnp.bfloat16)  # [H, N_UNIT]
+        scale = s_ref[0, 0]  # [1, N_UNIT]
+
+        def matmul(lhs):  # [B, H] f32 -> [B, N_UNIT] f32
+            return (
+                jax.lax.dot_general(
+                    lhs.astype(jnp.bfloat16), w_unit,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                * scale
+            )
+
+        @pl.when(kind == 0)
+        def _qkv_u():
+            qkv_s[:, pl.ds(off, N_UNIT)] = matmul(h_s[:])
+
+        @pl.when(kind == 1)
+        def _wo_u():
+            x_s[:, pl.ds(n_off, N_UNIT)] = x_s[:, pl.ds(n_off, N_UNIT)] + matmul(
+                attn_s[:, pl.ds(k_off, H)]
+            )
+
+        @pl.when(kind == 2)
+        def _gu_u():
+            gu_s[:, pl.ds(off, N_UNIT)] = matmul(h_s[:])
+
+        @pl.when(kind == 3)
+        def _wd_u():
+            x_s[:, pl.ds(n_off, N_UNIT)] = x_s[:, pl.ds(n_off, N_UNIT)] + matmul(
+                gu_s[:, pl.ds(k_off, H)]
+            )
+
+        x_out[:] = x_s[:]
+
+    return kernel, U
+
+
+def fused_decode_step_batched(
+    cfg: TransformerConfig,
+    fw: FusedStepWeights,
+    x: jax.Array,  # [B, H]
+    pos: jax.Array,  # [B] int32 — per-stream positions
+    k_cache: jax.Array,  # [L, B, nk, T, d]
+    v_cache: jax.Array,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Batched fused decode step (B streams, per-stream positions).
+
+    Returns (x_out [B, H] f32, k_cache, v_cache)."""
+    B = x.shape[0]
+    T = k_cache.shape[3]
+    # clamp like dynamic_update_slice would: an overflowing position (idle
+    # done stream in a serving pool) must not DMA outside the cache
+    pos = jnp.minimum(jnp.asarray(pos, jnp.int32), T - 1)
+    mode = "bvmem" if T <= 64 else "bwin"
+    W = batched_window(B)
+    if mode == "bwin" and T % W != 0:
+        raise ValueError(
+            f"batched fused decode needs the KV bucket ({T}) to be a "
+            f"multiple of {W} at B={B}"
+        )
+    return _fused_decode_step_batched_jit(
+        cfg, fw, x, pos, k_cache, v_cache, interpret, mode
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret", "mode"))
+def _fused_decode_step_batched_jit(
+    cfg: TransformerConfig,
+    fw: FusedStepWeights,
+    x: jax.Array,
+    pos: jax.Array,
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    interpret: bool,
+    mode: str,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    L = fw.units.shape[0]
+    B = x.shape[0]
+    T = k_cache.shape[3]
+    H = cfg.hidden_size
+    nk, d = cfg.num_kv_heads, cfg.head_dim
+    qd, kvd, I = cfg.q_dim, cfg.kv_dim, cfg.intermediate_size
+    W = batched_window(B)
+
+    kernel, U = _make_kernel_batched(cfg, T, B, mode)
+
+    half = d // 2
+    freqs = 1.0 / (cfg.rope_theta ** (jnp.arange(half, dtype=jnp.float32) / half))
+    angles = pos.astype(jnp.float32)[:, None] * freqs[None, :]  # [B, half]
+    cos = jnp.cos(angles)
+    sin = jnp.sin(angles)
+
+    norm_block = lambda l, u: (l, 0, 0)
+    in_specs = [
+        pl.BlockSpec(memory_space=_SMEM),  # pos [B]
+        pl.BlockSpec((B, H), lambda l, u: (0, 0), memory_space=_VMEM),
+        pl.BlockSpec((B, 1), lambda l, u: (0, 0), memory_space=_VMEM),
+        pl.BlockSpec((B, half), lambda l, u: (0, 0), memory_space=_VMEM),
+        pl.BlockSpec((B, half), lambda l, u: (0, 0), memory_space=_VMEM),
+        pl.BlockSpec((1, 1, H, N_UNIT), lambda l, u: (l, u, 0, 0),
+                     memory_space=_VMEM),
+        pl.BlockSpec((1, 1, 1, N_UNIT), lambda l, u: (l, u, 0, 0),
+                     memory_space=_VMEM),
+        pl.BlockSpec((1, 1, H), norm_block, memory_space=_VMEM),
+        pl.BlockSpec((1, 1, H), norm_block, memory_space=_VMEM),
+        pl.BlockSpec((1, 1, d), norm_block, memory_space=_VMEM),
+        pl.BlockSpec((1, 1, d), norm_block, memory_space=_VMEM),
+    ]
+    scratch = [
+        pltpu.VMEM((B, H), jnp.float32),
+        pltpu.VMEM((B, H), jnp.float32),
+        pltpu.VMEM((B, qd + 2 * kvd), jnp.float32),
+        pltpu.VMEM((B, qd), jnp.float32),
+        pltpu.VMEM((B, 2 * I), jnp.float32),
+    ]
+    x_out_spec = pl.BlockSpec((B, H), lambda l, u: (0, 0), memory_space=_VMEM)
+    if mode == "bwin":
+        in_specs += [
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ]
+        out_specs = [
+            x_out_spec,
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ]
+        scratch += [
+            pltpu.VMEM((2, B, nk, W, d), k_cache.dtype),
+            pltpu.VMEM((2, B, nk, W, d), v_cache.dtype),
+            pltpu.VMEM((B, nk, 8, d), k_cache.dtype),
+            pltpu.VMEM((B, nk, 8, d), v_cache.dtype),
+            pltpu.SemaphoreType.DMA((4 + 2 * B,)),
+        ]
+        aliases = {11: 1, 12: 2}
+    else:
+        in_specs += [
+            pl.BlockSpec((1, B, nk, T, d), lambda l, u: (l, 0, 0, 0, 0),
+                         memory_space=_VMEM),
+            pl.BlockSpec((1, B, nk, T, d), lambda l, u: (l, 0, 0, 0, 0),
+                         memory_space=_VMEM),
+        ]
+        out_specs = [
+            x_out_spec,
+            pl.BlockSpec((1, B, nk, T, d), lambda l, u: (l, 0, 0, 0, 0),
+                         memory_space=_VMEM),
+            pl.BlockSpec((1, B, nk, T, d), lambda l, u: (l, 0, 0, 0, 0),
+                         memory_space=_VMEM),
+        ]
+        aliases = {}
+
+    compiler_params = None
+    if not interpret and pltpu is not None:
+        # the default 16 MB scoped-vmem cap is conservative; B=8 windows +
+        # double-buffered weight units need ~17 MB (v5e has headroom)
+        compiler_params = pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        )
+    x_out, kc_out, vc_out = pl.pallas_call(
+        kernel,
+        grid=(L, U),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H), jnp.float32),
+            jax.ShapeDtypeStruct((L, B, nk, T, d), k_cache.dtype),
+            jax.ShapeDtypeStruct((L, B, nk, T, d), v_cache.dtype),
+        ],
+        scratch_shapes=scratch,
+        input_output_aliases=aliases,
+        interpret=interpret,
+        compiler_params=compiler_params,
+    )(
+        jnp.asarray(pos, jnp.int32),
+        x.astype(jnp.float32),
+        jnp.asarray(pos, jnp.int32)[:, None],
+        cos,
+        sin,
+        fw.units,
+        fw.scales,
+        fw.attn_norm,
+        fw.mlp_norm,
+        fw.q_norm,
+        fw.k_norm,
+        k_cache,
+        v_cache,
+    )
+    return x_out, kc_out, vc_out

@@ -79,6 +79,7 @@ def _frame_step(
     tts_pad_embed: jax.Array,
     sp: SamplingParams,
     state: GenerateState,
+    uniform_fill: bool = True,
 ) -> Tuple[GenerateState, Tuple[jax.Array, jax.Array]]:
     """One 12 Hz frame.  Returns (state', (frame_codes [B,16], frame_valid [B]))."""
     emb = params["embeddings"]
@@ -119,7 +120,8 @@ def _frame_step(
 
     # --- talker decode step ---
     logits2, hidden2, cache, valid_mask = talker_decode_step(
-        cfg.talker, params["talker"], next_embed, state.pos, state.cache, state.valid_mask
+        cfg.talker, params["talker"], next_embed, state.pos, state.cache,
+        state.valid_mask, uniform_fill=uniform_fill,
     )
 
     new_state = GenerateState(
@@ -144,6 +146,7 @@ def decode_frames(
     tts_pad_embed: jax.Array,
     sp: SamplingParams,
     num_frames: int,
+    uniform_fill: bool = True,
 ) -> Tuple[GenerateState, jax.Array, jax.Array]:
     """Run ``num_frames`` frames (static) via lax.scan.
 
@@ -151,7 +154,8 @@ def decode_frames(
     """
     suppress = make_codec_suppress_mask(cfg.talker.codec_vocab_size)
     step = functools.partial(
-        _frame_step, cfg, params, suppress, trailing, trailing_len, tts_pad_embed, sp
+        _frame_step, cfg, params, suppress, trailing, trailing_len,
+        tts_pad_embed, sp, uniform_fill=uniform_fill,
     )
     state, (frames, valid) = lax.scan(lambda s, _: step(s), state, None, length=num_frames)
     frames = jnp.moveaxis(frames, 0, 1)  # [B, F, 16]
@@ -175,6 +179,7 @@ def make_generate_fns(
     has_speaker: bool = False,
     has_instruct: bool = False,
     donate: bool = True,
+    uniform_fill: bool = True,
 ) -> GenerateFns:
     """Build jitted prefill / decode-chunk functions.
 
@@ -200,7 +205,8 @@ def make_generate_fns(
 
     def decode_impl(params, state, trailing, trailing_len, tts_pad_embed, sp):
         return decode_frames(
-            cfg, params, state, trailing, trailing_len, tts_pad_embed, sp, chunk_len
+            cfg, params, state, trailing, trailing_len, tts_pad_embed, sp,
+            chunk_len, uniform_fill=uniform_fill,
         )
 
     prefill = jax.jit(prefill_impl)

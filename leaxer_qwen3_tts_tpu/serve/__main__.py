@@ -9,13 +9,25 @@ def main(argv=None) -> int:
     p.add_argument("-m", "--model", required=True, help="model checkpoint dir")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8080)
-    p.add_argument("--max-batch", type=int, default=8)
-    p.add_argument("--max-wait-ms", type=float, default=30.0)
+    p.add_argument(
+        "--batcher", choices=["continuous", "static"], default="continuous",
+        help="continuous: persistent decode pool, per-request admit/retire "
+        "(default); static: batch forms, runs to completion",
+    )
+    p.add_argument("--pool-size", type=int, default=8,
+                   help="decode slots (continuous batcher)")
+    p.add_argument("--kv-bucket", type=int, default=512,
+                   help="pool KV bucket = max frames + prompt (continuous)")
+    p.add_argument("--max-batch", type=int, default=8, help="static batcher")
+    p.add_argument("--max-wait-ms", type=float, default=30.0, help="static batcher")
     p.add_argument("--max-tokens", type=int, default=2048)
+    p.add_argument("--max-streams", type=int, default=4,
+                   help="concurrent /synthesize_stream decodes")
     p.add_argument("--quantize", choices=["int8"])
     args = p.parse_args(argv)
 
     from ..api.engine import TTSEngine
+    from .pool import ContinuousBatcher
     from .server import BatchingServer, make_http_server
 
     engine = TTSEngine(
@@ -24,11 +36,18 @@ def main(argv=None) -> int:
     if not engine.is_ready():
         print(f"Error: {engine.get_error()}", file=sys.stderr)
         return 1
-    server = BatchingServer(
-        engine, max_batch=args.max_batch, max_wait_ms=args.max_wait_ms
-    )
-    httpd = make_http_server(server, args.host, args.port)
-    print(f"serving on http://{args.host}:{args.port} (POST /synthesize)")
+    if args.batcher == "continuous":
+        server = ContinuousBatcher(
+            engine, pool_size=args.pool_size, kv_bucket=args.kv_bucket
+        )
+    else:
+        server = BatchingServer(
+            engine, max_batch=args.max_batch, max_wait_ms=args.max_wait_ms
+        )
+    httpd = make_http_server(server, args.host, args.port,
+                             max_streams=args.max_streams)
+    print(f"serving on http://{args.host}:{args.port} (POST /synthesize; "
+          f"{args.batcher} batching)")
     try:
         httpd.serve_forever()
     except KeyboardInterrupt:

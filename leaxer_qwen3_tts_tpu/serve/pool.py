@@ -109,8 +109,11 @@ class ContinuousBatcher:
 
         cfg = self.cfg
         B, T = self.pool_size, self.kv_bucket
+        # uniform_fill=False: pool slots run at DIFFERENT fill levels, so the
+        # cache write takes the per-sequence scatter path
         self._fns = make_generate_fns(cfg, batch=B, max_len=T,
-                                      chunk_len=self.chunk_len)
+                                      chunk_len=self.chunk_len,
+                                      uniform_fill=False)
         self._prefill_cache: Dict[tuple, object] = {}
         self._splice_cache: Dict[int, object] = {}
         self._vocode_cache: Dict[int, object] = {}

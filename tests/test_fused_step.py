@@ -325,3 +325,103 @@ def test_windowed_rejects_misaligned_bucket(fused_cfg_params):
             t, fw, jnp.zeros((1, 1024)), jnp.asarray(3, jnp.int32), kc, kc,
             interpret=True, mode="win",
         )
+
+
+def test_batched_fused_matches_single_rows():
+    """Batched fused step (per-stream positions) row b == the B=1 kernel run
+    on that stream's cache row at its own position — both the small-cache
+    (bvmem) and windowed (bwin) modes."""
+    from leaxer_qwen3_tts_tpu.models.layers import init_transformer_params
+    from leaxer_qwen3_tts_tpu.ops.fused_step import (
+        batched_window,
+        fused_decode_step,
+        fused_decode_step_batched,
+        pack_fused_weights,
+    )
+
+    t = TransformerConfig(
+        hidden_size=1024, num_layers=2, num_heads=8, num_kv_heads=4,
+        head_dim=128, intermediate_size=3072, dtype="float32",
+    )
+    params = init_transformer_params(t, jax.random.PRNGKey(0))
+    fw = pack_fused_weights(t, params["layers"])
+    rng = np.random.default_rng(11)
+    L, nk, d, B = 2, 4, 128, 4
+
+    for T, positions in ((24, [3, 0, 17, 9]), (256, [5, 200, 130, 255])):
+        assert T <= 64 or T % batched_window(B) == 0
+        x = jnp.asarray(rng.standard_normal((B, 1024)) * 0.3, jnp.float32)
+        kc = jnp.asarray(rng.standard_normal((L, B, nk, T, d)) * 0.2, jnp.float32)
+        vc = jnp.asarray(rng.standard_normal((L, B, nk, T, d)) * 0.2, jnp.float32)
+        pos = jnp.asarray(positions, jnp.int32)
+
+        xb, kb, vb = fused_decode_step_batched(
+            t, fw, x, pos, kc, vc, interpret=True
+        )
+        xb, kb = np.asarray(xb), np.asarray(kb)
+
+        for b in range(B):
+            x1, k1, v1 = fused_decode_step(
+                t, fw, x[b : b + 1], jnp.asarray(positions[b], jnp.int32),
+                kc[:, b : b + 1], vc[:, b : b + 1], interpret=True,
+                mode="vmem" if T <= 512 else "win",
+            )
+            np.testing.assert_allclose(
+                xb[b], np.asarray(x1)[0], atol=2e-2,
+                err_msg=f"T={T} b={b} pos={positions[b]}",
+            )
+            corr = np.corrcoef(xb[b].ravel(), np.asarray(x1).ravel())[0, 1]
+            assert corr > 0.9999, (T, b, corr)
+            np.testing.assert_allclose(
+                kb[:, b], np.asarray(k1)[:, 0], atol=2e-2,
+                err_msg=f"cache T={T} b={b}",
+            )
+
+
+def test_batched_fused_talker_and_mtp_dispatch():
+    """talker_decode_step and predict_subcodes route 2<=B<=8 through the
+    batched fused kernels and match the XLA path."""
+    import dataclasses
+
+    from leaxer_qwen3_tts_tpu.config import TalkerConfig
+    from leaxer_qwen3_tts_tpu.models.talker import (
+        init_talker_params,
+        prepare_fused_talker,
+        talker_decode_step,
+        talker_init_cache,
+    )
+    from leaxer_qwen3_tts_tpu.ops.quant import fuse_params, quantize_params
+
+    t = TransformerConfig(
+        hidden_size=1024, num_layers=1, num_heads=8, num_kv_heads=4,
+        head_dim=128, intermediate_size=3072, dtype="float32",
+    )
+    cfg_xla = TalkerConfig(transformer=t, codec_vocab_size=256,
+                           text_vocab_size=152000, decode_impl="xla")
+    cfg_fused = dataclasses.replace(cfg_xla, decode_impl="fused")
+    params = init_talker_params(cfg_xla, jax.random.PRNGKey(0))
+    qparams = quantize_params(fuse_params({"talker": params}))["talker"]
+    fparams = prepare_fused_talker(cfg_fused, qparams)
+
+    rng = np.random.default_rng(2)
+    B, T = 4, 24
+    embed = jnp.asarray(rng.standard_normal((B, 1024)) * 0.3, jnp.float32)
+    pos = jnp.asarray([3, 5, 0, 7], jnp.int32)
+    cache = talker_init_cache(cfg_xla, B, T)
+    cache = cache._replace(
+        k=jnp.asarray(rng.standard_normal(cache.k.shape) * 0.2, jnp.float32),
+        v=jnp.asarray(rng.standard_normal(cache.v.shape) * 0.2, jnp.float32),
+        length=pos,
+    )
+    valid = jnp.asarray(np.arange(T)[None, :] < np.asarray(pos)[:, None])
+
+    lg_x, h_x, c_x, v_x = talker_decode_step(
+        cfg_xla, qparams, embed, pos, cache, valid, uniform_fill=False
+    )
+    lg_f, h_f, c_f, v_f = talker_decode_step(
+        cfg_fused, fparams, embed, pos, cache, valid, uniform_fill=False
+    )
+    np.testing.assert_array_equal(np.asarray(v_x), np.asarray(v_f))
+    np.testing.assert_allclose(np.asarray(h_f), np.asarray(h_x), atol=0.05, rtol=0.05)
+    corr = np.corrcoef(np.asarray(lg_x).ravel(), np.asarray(lg_f).ravel())[0, 1]
+    assert corr > 0.999, corr

@@ -73,21 +73,82 @@ def compare(bf16_stages: dict, int8_stages: dict) -> dict:
     return out
 
 
+def _random_engine_inputs(preset: str):
+    """Device-filled random params for a preset (no host->device weight
+    transfer — the pattern bench.py uses; values are irrelevant to the
+    numeric-fidelity comparison, which runs both configs on the SAME params)."""
+    import jax
+    import jax.numpy as jnp
+
+    from leaxer_qwen3_tts_tpu.config import PRESETS
+    from leaxer_qwen3_tts_tpu.runtime.weights import init_params
+
+    cfg = PRESETS[preset]
+    shapes = jax.eval_shape(
+        lambda k: init_params(cfg, k, with_speaker_encoder=False),
+        jax.random.PRNGKey(0),
+    )
+
+    def fill():
+        leaves, treedef = jax.tree_util.tree_flatten(shapes)
+        out = []
+        for i, sd in enumerate(leaves):
+            n = 1
+            for dd in sd.shape:
+                n *= dd
+            v = (jnp.arange(n, dtype=jnp.float32) * 16807.0 + i * 131.0) % 199.0
+            out.append(((v / 199.0 - 0.5) * 0.04).reshape(sd.shape).astype(sd.dtype))
+        return jax.tree_util.tree_unflatten(treedef, out)
+
+    return cfg, jax.jit(fill)()
+
+
+def _tiny_tokenizer():
+    """Byte-level fallback tokenizer (256-proxy vocab) for --random-preset:
+    the fidelity comparison only needs SOME deterministic ids."""
+    import json
+    import tempfile
+
+    from leaxer_qwen3_tts_tpu.frontend import Tokenizer
+    from leaxer_qwen3_tts_tpu.frontend._bpe_py import byte_to_proxy
+
+    proxy = byte_to_proxy()
+    vocab = {proxy[b]: b for b in range(256)}
+    d = tempfile.mkdtemp()
+    with open(f"{d}/vocab.json", "w") as f:
+        json.dump(vocab, f, ensure_ascii=True)
+    with open(f"{d}/merges.txt", "w") as f:
+        f.write("#version: 0.2\n")
+    return Tokenizer(f"{d}/vocab.json", f"{d}/merges.txt")
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="tools.quality_report", description=__doc__)
-    p.add_argument("--model", required=True, help="framework checkpoint dir")
+    p.add_argument("--model", help="framework checkpoint dir")
+    p.add_argument("--random-preset", help="preset name: random-init params "
+                   "filled on device (no checkpoint needed)")
     p.add_argument("--text", default="hello world")
     p.add_argument("--language", default="auto")
     p.add_argument("--max-frames", type=int, default=48)
     args = p.parse_args(argv)
+    if not args.model and not args.random_preset:
+        p.error("need --model or --random-preset")
 
     from leaxer_qwen3_tts_tpu.api.engine import TTSEngine
 
     from .parity_check import compute_stages
 
+    if args.random_preset:
+        cfg, params = _random_engine_inputs(args.random_preset)
+        tok = _tiny_tokenizer()
+
     results = {}
     for name, quantize in (("bf16", None), ("int8", "int8")):
-        eng = TTSEngine(args.model, quantize=quantize)
+        if args.random_preset:
+            eng = TTSEngine(config=cfg, params=params, quantize=quantize,
+                            tokenizer=tok)
+        else:
+            eng = TTSEngine(args.model, quantize=quantize)
         if not eng.is_ready():
             print(f"engine ({name}) not ready: {eng.get_error()}", file=sys.stderr)
             return 1
