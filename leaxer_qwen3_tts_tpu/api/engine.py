@@ -138,23 +138,27 @@ class TTSEngine:
                 from ..ops.quant import fuse_params
 
                 self.params = fuse_params(self.params)
-            if quantize == "int8":
+            if quantize not in (None, "int8", "int4"):
+                raise EngineError(f"unknown quantize mode {quantize!r}")
+            if quantize is not None and mesh is not None:
+                raise EngineError(f"quantize={quantize} with a mesh is unsupported")
+            # The fused Pallas step kernels consume quantized units, so they
+            # are part of the quantized configurations ONLY: with
+            # quantize=None every path (fused-eligible or not) stays bf16,
+            # and with quantize=int8/int4 the fused kernel and the XLA
+            # fallback (prefill, batch>1, big buckets) read the SAME
+            # quantization grid — one numerics per request, never a silent
+            # mid-stream dtype switch.
+            bits = {None: None, "int8": 8, "int4": 4}[quantize]
+            use_fused = quantize is not None and mesh is None and jax.default_backend() == "tpu"
+            if bits == 8:
                 # weight-only int8 for the memory-bound decode (ops/quant.py);
-                # embeddings/vocoder/speaker-encoder stay full precision
-                if mesh is not None:
-                    raise EngineError("quantize=int8 with a mesh is unsupported")
+                # embeddings/vocoder/speaker-encoder stay full precision.
+                # Quantize FIRST: the int8 fused pack reuses the
+                # QuantizedLinear values directly (zero requantization).
                 from ..ops.quant import quantize_params
 
                 self.params = quantize_params(self.params)
-            elif quantize is not None:
-                raise EngineError(f"unknown quantize mode {quantize!r}")
-            # The fused Pallas step kernels consume int8 units, so they are
-            # part of the int8 configuration ONLY: with quantize=None every
-            # path (fused-eligible or not) stays bf16, and with quantize=int8
-            # the fused kernel and the XLA fallback (prefill, batch>1, big
-            # buckets) read the SAME QuantizedLinear weights — one numerics
-            # per request, never a silent mid-stream dtype switch.
-            use_fused = quantize == "int8" and mesh is None and jax.default_backend() == "tpu"
             if self.cfg.code_predictor.impl == "fused" and use_fused:
                 # pre-pack the MTP weights for the fused Pallas step kernel
                 # (TPU only: elsewhere the packed path would run interpreted
@@ -162,14 +166,23 @@ class TTSEngine:
                 from ..models.code_predictor import prepare_fused_step
 
                 self.params["code_predictor"] = prepare_fused_step(
-                    self.cfg.code_predictor, self.params["code_predictor"]
+                    self.cfg.code_predictor, self.params["code_predictor"],
+                    bits=bits,
                 )
             if self.cfg.talker.decode_impl == "fused" and use_fused:
                 from ..models.talker import prepare_fused_talker
 
                 self.params["talker"] = prepare_fused_talker(
-                    self.cfg.talker, self.params["talker"]
+                    self.cfg.talker, self.params["talker"], bits=bits
                 )
+            if bits == 4:
+                # int4 pack slices the RAW weights (group-128 grid), so it
+                # must run before quantize_params rewrites them; the XLA
+                # fallback then quantizes the same tensors on the same grid —
+                # identical dequantized values on both paths.
+                from ..ops.quant import quantize_params
+
+                self.params = quantize_params(self.params, bits=4)
             if mesh is not None:
                 # TP over "model" + DP over "data" (parallel/mesh.py rules);
                 # GSPMD propagates KV-cache/activation shardings from these

@@ -39,7 +39,7 @@ def build_parser() -> argparse.ArgumentParser:
              "the reference lists this as planned)",
     )
     p.add_argument(
-        "--quantize", choices=["int8"],
+        "--quantize", choices=["int8", "int4"],
         help="weight-only quantization for faster decode",
     )
     p.add_argument("--verbose", action="store_true", help="print per-stage metrics")

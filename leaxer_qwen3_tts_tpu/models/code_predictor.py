@@ -184,7 +184,9 @@ def predict_subcodes_dense(
     return subcodes, sub_sum.astype(last_hidden.dtype)
 
 
-def prepare_fused_step(cfg: CodePredictorConfig, cp_params: dict) -> dict:
+def prepare_fused_step(
+    cfg: CodePredictorConfig, cp_params: dict, bits: int = 8
+) -> dict:
     """Attach pre-packed fused-step weights (ops/fused_step.py) when the
     architecture qualifies; returns the (possibly extended) params dict."""
     from ..ops.fused_step import pack_fused_weights, supports
@@ -193,7 +195,7 @@ def prepare_fused_step(cfg: CodePredictorConfig, cp_params: dict) -> dict:
         return cp_params
     out = dict(cp_params)
     out["fused_step"] = pack_fused_weights(
-        cfg.transformer, cp_params["transformer"]["layers"]
+        cfg.transformer, cp_params["transformer"]["layers"], bits=bits
     )
     return out
 

@@ -35,7 +35,9 @@ def talker_init_cache(cfg: TalkerConfig, batch: int, max_len: int) -> KVCache:
     return init_kv_cache(cfg.transformer, batch, max_len)
 
 
-def prepare_fused_talker(cfg: TalkerConfig, talker_params: dict) -> dict:
+def prepare_fused_talker(
+    cfg: TalkerConfig, talker_params: dict, bits: int = 8
+) -> dict:
     """Attach pre-packed fused-step weights when the architecture qualifies."""
     from ..ops.fused_step import pack_fused_weights, supports
 
@@ -43,7 +45,7 @@ def prepare_fused_talker(cfg: TalkerConfig, talker_params: dict) -> dict:
         return talker_params
     out = dict(talker_params)
     out["fused_step"] = pack_fused_weights(
-        cfg.transformer, talker_params["transformer"]["layers"]
+        cfg.transformer, talker_params["transformer"]["layers"], bits=bits
     )
     return out
 

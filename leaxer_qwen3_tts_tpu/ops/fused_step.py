@@ -46,10 +46,19 @@ N_UNIT = 1024
 
 
 class FusedStepWeights(NamedTuple):
-    """Pre-packed per-layer weights for the fused step kernel."""
+    """Pre-packed per-layer weights for the fused step kernel.
 
-    units: jax.Array  # int8 [L, U, H, N_UNIT]
-    scales: jax.Array  # f32 [L, U, 1, N_UNIT]
+    int8 (bits=8): units [L, U, H, N_UNIT] int8, scales [L, U, 1, N_UNIT]
+        (per-output-column, applied AFTER the full-K dot).
+    int4 (bits=4): units [L, U, H/2, N_UNIT] int8 — each byte packs weight
+        rows k (low nibble) and k + H/2 (high nibble), ops.quant layout —
+        and scales [L, U, G, N_UNIT] with G = H/INT4_GROUP group rows
+        (applied per group dot).  The kernels detect int4 from the unit's
+        K extent (H/2 instead of H).
+    """
+
+    units: jax.Array  # int8 [L, U, H or H/2, N_UNIT]
+    scales: jax.Array  # f32 [L, U, 1 or G, N_UNIT]
     attn_norm: jax.Array  # f32 [L, 1, H]
     mlp_norm: jax.Array  # f32 [L, 1, H]
     q_norm: jax.Array  # f32 [L, 1, d]
@@ -81,19 +90,33 @@ def supports(cfg: TransformerConfig) -> bool:
     )
 
 
-def pack_fused_weights(cfg: TransformerConfig, layer_params: dict) -> FusedStepWeights:
+def pack_fused_weights(
+    cfg: TransformerConfig, layer_params: dict, bits: int = 8
+) -> FusedStepWeights:
     """Pack (possibly fused/quantized) stacked layer params into unit form.
 
-    Accepts the inference layout from ops.quant.fuse_params + quantize_params
-    (wqkv/wgu as QuantizedLinear) or raw bf16 arrays (quantized here).
+    bits=8 accepts the inference layout from ops.quant.fuse_params +
+    quantize_params (wqkv/wgu as QuantizedLinear) or raw bf16 arrays
+    (quantized here).  bits=4 requires RAW arrays: each [L, H, N_UNIT] unit
+    slice is int4-quantized on the ops.quant group-128 grid — unit
+    boundaries land on group/column boundaries, so the values match a
+    whole-tensor quantize_weight_int4 (the XLA fallback) exactly.
     """
-    from .quant import quantize_weight
+    from .quant import quantize_weight, quantize_weight_int4
 
     assert supports(cfg), "fused step kernel requires H==1024-aligned dims"
+    assert bits in (4, 8)
     H = cfg.hidden_size
 
     def as_quant(w) -> QuantizedLinear:
-        return w if isinstance(w, QuantizedLinear) else quantize_weight(w)
+        if isinstance(w, QuantizedLinear):
+            if bits == 4:
+                raise ValueError(
+                    "bits=4 packing needs raw weights (pack before "
+                    "quantize_params in the engine)"
+                )
+            return w
+        return w if bits == 4 else quantize_weight(w)
 
     p = layer_params
     wqkv = as_quant(
@@ -107,39 +130,70 @@ def pack_fused_weights(cfg: TransformerConfig, layer_params: dict) -> FusedStepW
     wo = as_quant(p["wo"])
     wd = as_quant(p["wd"])
 
-    L = wqkv.q.shape[0]
+    L = (wqkv.q if isinstance(wqkv, QuantizedLinear) else wqkv).shape[0]
     units = []
     scales = []
 
-    def n_split(qw: QuantizedLinear):
-        # [L, H, n*N_UNIT] -> n units [L, H, N_UNIT]
-        n = qw.q.shape[-1] // N_UNIT
-        for i in range(n):
-            units.append(qw.q[..., i * N_UNIT : (i + 1) * N_UNIT])
-            scales.append(qw.scale[..., i * N_UNIT : (i + 1) * N_UNIT])
+    if bits == 4:
+        # raw [L, H, N_UNIT] slices, quantized per unit on the shared grid
+        def add_unit(w_slice):
+            q4 = quantize_weight_int4(w_slice)
+            units.append(q4.q)  # [L, H/2, N_UNIT]
+            scales.append(q4.scale)  # [L, G, N_UNIT]
 
-    def k_split(qw: QuantizedLinear):
-        # [L, k*H, n*N_UNIT] -> k*n units [L, H, N_UNIT] (k-major order);
-        # the output scale column-slice repeats for every k chunk
-        k = qw.q.shape[-2] // H
-        n = qw.q.shape[-1] // N_UNIT
-        for i in range(k):
-            for j in range(n):
-                units.append(
-                    qw.q[:, i * H : (i + 1) * H, j * N_UNIT : (j + 1) * N_UNIT]
-                )
-                scales.append(qw.scale[..., j * N_UNIT : (j + 1) * N_UNIT])
+        def n_split(w):
+            n = w.shape[-1] // N_UNIT
+            for i in range(n):
+                add_unit(w[..., i * N_UNIT : (i + 1) * N_UNIT])
 
-    n_split(wqkv)
-    k_split(wo)
-    n_split(wgu)
-    k_split(wd)
+        def k_split(w):
+            k = w.shape[-2] // H
+            n = w.shape[-1] // N_UNIT
+            for i in range(k):
+                for j in range(n):
+                    add_unit(
+                        w[:, i * H : (i + 1) * H, j * N_UNIT : (j + 1) * N_UNIT]
+                    )
+
+        n_split(wqkv)
+        k_split(wo)
+        n_split(wgu)
+        k_split(wd)
+        packed_units = jnp.stack(units, axis=1)  # [L, U, H/2, N_UNIT]
+        packed_scales = jnp.stack(scales, axis=1).astype(jnp.float32)
+    else:
+
+        def n_split(qw: QuantizedLinear):
+            # [L, H, n*N_UNIT] -> n units [L, H, N_UNIT]
+            n = qw.q.shape[-1] // N_UNIT
+            for i in range(n):
+                units.append(qw.q[..., i * N_UNIT : (i + 1) * N_UNIT])
+                scales.append(qw.scale[..., i * N_UNIT : (i + 1) * N_UNIT])
+
+        def k_split(qw: QuantizedLinear):
+            # [L, k*H, n*N_UNIT] -> k*n units [L, H, N_UNIT] (k-major order);
+            # the output scale column-slice repeats for every k chunk
+            k = qw.q.shape[-2] // H
+            n = qw.q.shape[-1] // N_UNIT
+            for i in range(k):
+                for j in range(n):
+                    units.append(
+                        qw.q[:, i * H : (i + 1) * H, j * N_UNIT : (j + 1) * N_UNIT]
+                    )
+                    scales.append(qw.scale[..., j * N_UNIT : (j + 1) * N_UNIT])
+
+        n_split(wqkv)
+        k_split(wo)
+        n_split(wgu)
+        k_split(wd)
+        packed_units = jnp.stack(units, axis=1)  # [L, U, H, N_UNIT]
+        packed_scales = jnp.stack(
+            [jnp.broadcast_to(s, (L, 1, N_UNIT)) for s in scales], axis=1
+        ).astype(jnp.float32)
 
     return FusedStepWeights(
-        units=jnp.stack(units, axis=1),  # [L, U, H, N_UNIT]
-        scales=jnp.stack(
-            [jnp.broadcast_to(s, (L, 1, N_UNIT)) for s in scales], axis=1
-        ).astype(jnp.float32),
+        units=packed_units,
+        scales=packed_scales,
         attn_norm=p["attn_norm"].astype(jnp.float32)[:, None, :],
         mlp_norm=p["mlp_norm"].astype(jnp.float32)[:, None, :],
         q_norm=p["q_norm"].astype(jnp.float32)[:, None, :],
@@ -162,7 +216,60 @@ def _rope(x, cos, sin):
 WINDOW = 512  # K/V slots per streamed attention window (windowed mode)
 
 
-def _make_kernel(cfg: TransformerConfig, T: int, mode: str = "vmem"):
+def _make_matmul(w_ref, s_ref, H: int, w4: bool, n_groups: int):
+    """Unit matmul closure: [B, H] f32 -> [B, N_UNIT] f32.
+
+    int8: one [B, H] x [H, N_UNIT] bf16 dot, per-column f32 scale after.
+    int4: unpack nibbles (low = rows [0, H/2), high = rows [H/2, H)), then
+    one dot per INT4_GROUP-row group with its f32 scale applied post-dot —
+    identical semantics to ops.quant._dense4, so fused and XLA paths agree.
+    """
+    if not w4:
+        w_unit = w_ref[0, 0].astype(jnp.bfloat16)  # [H, N_UNIT]
+        scale = s_ref[0, 0]  # [1, N_UNIT]
+
+        def matmul(lhs):
+            return (
+                jax.lax.dot_general(
+                    lhs.astype(jnp.bfloat16), w_unit,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                * scale
+            )
+
+        return matmul
+
+    K2 = H // 2
+    gh = n_groups // 2  # groups per nibble half
+    gs = K2 // gh  # rows per group (INT4_GROUP)
+    b = w_ref[0, 0].astype(jnp.int32)  # [K2, N_UNIT]
+    lo = ((b << 28) >> 28).astype(jnp.bfloat16)  # rows [0, K2)
+    hi = (b >> 4).astype(jnp.bfloat16)  # rows [K2, 2*K2)
+
+    def matmul4(lhs):
+        l16 = lhs.astype(jnp.bfloat16)
+        acc = None
+        for g in range(gh):
+            r0 = g * gs
+            p = jax.lax.dot_general(
+                l16[:, r0 : r0 + gs], lo[r0 : r0 + gs],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * s_ref[0, 0, g][None, :]
+            q = jax.lax.dot_general(
+                l16[:, K2 + r0 : K2 + r0 + gs], hi[r0 : r0 + gs],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * s_ref[0, 0, gh + g][None, :]
+            acc = p + q if acc is None else acc + p + q
+        return acc
+
+    return matmul4
+
+
+def _make_kernel(cfg: TransformerConfig, T: int, mode: str = "vmem",
+                 w4: bool = False, n_groups: int = 1):
     """mode: "vmem"  — per-layer K/V cache blocks resident in VMEM (T <= 512)
              "hbm"   — cache in HBM, whole [nk, T, d] DMA'd through scratch
              "win"   — cache in HBM, streamed in WINDOW-slot chunks with
@@ -456,18 +563,7 @@ def _make_kernel(cfg: TransformerConfig, T: int, mode: str = "vmem"):
             up = gu[:, I:]
             gu_s[:, :I] = gate * (1.0 / (1.0 + jnp.exp(-gate))) * up
 
-        w_unit = w_ref[0, 0].astype(jnp.bfloat16)  # [H, N_UNIT]
-        scale = s_ref[0, 0]  # [1, N_UNIT]
-
-        def matmul(lhs):  # [1, H] f32 -> [1, N_UNIT] f32
-            return (
-                jax.lax.dot_general(
-                    lhs.astype(jnp.bfloat16), w_unit,
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                * scale
-            )
+        matmul = _make_matmul(w_ref, s_ref, H, w4, n_groups)
 
         @pl.when(kind == 0)  # qkv N-block
         def _qkv():
@@ -560,7 +656,10 @@ def _fused_decode_step_jit(
     qd, kvd, I = cfg.q_dim, cfg.kv_dim, cfg.intermediate_size
 
     hbm_cache = mode in ("hbm", "win")
-    kernel, U = _make_kernel(cfg, T, mode=mode)
+    KU = fw.units.shape[2]  # H (int8) or H/2 (int4 nibble-packed)
+    w4 = KU == H // 2
+    n_groups = fw.scales.shape[2]
+    kernel, U = _make_kernel(cfg, T, mode=mode, w4=w4, n_groups=n_groups)
 
     half = d // 2
     freqs = 1.0 / (cfg.rope_theta ** (jnp.arange(half, dtype=jnp.float32) / half))
@@ -578,9 +677,9 @@ def _fused_decode_step_jit(
         pl.BlockSpec((1, H), lambda l, u: (0, 0), memory_space=_VMEM),
         pl.BlockSpec((1, half), lambda l, u: (0, 0), memory_space=_VMEM),
         pl.BlockSpec((1, half), lambda l, u: (0, 0), memory_space=_VMEM),
-        pl.BlockSpec((1, 1, H, N_UNIT), lambda l, u: (l, u, 0, 0),
+        pl.BlockSpec((1, 1, KU, N_UNIT), lambda l, u: (l, u, 0, 0),
                      memory_space=_VMEM),
-        pl.BlockSpec((1, 1, 1, N_UNIT), lambda l, u: (l, u, 0, 0),
+        pl.BlockSpec((1, 1, n_groups, N_UNIT), lambda l, u: (l, u, 0, 0),
                      memory_space=_VMEM),
         pl.BlockSpec((1, 1, H), norm_block, memory_space=_VMEM),
         pl.BlockSpec((1, 1, H), norm_block, memory_space=_VMEM),
@@ -690,7 +789,8 @@ def batched_window(B: int) -> int:
     return max(128, 512 // B)
 
 
-def _make_kernel_batched(cfg: TransformerConfig, T: int, B: int, mode: str):
+def _make_kernel_batched(cfg: TransformerConfig, T: int, B: int, mode: str,
+                         w4: bool = False, n_groups: int = 1):
     H = cfg.hidden_size
     nq, nk, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     g = nq // nk
@@ -958,18 +1058,7 @@ def _make_kernel_batched(cfg: TransformerConfig, T: int, B: int, mode: str):
             up = gu[:, I:]
             gu_s[:, :I] = gate * (1.0 / (1.0 + jnp.exp(-gate))) * up
 
-        w_unit = w_ref[0, 0].astype(jnp.bfloat16)  # [H, N_UNIT]
-        scale = s_ref[0, 0]  # [1, N_UNIT]
-
-        def matmul(lhs):  # [B, H] f32 -> [B, N_UNIT] f32
-            return (
-                jax.lax.dot_general(
-                    lhs.astype(jnp.bfloat16), w_unit,
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                * scale
-            )
+        matmul = _make_matmul(w_ref, s_ref, H, w4, n_groups)
 
         @pl.when(kind == 0)
         def _qkv_u():
@@ -1044,7 +1133,10 @@ def _fused_decode_step_batched_jit(
     qd, kvd, I = cfg.q_dim, cfg.kv_dim, cfg.intermediate_size
     W = batched_window(B)
 
-    kernel, U = _make_kernel_batched(cfg, T, B, mode)
+    KU = fw.units.shape[2]  # H (int8) or H/2 (int4 nibble-packed)
+    w4 = KU == H // 2
+    n_groups = fw.scales.shape[2]
+    kernel, U = _make_kernel_batched(cfg, T, B, mode, w4=w4, n_groups=n_groups)
 
     half = d // 2
     freqs = 1.0 / (cfg.rope_theta ** (jnp.arange(half, dtype=jnp.float32) / half))
@@ -1059,9 +1151,9 @@ def _fused_decode_step_batched_jit(
         pl.BlockSpec((B, 1), lambda l, u: (0, 0), memory_space=_VMEM),
         pl.BlockSpec((B, half), lambda l, u: (0, 0), memory_space=_VMEM),
         pl.BlockSpec((B, half), lambda l, u: (0, 0), memory_space=_VMEM),
-        pl.BlockSpec((1, 1, H, N_UNIT), lambda l, u: (l, u, 0, 0),
+        pl.BlockSpec((1, 1, KU, N_UNIT), lambda l, u: (l, u, 0, 0),
                      memory_space=_VMEM),
-        pl.BlockSpec((1, 1, 1, N_UNIT), lambda l, u: (l, u, 0, 0),
+        pl.BlockSpec((1, 1, n_groups, N_UNIT), lambda l, u: (l, u, 0, 0),
                      memory_space=_VMEM),
         pl.BlockSpec((1, 1, H), norm_block, memory_space=_VMEM),
         pl.BlockSpec((1, 1, H), norm_block, memory_space=_VMEM),

@@ -31,7 +31,28 @@ class QuantizedLinear(NamedTuple):
     scale: jax.Array
 
 
-WeightLike = Union[jax.Array, QuantizedLinear]
+INT4_GROUP = 128  # K-rows per int4 scale group
+
+
+class QuantizedLinear4(NamedTuple):
+    """int4 weight (two nibbles per byte) + per-(K-group, out-column) scales.
+
+    q:     int8, [..., in/2, out] — byte at row k packs weight rows k (LOW
+           nibble) and k + in/2 (HIGH nibble), both two's-complement in
+           [-8, 7].  The half-split packing means unpacking is two shift ops
+           and the matmul splits into x[:, :K/2] @ lo + x[:, K/2:] @ hi — no
+           cross-sublane interleave on TPU.
+    scale: float32, [..., in/INT4_GROUP, out] — group g covers input rows
+           [g*INT4_GROUP, (g+1)*INT4_GROUP).  int4's coarse grid needs
+           group-wise scales (per-column-only int4 loses ~2 bits of dynamic
+           range across a 1024-row column).
+    """
+
+    q: jax.Array
+    scale: jax.Array
+
+
+WeightLike = Union[jax.Array, QuantizedLinear, QuantizedLinear4]
 
 
 def quantize_weight(w: jax.Array) -> QuantizedLinear:
@@ -43,6 +64,61 @@ def quantize_weight(w: jax.Array) -> QuantizedLinear:
     return QuantizedLinear(q=q, scale=scale.astype(jnp.float32))
 
 
+def quantize_weight_int4(w: jax.Array, group: int = INT4_GROUP) -> QuantizedLinear4:
+    """Symmetric int4 quantization with per-(K-group, out-column) scales.
+
+    The SAME grid is used by :func:`pack_fused_weights` (bits=4) because unit
+    slicing along K/N lands on group/column boundaries — the fused kernel and
+    this XLA path therefore dequantize identical values.
+    """
+    wf = jnp.asarray(w, jnp.float32)
+    K, N = wf.shape[-2], wf.shape[-1]
+    group = min(group, max(K // 2, 1))  # small test models: shrink the group
+    if K % (2 * group) != 0:
+        raise ValueError(f"int4 needs K ({K}) divisible by 2*group ({2 * group})")
+    lead = wf.shape[:-2]
+    g = wf.reshape(*lead, K // group, group, N)
+    amax = jnp.max(jnp.abs(g), axis=-2, keepdims=True)  # [..., G, 1, N]
+    scale = jnp.where(amax > 0, amax / 7.0, 1.0)
+    q = jnp.clip(jnp.round(g / scale), -8, 7).astype(jnp.int32)
+    q = q.reshape(*lead, K, N)
+    lo, hi = q[..., : K // 2, :], q[..., K // 2 :, :]
+    packed = ((hi & 0xF) << 4) | (lo & 0xF)  # [..., K/2, N] in [0, 255]
+    packed = jax.lax.bitcast_convert_type(packed.astype(jnp.uint8), jnp.int8)
+    return QuantizedLinear4(
+        q=packed, scale=scale.reshape(*lead, K // group, N).astype(jnp.float32)
+    )
+
+
+def unpack_int4(q: jax.Array) -> jax.Array:
+    """[..., K/2, N] packed bytes -> [..., K, N] int32 values in [-8, 7]."""
+    b = q.astype(jnp.int32)
+    lo = (b << 28) >> 28  # sign-extended low nibble
+    hi = b >> 4  # arithmetic shift: sign-extended high nibble
+    return jnp.concatenate([lo, hi], axis=-2)
+
+
+def _dense4(x: jax.Array, w: QuantizedLinear4) -> jax.Array:
+    """Group-scaled int4 matmul: per-group bf16 dots with f32 accumulation,
+    scales applied post-dot in f32 (same semantics as the fused kernel)."""
+    assert w.q.ndim == 2, "int4 dense expects an unstacked [K/2, N] weight"
+    K2, N = w.q.shape
+    K = 2 * K2
+    G = w.scale.shape[-2]
+    gs = K // G
+    wfull = unpack_int4(w.q).astype(jnp.bfloat16)  # [K, N]
+    # lhs keeps its dtype (f32 x bf16 dot, like the int8 path): CPU XLA's
+    # thunks reject BF16xBF16=F32, and the lhs is tiny anyway
+    xg = x.reshape(*x.shape[:-1], G, gs)
+    part = jnp.einsum(
+        "...gk,gkn->...gn",
+        xg,
+        wfull.reshape(G, gs, N),
+        preferred_element_type=jnp.float32,
+    )  # [..., G, N]
+    return jnp.sum(part * w.scale, axis=-2)
+
+
 def dense(x: jax.Array, w: WeightLike) -> jax.Array:
     """x [..., in] @ w -> [..., out] with float32 accumulation.
 
@@ -52,6 +128,8 @@ def dense(x: jax.Array, w: WeightLike) -> jax.Array:
     (quant_kernels.py, opt-in via QTTS_PALLAS_QUANT=1), which pays grid
     overheads and blocks XLA's surrounding fusions at these tiny-M shapes.
     """
+    if isinstance(w, QuantizedLinear4):
+        return _dense4(x, w)
     if isinstance(w, QuantizedLinear):
         if _use_pallas_path(w):
             from .quant_kernels import dense_int8_pallas
@@ -76,13 +154,17 @@ def _use_pallas_path(w: QuantizedLinear) -> bool:
 
 
 def weight_dtype(w: WeightLike):
-    return jnp.bfloat16 if isinstance(w, QuantizedLinear) else w.dtype
+    return (
+        jnp.bfloat16
+        if isinstance(w, (QuantizedLinear, QuantizedLinear4))
+        else w.dtype
+    )
 
 
 def index_weight(w: WeightLike, i, axis: int = 0) -> WeightLike:
     """dynamic_index_in_dim through a possibly-quantized stacked weight."""
-    if isinstance(w, QuantizedLinear):
-        return QuantizedLinear(
+    if isinstance(w, (QuantizedLinear, QuantizedLinear4)):
+        return type(w)(
             q=jax.lax.dynamic_index_in_dim(w.q, i, axis=axis, keepdims=False),
             scale=jax.lax.dynamic_index_in_dim(w.scale, i, axis=axis, keepdims=False),
         )
@@ -125,18 +207,37 @@ def fuse_params(params, modules: Sequence[str] = ("talker", "code_predictor")):
     return out
 
 
-def quantize_params(params, modules: Sequence[str] = ("talker", "code_predictor")):
+# in int4 mode these keys stay int8: lm_head/heads feed the sampler directly
+# (logit fidelity is the quality-critical surface) and their stacked layouts
+# (heads: [steps, H, V]) sit outside the fused kernels' K-group packing
+_INT8_ONLY_KEYS = frozenset({"lm_head", "heads"})
+
+
+def quantize_params(
+    params,
+    modules: Sequence[str] = ("talker", "code_predictor"),
+    bits: int = 8,
+):
     """Quantize the matmul weights of the given top-level modules.
 
     Embedding gather tables, norms, the vocoder, and the speaker encoder stay
     in their original dtype (gathers don't dequant-fuse; the rest is cheap).
+    ``bits=4`` applies group-128 int4 to the transformer matmuls and keeps
+    the output heads (lm_head / MTP heads) int8.
     """
+    if bits not in (4, 8):
+        raise ValueError(f"bits must be 4 or 8, got {bits}")
+
+    def quant_one(k, v):
+        if bits == 4 and k not in _INT8_ONLY_KEYS:
+            return quantize_weight_int4(v)
+        return quantize_weight(v)
 
     def walk(node, quantizing: bool):
         if isinstance(node, dict):
             return {
                 k: (
-                    quantize_weight(v)
+                    quant_one(k, v)
                     if quantizing and k in _MATMUL_KEYS and hasattr(v, "ndim")
                     else walk(v, quantizing)
                 )

@@ -23,7 +23,7 @@ def main(argv=None) -> int:
     p.add_argument("--max-tokens", type=int, default=2048)
     p.add_argument("--max-streams", type=int, default=4,
                    help="concurrent /synthesize_stream decodes")
-    p.add_argument("--quantize", choices=["int8"])
+    p.add_argument("--quantize", choices=["int8", "int4"])
     args = p.parse_args(argv)
 
     from ..api.engine import TTSEngine

@@ -371,10 +371,12 @@ def test_fused_prep_gated_on_int8(tiny_model, monkeypatch):
     )
     calls = []
     monkeypatch.setattr(
-        talker_mod, "prepare_fused_talker", lambda c, p: (calls.append("t"), p)[1]
+        talker_mod, "prepare_fused_talker",
+        lambda c, p, bits=8: (calls.append("t"), p)[1],
     )
     monkeypatch.setattr(
-        cp_mod, "prepare_fused_step", lambda c, p: (calls.append("m"), p)[1]
+        cp_mod, "prepare_fused_step",
+        lambda c, p, bits=8: (calls.append("m"), p)[1],
     )
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
 

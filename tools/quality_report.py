@@ -130,6 +130,8 @@ def main(argv=None) -> int:
     p.add_argument("--text", default="hello world")
     p.add_argument("--language", default="auto")
     p.add_argument("--max-frames", type=int, default=48)
+    p.add_argument("--quantize", default="int8", choices=["int8", "int4"],
+                   help="quantized configuration to compare against bf16")
     args = p.parse_args(argv)
     if not args.model and not args.random_preset:
         p.error("need --model or --random-preset")
@@ -143,7 +145,7 @@ def main(argv=None) -> int:
         tok = _tiny_tokenizer()
 
     results = {}
-    for name, quantize in (("bf16", None), ("int8", "int8")):
+    for name, quantize in (("bf16", None), (args.quantize, args.quantize)):
         if args.random_preset:
             eng = TTSEngine(config=cfg, params=params, quantize=quantize,
                             tokenizer=tok)
@@ -157,9 +159,10 @@ def main(argv=None) -> int:
         )
         del eng
 
-    report = compare(results["bf16"], results["int8"])
+    report = compare(results["bf16"], results[args.quantize])
     report["text"] = args.text
     report["max_frames"] = args.max_frames
+    report["quantize"] = args.quantize
     print(json.dumps(report))
     return 0
 
