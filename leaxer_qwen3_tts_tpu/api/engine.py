@@ -85,6 +85,8 @@ class TTSEngine:
         fuse: bool = True,
         kv_buckets: Tuple[int, ...] = (256, 512, 1024),
         mesh=None,
+        spec_k: Optional[int] = None,
+        spec_iters: int = 8,
     ):
         self._ready = False
         self._error = ""
@@ -96,6 +98,13 @@ class TTSEngine:
         # TTFA ramp: a small first decode chunk gets audio out early, then
         # full-size chunks carry the steady state
         self.first_chunk_len = max(1, min(int(first_chunk_len), self.chunk_len))
+        # speculative frame decoding (runtime/speculative.py): verify spec_k
+        # drafted frames per talker pass, spec_iters iterations per dispatch.
+        # Single-stream (B=1) only — batching already amortizes weight reads.
+        if spec_k is not None and not 2 <= int(spec_k) <= 8:
+            raise ValueError("spec_k must be in [2, 8]")
+        self.spec_k = int(spec_k) if spec_k is not None else None
+        self.spec_iters = max(1, int(spec_iters))
         full = self.max_frames + 32
         if full > 1024:
             # the windowed fused decode kernel streams K/V in 512-slot
@@ -472,6 +481,161 @@ class TTSEngine:
             self._vocode_cache[key] = jax.jit(impl)
         return self._vocode_cache[key]
 
+    def _get_spec_fns(self, t_bucket: int, lang_id, has_speaker: bool,
+                      max_len: int, i_bucket: int, num_iters: int):
+        from ..runtime.speculative import make_spec_generate_fns
+
+        key = ("spec", t_bucket, lang_id, has_speaker, max_len, i_bucket,
+               self.spec_k, num_iters)
+        if key not in self._fns_cache:
+            self._fns_cache[key] = make_spec_generate_fns(
+                self.cfg, max_len=max_len, k=self.spec_k,
+                num_iters=num_iters, lang_id=lang_id,
+                has_speaker=has_speaker, has_instruct=i_bucket > 0,
+            )
+        return self._fns_cache[key]
+
+    def _spec_stream(
+        self, timer, ids_padded, lens, speaker, instr_arr, instr_len,
+        t_bucket, lang_id, has_speaker, i_bucket, P, max_tokens, sp, key,
+    ):
+        """Speculative-decode variant of the stream loop (B=1 only).
+
+        Commits per dispatch are data-dependent (between spec_iters and
+        spec_iters*spec_k frames), so frames are compacted on the host and
+        vocoded in fixed-size windows; audio/codes/metrics semantics match
+        the sequential path.
+        """
+        voc_cfg = self.cfg.vocoder
+        spf = voc_cfg.samples_per_frame
+        top = self.kv_ladder[-1]
+        # shrink iterations-per-dispatch to fit short requests / small KV
+        # budgets (each dispatch can consume up to k * iters cache slots)
+        iters = min(self.spec_iters, max(1, -(-max_tokens // self.spec_k)))
+        while self.spec_k * iters > top - P - 1 and iters > 1:
+            iters -= 1
+        spec_chunk = self.spec_k * iters  # max slots per dispatch
+        budget = top - P - spec_chunk
+        if budget < 1:
+            raise EngineError(
+                f"prompt ({P} positions) too long for the KV cache "
+                f"(top bucket {top}, spec chunk {spec_chunk})"
+            )
+        max_tokens = min(max_tokens, budget)
+        bidx = next(
+            (i for i, b in enumerate(self.kv_ladder) if b >= P + spec_chunk + 1),
+            len(self.kv_ladder) - 1,
+        )
+        fns = self._get_spec_fns(
+            t_bucket, lang_id, has_speaker, self.kv_ladder[bidx], i_bucket,
+            iters,
+        )
+
+        with timer.stage("prefill"):
+            state, bundle, frame0, valid0 = fns.prefill(
+                self.params,
+                ids_padded,
+                lens,
+                key,
+                sp,
+                jnp.asarray(speaker) if speaker is not None else None,
+                jnp.asarray(instr_arr) if instr_arr is not None else None,
+                jnp.asarray(instr_len) if instr_len is not None else None,
+            )
+            jax.block_until_ready(frame0)
+
+        committed: List[np.ndarray] = []  # [16] rows, valid frames in order
+        if bool(np.asarray(valid0)[0]):
+            committed.append(np.asarray(frame0)[0])
+        done = bool(np.asarray(state.done))
+        slots = 1  # inputs consumed so far == state.step mirror
+
+        emitted = 0  # frames already vocoded + yielded
+        tail: Optional[np.ndarray] = None  # [1, ctx, 16] vocoder context
+        audio_chunks: List[np.ndarray] = []
+        first = True
+
+        def vocode(frames_np):
+            # frames_np [n, 16] -> audio [n * spf] with causal left context
+            nonlocal tail
+            window = (
+                frames_np[None]
+                if tail is None
+                else np.concatenate([tail, frames_np[None]], axis=1)
+            )
+            n_ctx = 0 if tail is None else tail.shape[1]
+            vf = self._get_vocode_fn(int(window.shape[1]), n_ctx)
+            audio = np.asarray(
+                vf(self.params["vocoder"], jnp.asarray(window)), np.float32
+            )
+            ctx = min(voc_cfg.left_context_frames, window.shape[1])
+            tail = window[:, window.shape[1] - ctx :]
+            return audio[0]
+
+        while True:
+            # emit ready audio in fixed windows (first window small for TTFA)
+            want = self.first_chunk_len if first else self.chunk_len
+            while len(committed) - emitted >= want and emitted < max_tokens:
+                n = min(want, max_tokens - emitted)
+                with timer.stage("vocode"):
+                    audio = vocode(
+                        np.stack(committed[emitted : emitted + n], axis=0)
+                    )
+                audio_chunks.append(audio)
+                emitted += n
+                timer.mark_first_audio()
+                first = False
+                want = self.chunk_len
+                yield audio
+
+            if done or len(committed) >= max_tokens:
+                break
+            while (
+                P + slots - 1 + spec_chunk + 1 > self.kv_ladder[bidx]
+                and bidx + 1 < len(self.kv_ladder)
+            ):
+                bidx += 1
+                state = self._grow_state(state, self.kv_ladder[bidx])
+                fns = self._get_spec_fns(
+                    t_bucket, lang_id, has_speaker, self.kv_ladder[bidx],
+                    i_bucket, iters,
+                )
+            if P + slots - 1 + spec_chunk + 1 > self.kv_ladder[bidx]:
+                break  # KV budget exhausted (max_tokens clamp makes this rare)
+            with timer.stage("decode"):
+                state, frames, valid = fns.decode(
+                    self.params, state, bundle.trailing, bundle.trailing_len,
+                    bundle.tts_pad_embed, sp,
+                )
+                frames_np = np.asarray(frames)  # [iters*k, 16]
+            valid_np = np.asarray(valid)
+            committed.extend(frames_np[valid_np])
+            done = bool(np.asarray(state.done))
+            slots = int(np.asarray(state.step))
+
+        # final partial window
+        if emitted < min(len(committed), max_tokens):
+            n = min(len(committed), max_tokens) - emitted
+            with timer.stage("vocode"):
+                audio = vocode(np.stack(committed[emitted : emitted + n], axis=0))
+            audio_chunks.append(audio)
+            emitted += n
+            timer.mark_first_audio()
+            yield audio
+
+        codes = (
+            np.stack(committed[:emitted], axis=0)
+            if emitted
+            else np.zeros((0, 16), np.int32)
+        )
+        full_audio = (
+            np.concatenate(audio_chunks) if audio_chunks else np.zeros((0,), np.float32)
+        )
+        metrics = timer.finish()
+        metrics.frames = emitted
+        metrics.audio_seconds = emitted * spf / SAMPLE_RATE
+        yield SynthesisResult(audio=full_audio, codes=codes, metrics=metrics)
+
     def _synthesize_stream(
         self, texts, language, speaker, temperature, top_k, top_p, max_tokens, seed,
         instruct=None,
@@ -568,11 +732,20 @@ class TTSEngine:
             (i for i, b in enumerate(self.kv_ladder) if b >= P + self.chunk_len + 1),
             len(self.kv_ladder) - 1,
         )
+        sp = SamplingParams.create(temperature, top_k, top_p)
+        key = jax.random.PRNGKey(seed)
+
+        if self.spec_k is not None and B == 1 and self.mesh is None:
+            yield from self._spec_stream(
+                timer, ids_padded, lens, speaker, instr_arr, instr_len,
+                t_bucket, lang_id, has_speaker, i_bucket, P, max_tokens,
+                sp, key,
+            )
+            return
+
         fns = self._get_fns(
             B, t_bucket, lang_id, has_speaker, self.kv_ladder[bidx], i_bucket
         )
-        sp = SamplingParams.create(temperature, top_k, top_p)
-        key = jax.random.PRNGKey(seed)
 
         with timer.stage("prefill"):
             state, bundle = fns.prefill(

@@ -42,6 +42,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--quantize", choices=["int8", "int4"],
         help="weight-only quantization for faster decode",
     )
+    p.add_argument(
+        "--spec-k", type=int, choices=range(2, 9), metavar="K",
+        help="speculative frame decoding: verify K drafted frames per talker "
+             "pass (greedy output identical to sequential decode)",
+    )
     p.add_argument("--verbose", action="store_true", help="print per-stage metrics")
     return p
 
@@ -82,7 +87,8 @@ def main(argv=None) -> int:
     from ..config import SAMPLE_RATE
     from ..frontend import write_wav
 
-    engine = TTSEngine(args.model, max_frames=args.max_tokens, quantize=args.quantize)
+    engine = TTSEngine(args.model, max_frames=args.max_tokens, quantize=args.quantize,
+                       spec_k=args.spec_k)
     if not engine.is_ready():
         print(f"Error: {engine.get_error()}", file=sys.stderr)
         return 1

@@ -1,0 +1,185 @@
+"""Speculative frame decoding: greedy bit-parity with the sequential loop
+(zero- and full-acceptance paths), commit bookkeeping, EOS latching."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from leaxer_qwen3_tts_tpu.config import CODEC_EOS
+from leaxer_qwen3_tts_tpu.runtime.generate import make_generate_fns
+from leaxer_qwen3_tts_tpu.runtime.sampling import SamplingParams
+from leaxer_qwen3_tts_tpu.runtime.speculative import (
+    make_spec_generate_fns,
+    repeat_draft,
+)
+
+GREEDY = SamplingParams.create(temperature=0.0)
+TEXT_IDS = jnp.array([[5, 6, 7, 0]], jnp.int32)
+TEXT_LEN = jnp.array([3], jnp.int32)
+
+
+def _sequential_frames(cfg, params, key, n_chunks=3, chunk=8):
+    fns = make_generate_fns(cfg, batch=1, max_len=64, chunk_len=chunk,
+                            lang_id=None, donate=False)
+    state, bundle = fns.prefill(params, TEXT_IDS, TEXT_LEN, key)
+    frames_all, valid_all = [], []
+    for _ in range(n_chunks):
+        state, frames, valid = fns.decode(
+            params, state, bundle.trailing, bundle.trailing_len,
+            bundle.tts_pad_embed, GREEDY,
+        )
+        frames_all.append(frames)
+        valid_all.append(valid)
+    return (
+        np.asarray(jnp.concatenate(frames_all, 1))[0],  # [F, 16]
+        np.asarray(jnp.concatenate(valid_all, 1))[0],
+    )
+
+
+def _spec_frames(cfg, params, key, k=4, num_iters=4, n_dispatch=3,
+                 draft_fn=repeat_draft, sp=GREEDY):
+    fns = make_spec_generate_fns(cfg, max_len=64, k=k, num_iters=num_iters,
+                                 lang_id=None, donate=False, draft_fn=draft_fn)
+    state, bundle, frame0, valid0 = fns.prefill(
+        params, TEXT_IDS, TEXT_LEN, key, sp
+    )
+    frames = [np.asarray(frame0)]
+    valid = [np.asarray(valid0)]
+    for _ in range(n_dispatch):
+        state, f, v = fns.decode(
+            params, state, bundle.trailing, bundle.trailing_len,
+            bundle.tts_pad_embed, sp,
+        )
+        frames.append(np.asarray(f))
+        valid.append(np.asarray(v))
+    frames = np.concatenate(frames, axis=0)  # [1 + n*iters*k, 16]
+    valid = np.concatenate(valid, axis=0)
+    return frames[valid], state  # compacted committed frames, in order
+
+
+def test_spec_greedy_matches_sequential_zero_acceptance(tiny_model):
+    """Random tiny weights: the repeat draft essentially never accepts, so
+    every iteration exercises the worst path (1 bonus frame) — output must
+    still be IDENTICAL to the sequential loop."""
+    cfg, params = tiny_model
+    key = jax.random.PRNGKey(3)
+    seq_frames, seq_valid = _sequential_frames(cfg, params, key)
+    spec_frames, state = _spec_frames(cfg, params, key)
+
+    n_seq = int(seq_valid.sum())
+    n = min(n_seq, len(spec_frames))
+    assert n >= 8, (n_seq, len(spec_frames))
+    np.testing.assert_array_equal(spec_frames[:n], seq_frames[:n])
+
+
+def test_spec_greedy_oracle_draft_full_acceptance(tiny_model):
+    """An oracle draft (the sequential frames themselves) must accept k-1
+    drafts every iteration — validates the acceptance/commit bookkeeping —
+    and still produce the identical sequence."""
+    cfg, params = tiny_model
+    key = jax.random.PRNGKey(3)
+    seq_frames, seq_valid = _sequential_frames(cfg, params, key, n_chunks=4)
+    seq_dev = jnp.asarray(seq_frames)  # [F, 16]
+
+    k, num_iters = 4, 3
+
+    def oracle_draft(state, kk):
+        # candidate slot j (1..k-1) is frame index state.step + j - 1
+        start = jnp.minimum(state.step, seq_dev.shape[0] - (kk - 1))
+        codes = jax.lax.dynamic_slice(
+            seq_dev, (start, 0), (kk - 1, 16)
+        )
+        return codes, None
+
+    spec_frames, state = _spec_frames(
+        cfg, params, key, k=k, num_iters=num_iters, n_dispatch=2,
+        draft_fn=oracle_draft,
+    )
+    # full acceptance: every iteration commits k frames
+    # total = 1 (bootstrap) + 2 dispatches * 3 iters * k
+    assert int(np.asarray(state.step)) == 1 + 2 * num_iters * k
+    n = min(int(seq_valid.sum()), len(spec_frames))
+    assert n >= 12
+    np.testing.assert_array_equal(spec_frames[:n], seq_frames[:n])
+
+
+def test_spec_eos_latches(tiny_model):
+    """Boosted-EOS lm_head: frame 0 is EOS at bootstrap -> no valid frames,
+    done latched, later dispatches emit nothing."""
+    cfg, params = tiny_model
+    lm = params["talker"]["lm_head"]
+    boosted = jax.tree_util.tree_map(lambda x: x, params)
+    boosted["talker"] = dict(params["talker"])
+    boosted["talker"]["lm_head"] = lm.at[:, CODEC_EOS].add(100.0)
+
+    fns = make_spec_generate_fns(cfg, max_len=64, k=4, num_iters=2,
+                                 lang_id=None, donate=False)
+    state, bundle, frame0, valid0 = fns.prefill(
+        boosted, TEXT_IDS, TEXT_LEN, jax.random.PRNGKey(0), GREEDY
+    )
+    assert not bool(np.asarray(valid0)[0])
+    assert bool(np.asarray(state.done))
+    state, f, v = fns.decode(
+        boosted, state, bundle.trailing, bundle.trailing_len,
+        bundle.tts_pad_embed, GREEDY,
+    )
+    assert not np.asarray(v).any()
+    assert bool(np.asarray(state.done))
+
+
+def test_engine_spec_matches_sequential_greedy(tiny_model, tiny_vocab_files):
+    """TTSEngine(spec_k=4) greedy output (codes AND audio) == the sequential
+    engine for the same seed."""
+    from leaxer_qwen3_tts_tpu.api.engine import TTSEngine
+    from leaxer_qwen3_tts_tpu.frontend import Tokenizer
+
+    cfg, params = tiny_model
+    vocab_path, merges_path, _ = tiny_vocab_files
+    tok = Tokenizer(vocab_path, merges_path)
+    kw = dict(config=cfg, params=params, tokenizer=tok, max_frames=12,
+              chunk_len=4, first_chunk_len=2)
+    seq_eng = TTSEngine(**kw)
+    spec_eng = TTSEngine(**kw, spec_k=3, spec_iters=2)
+    assert seq_eng.is_ready() and spec_eng.is_ready(), (
+        seq_eng.get_error(), spec_eng.get_error(),
+    )
+    a = seq_eng.synthesize("hello world", temperature=0.0, seed=5)
+    b = spec_eng.synthesize("hello world", temperature=0.0, seed=5)
+    np.testing.assert_array_equal(np.asarray(b.codes), np.asarray(a.codes))
+    np.testing.assert_allclose(
+        np.asarray(b.audio), np.asarray(a.audio), atol=1e-5
+    )
+    assert b.metrics.frames == a.metrics.frames
+
+
+def test_engine_spec_respects_max_tokens(tiny_model, tiny_vocab_files):
+    from leaxer_qwen3_tts_tpu.api.engine import TTSEngine
+    from leaxer_qwen3_tts_tpu.frontend import Tokenizer
+
+    cfg, params = tiny_model
+    vocab_path, merges_path, _ = tiny_vocab_files
+    eng = TTSEngine(config=cfg, params=params,
+                    tokenizer=Tokenizer(vocab_path, merges_path),
+                    max_frames=16, chunk_len=4, spec_k=4, spec_iters=2)
+    assert eng.is_ready(), eng.get_error()
+    res = eng.synthesize("hello world", temperature=0.0, max_tokens=5)
+    assert len(res.codes) <= 5
+    assert res.audio.size == len(res.codes) * 2000  # tiny spf
+
+
+def test_spec_sampling_valid_and_deterministic(tiny_model):
+    """temperature > 0: same seed -> same committed trajectory (spec decode
+    is deterministic given the seed); codes lie in the codec range."""
+    cfg, params = tiny_model
+    sp = SamplingParams.create(0.8, 50, 0.95)
+    key = jax.random.PRNGKey(11)
+    f1, _ = _spec_frames(cfg, params, key, n_dispatch=2, sp=sp)
+    f2, _ = _spec_frames(cfg, params, key, n_dispatch=2, sp=sp)
+    np.testing.assert_array_equal(f1, f2)
+    assert len(f1) >= 6
+    assert (f1 >= 0).all()
+    v = cfg.talker.codec_vocab_size
+    assert (f1[:, 0] < v).all()
