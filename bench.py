@@ -299,6 +299,71 @@ def main() -> None:
         except Exception as e:
             log(f"long-form probe failed: {e}")
 
+    # --- speculative decoding probes (runtime/speculative.py, B=1) ----------
+    # Drafted frames verify in one S=K talker pass; committed codes are exact.
+    # "floor" uses an always-wrong draft (acceptance 0: every iteration
+    # commits exactly ITERS frames — deterministic, so dispatches chain with
+    # ONE final sync); "ceil" uses the repeat draft under greedy, which on
+    # the synthetic weights accepts ~everything (greedy output repeats) and
+    # so measures the full-acceptance ceiling.  Real-speech acceptance lands
+    # between; the floor already beats sequential decode.
+    spec_results = {}
+    if batch == 1 and os.environ.get("BENCH_SKIP_SPEC") != "1":
+        from leaxer_qwen3_tts_tpu.runtime.speculative import (
+            make_spec_generate_fns,
+            repeat_draft,
+        )
+
+        SPEC_K, SPEC_ITERS = 4, 8
+        sp_greedy = SamplingParams.create(temperature=0.0, forbid_eos=True)
+
+        def wrong_draft(state, kk):
+            return (
+                jnp.broadcast_to((state.pending + 1) % 2048, (kk - 1, 16)),
+                None,
+            )
+
+        for name, draft, pp in (
+            ("spec_floor", wrong_draft, params),
+            ("spec_ceil", repeat_draft, params),
+            ("bf16_spec_ceil", repeat_draft, bf16_params),
+        ):
+            if name.startswith("bf16") and quant != "int8":
+                continue
+            try:
+                sfns = make_spec_generate_fns(
+                    cfg, max_len=frames + 32, k=SPEC_K, num_iters=SPEC_ITERS,
+                    draft_fn=draft,
+                )
+                st, bd, f0, v0 = sfns.prefill(pp, ids, lens, key, sp_greedy)
+                st, fr, vd = sfns.decode(
+                    pp, st, bd.trailing, bd.trailing_len, bd.tts_pad_embed,
+                    sp_greedy,
+                )
+                sync(fr)  # compile
+                st, bd, f0, v0 = sfns.prefill(pp, ids, lens, key, sp_greedy)
+                n_disp = max(2, frames // (SPEC_K * SPEC_ITERS))
+                valids = []
+                t0 = time.perf_counter()
+                for _ in range(n_disp):
+                    st, fr, vd = sfns.decode(
+                        pp, st, bd.trailing, bd.trailing_len,
+                        bd.tts_pad_embed, sp_greedy,
+                    )
+                    valids.append(vd)
+                sync(fr)  # chained: last-dispatch completion implies all
+                wall = time.perf_counter() - t0
+                import numpy as _np
+
+                committed = int(sum(_np.asarray(v).sum() for v in valids))
+                accept = committed / (n_disp * SPEC_ITERS * SPEC_K)
+                ms = wall / max(committed, 1) * 1e3
+                spec_results[name + "_ms_per_frame"] = round(ms, 2)
+                spec_results[name + "_accept"] = round(accept, 2)
+                log(f"{name}: {ms:.2f} ms/frame (accept {accept*100:.0f}%)")
+            except Exception as e:
+                log(f"spec probe {name} failed: {e}")
+
     # diagnostic: host<->device round-trip latency (tunnel overhead)
     fid = jax.jit(lambda x: x + 1.0)
     xs = jnp.ones((8, 128), jnp.float32)
@@ -331,6 +396,7 @@ def main() -> None:
         result["bf16_decode_ms_per_frame"] = round(bf16_frame_ms, 2)
     if long_frame_ms is not None:
         result["longform_decode_ms_per_frame"] = round(long_frame_ms, 2)
+    result.update(spec_results)
     print(json.dumps(result), flush=True)
 
 
