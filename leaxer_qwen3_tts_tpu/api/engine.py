@@ -483,15 +483,30 @@ class TTSEngine:
 
     def _get_spec_fns(self, t_bucket: int, lang_id, has_speaker: bool,
                       max_len: int, i_bucket: int, num_iters: int):
-        from ..runtime.speculative import make_spec_generate_fns
+        from ..runtime.speculative import make_spec_generate_fns, repeat_draft
 
+        use_model_draft = (
+            self.cfg.draft is not None and "draft" in (self.params or {})
+        )
         key = ("spec", t_bucket, lang_id, has_speaker, max_len, i_bucket,
-               self.spec_k, num_iters)
+               self.spec_k, num_iters, use_model_draft)
         if key not in self._fns_cache:
+            if use_model_draft:
+                # trained EAGLE-style draft head (models/draft.py) beats the
+                # zero-cost repeat draft whenever the checkpoint ships one
+                from ..models.draft import model_draft_fn
+
+                draft_fn = model_draft_fn(
+                    self.cfg.draft, self.params["draft"],
+                    self.params["embeddings"],
+                )
+            else:
+                draft_fn = repeat_draft
             self._fns_cache[key] = make_spec_generate_fns(
                 self.cfg, max_len=max_len, k=self.spec_k,
                 num_iters=num_iters, lang_id=lang_id,
                 has_speaker=has_speaker, has_instruct=i_bucket > 0,
+                draft_fn=draft_fn,
             )
         return self._fns_cache[key]
 

@@ -273,6 +273,28 @@ class MelConfig:
 
 
 @dataclass(frozen=True)
+class DraftConfig:
+    """Trained draft head for speculative decoding (models/draft.py).
+
+    Optional: absent from the reference (inference-only, sequential loop);
+    when a checkpoint carries draft params, the engine's spec_k path uses
+    the model draft instead of the zero-cost repeat draft."""
+
+    hidden_size: int = 1024  # talker hidden size it conditions on
+    d_model: int = 512
+    codec_vocab_size: int = 3072
+    subcode_vocab_size: int = 2048
+    num_codebooks: int = 16
+    dtype: str = "bfloat16"
+
+    @property
+    def jnp_dtype(self):
+        import jax.numpy as jnp
+
+        return jnp.dtype(self.dtype)
+
+
+@dataclass(frozen=True)
 class TTSModelConfig:
     """Full model family bundle (one per variant: 0.6B-Base, 1.7B-*, ...)."""
 
@@ -282,6 +304,7 @@ class TTSModelConfig:
     vocoder: VocoderConfig = VocoderConfig()
     speaker_encoder: Optional[SpeakerEncoderConfig] = SpeakerEncoderConfig()
     mel: MelConfig = MelConfig()
+    draft: Optional[DraftConfig] = None
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2)
@@ -305,6 +328,7 @@ class TTSModelConfig:
                     "vocoder",
                     "speaker_encoder",
                     "mel",
+                    "draft",
                 ):
                     sub = {
                         "transformer": TransformerConfig,
@@ -313,6 +337,7 @@ class TTSModelConfig:
                         "vocoder": VocoderConfig,
                         "speaker_encoder": SpeakerEncoderConfig,
                         "mel": MelConfig,
+                        "draft": DraftConfig,
                     }[f.name]
                     kwargs[f.name] = build(sub, v)
                 elif isinstance(v, list):

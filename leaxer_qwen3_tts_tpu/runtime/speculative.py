@@ -70,6 +70,9 @@ class SpecState(NamedTuple):
     valid_mask: jax.Array  # [1, T] bool
     pending: jax.Array  # [1, 16] int32 — last committed frame's codes
     pending_nodrip: jax.Array  # [1, H] — its code0_embed + sub_sum (exact)
+    pending_hidden: jax.Array  # [1, H] — talker hidden that produced it
+    # (the EAGLE-style draft conditions on (hidden, embed); repeat_draft
+    # ignores it)
     rope_pos: jax.Array  # [] int32 — RoPE position of the pending input
     step: jax.Array  # [] int32 — frames committed so far (incl. pending)
     done: jax.Array  # [] bool — EOS latched
@@ -124,6 +127,7 @@ def init_spec_state(
         valid_mask=valid_mask,
         pending=frame,
         pending_nodrip=code0_embed + sub_sum,
+        pending_hidden=last_hidden,
         rope_pos=bundle.prompt_len[0],
         step=jnp.asarray(1, jnp.int32),
         done=is_eos[0],
@@ -256,6 +260,7 @@ def _spec_iteration(
         valid_mask=valid_mask,
         pending=new_pending,
         pending_nodrip=new_nodrip,
+        pending_hidden=lax.dynamic_index_in_dim(hidden[0], last, keepdims=True),
         rope_pos=state.rope_pos + m,
         step=state.step + m,
         done=done,

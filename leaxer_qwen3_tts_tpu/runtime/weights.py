@@ -30,7 +30,7 @@ WEIGHTS_SAFETENSORS = "params.safetensors"
 
 def init_params(cfg: TTSModelConfig, key: jax.Array, with_speaker_encoder: bool = True) -> dict:
     """Random-init full parameter pytree (correct shapes/dtypes for every module)."""
-    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
     params = {
         "talker": init_talker_params(cfg.talker, k1),
         "code_predictor": init_code_predictor_params(cfg.code_predictor, k2),
@@ -39,6 +39,10 @@ def init_params(cfg: TTSModelConfig, key: jax.Array, with_speaker_encoder: bool 
     }
     if with_speaker_encoder and cfg.speaker_encoder is not None:
         params["speaker_encoder"] = init_speaker_encoder_params(cfg.speaker_encoder, k5)
+    if cfg.draft is not None:
+        from ..models.draft import init_draft_params
+
+        params["draft"] = init_draft_params(cfg.draft, k6)
     return params
 
 

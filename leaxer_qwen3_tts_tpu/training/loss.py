@@ -45,25 +45,33 @@ def _cross_entropy(logits: jax.Array, targets: jax.Array) -> jax.Array:
     return logz - gold
 
 
-def tts_loss(
+class TeacherForward(NamedTuple):
+    """Everything the teacher-forced talker pass yields (shared by the main
+    TTS loss and the speculative-draft loss)."""
+
+    pred_hidden: jax.Array  # [B, F, H] — hidden that predicts frame f
+    c0e: jax.Array  # [B, F, H] — codec_embed(code0)
+    sub_e: jax.Array  # [B, F, S, H] — per-step sub-code embeddings
+    sub_sum: jax.Array  # [B, F, H]
+    frame_valid: jax.Array  # [B, F] bool
+
+
+def teacher_forward(
     cfg: TTSModelConfig,
     params: dict,
-    text_ids: jax.Array,  # [B, T] int32 (right-padded)
-    text_len: jax.Array,  # [B] int32
-    codes: jax.Array,  # [B, F, 16] int32 ground-truth codec frames
-    num_frames: jax.Array,  # [B] int32 real frame counts (<= F)
+    text_ids: jax.Array,
+    text_len: jax.Array,
+    codes: jax.Array,  # [B, F, 16]
+    num_frames: jax.Array,
     lang_id: Optional[int] = None,
-    mtp_weight: float = 1.0,
-) -> LossMetrics:
-    talker_cfg = cfg.talker
-    t = talker_cfg.transformer
+) -> TeacherForward:
+    """Teacher-forced talker pass with the generation-time input schedule."""
+    t = cfg.talker.transformer
     emb = params["embeddings"]
     B, F, G = codes.shape
-    S = cfg.code_predictor.num_steps  # 15 sub-codebooks
 
     bundle = build_prompt(emb, text_ids, text_len, lang_id)
     P = bundle.prompt_embeds.shape[1]
-    H = bundle.prompt_embeds.shape[2]
 
     frame_ids = jnp.arange(F, dtype=jnp.int32)
     frame_valid = frame_ids[None, :] < num_frames[:, None]  # [B, F]
@@ -101,6 +109,33 @@ def tts_loss(
 
     # positions P-1+f predict frame f (f in [0, F)); position P-1+n predicts EOS
     pred_hidden = hidden[:, P - 1 : P - 1 + F]  # [B, F, H]
+    return TeacherForward(
+        pred_hidden=pred_hidden, c0e=c0e, sub_e=sub_e, sub_sum=sub_sum,
+        frame_valid=frame_valid,
+    )
+
+
+def tts_loss(
+    cfg: TTSModelConfig,
+    params: dict,
+    text_ids: jax.Array,  # [B, T] int32 (right-padded)
+    text_len: jax.Array,  # [B] int32
+    codes: jax.Array,  # [B, F, 16] int32 ground-truth codec frames
+    num_frames: jax.Array,  # [B] int32 real frame counts (<= F)
+    lang_id: Optional[int] = None,
+    mtp_weight: float = 1.0,
+) -> LossMetrics:
+    B, F, G = codes.shape
+    S = cfg.code_predictor.num_steps  # 15 sub-codebooks
+    H = cfg.talker.transformer.hidden_size
+    code0 = codes[..., 0]
+    subs = codes[..., 1:]
+    frame_ids = jnp.arange(F, dtype=jnp.int32)
+
+    tf = teacher_forward(cfg, params, text_ids, text_len, codes, num_frames, lang_id)
+    pred_hidden, c0e, sub_e = tf.pred_hidden, tf.c0e, tf.sub_e
+    frame_valid = tf.frame_valid
+
     logits0 = jnp.dot(
         pred_hidden, params["talker"]["lm_head"], preferred_element_type=jnp.float32
     )  # [B, F, Vc]
