@@ -750,7 +750,10 @@ class TTSEngine:
         sp = SamplingParams.create(temperature, top_k, top_p)
         key = jax.random.PRNGKey(seed)
 
-        if self.spec_k is not None and B == 1 and self.mesh is None:
+        if self.spec_k is not None and B == 1:
+            # works sharded too: the S=K verify pass is a plain
+            # transformer_forward, so the TP rules/GSPMD collectives apply
+            # unchanged (tested on the 8-virtual-CPU mesh)
             yield from self._spec_stream(
                 timer, ids_padded, lens, speaker, instr_arr, instr_len,
                 t_bucket, lang_id, has_speaker, i_bucket, P, max_tokens,

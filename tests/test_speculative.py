@@ -170,6 +170,30 @@ def test_engine_spec_respects_max_tokens(tiny_model, tiny_vocab_files):
     assert res.audio.size == len(res.codes) * 2000  # tiny spf
 
 
+def test_engine_spec_under_mesh_matches(tiny_model, tiny_vocab_files):
+    """spec_k + TP×DP mesh: the sharded verify pass (GSPMD over the TP
+    rules) produces the same greedy codes as the unsharded spec engine."""
+    from leaxer_qwen3_tts_tpu.api.engine import TTSEngine
+    from leaxer_qwen3_tts_tpu.frontend import Tokenizer
+    from leaxer_qwen3_tts_tpu.parallel import make_mesh
+
+    cfg, params = tiny_model
+    vocab_path, merges_path, _ = tiny_vocab_files
+    tok = Tokenizer(vocab_path, merges_path)
+    kw = dict(config=cfg, params=params, tokenizer=tok, max_frames=8,
+              chunk_len=4, spec_k=3, spec_iters=2)
+
+    plain = TTSEngine(**kw)
+    a = plain.synthesize("hello world", temperature=0.0, seed=5)
+
+    mesh = make_mesh(2, 4)
+    with jax.set_mesh(mesh):
+        sharded = TTSEngine(**kw, mesh=mesh)
+        assert sharded.is_ready(), sharded.get_error()
+        b = sharded.synthesize("hello world", temperature=0.0, seed=5)
+    np.testing.assert_array_equal(np.asarray(b.codes), np.asarray(a.codes))
+
+
 def test_spec_sampling_valid_and_deterministic(tiny_model):
     """temperature > 0: same seed -> same committed trajectory (spec decode
     is deterministic given the seed); codes lie in the codec range."""
