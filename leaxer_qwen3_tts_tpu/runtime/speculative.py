@@ -211,13 +211,14 @@ def _spec_iteration(
     )  # hidden [1, k, H]
     logits_all = dense(hidden, params["talker"]["lm_head"])  # [1, k, V]
 
-    # --- exact candidate code0 per slot (each with its own chain key) ----
-    cand0 = []
-    for i in range(k):
-        li = logits_all[:, i] + suppress[None, :]
-        li = li.at[:, CODEC_EOS].add(jnp.where(sp.forbid_eos, -1e30, 0.0))
-        cand0.append(sample_token(keys_code0[i], li, sp))  # [1]
-    cand0 = jnp.concatenate(cand0, axis=0)  # [k]
+    # --- exact candidate code0 per slot (each with its own chain key) -----
+    # one vmapped call: per-row keys keep the sequential loop's exact draws
+    # while the top-k/top-p sort runs ONCE batched [k, V] instead of k times
+    li_all = logits_all[0] + suppress[None, :]  # [k, V]
+    li_all = li_all.at[:, CODEC_EOS].add(jnp.where(sp.forbid_eos, -1e30, 0.0))
+    cand0 = jax.vmap(
+        lambda kk, lg: sample_token(kk, lg[None], sp)[0]
+    )(jnp.stack(keys_code0), li_all)  # [k]
 
     # --- ONE MTP chain batched over all K candidates (trunk read once) ---
     c0e = codec_embed(emb, cand0)  # [k, H]
