@@ -564,6 +564,7 @@ class TTSEngine:
             committed.append(np.asarray(frame0)[0])
         done = bool(np.asarray(state.done))
         slots = 1  # inputs consumed so far == state.step mirror
+        n_iterations = 0  # verify iterations run (acceptance accounting)
 
         emitted = 0  # frames already vocoded + yielded
         tail: Optional[np.ndarray] = None  # [1, ctx, 16] vocoder context
@@ -627,6 +628,7 @@ class TTSEngine:
             committed.extend(frames_np[valid_np])
             done = bool(np.asarray(state.done))
             slots = int(np.asarray(state.step))
+            n_iterations += iters
 
         # final partial window
         if emitted < min(len(committed), max_tokens):
@@ -649,6 +651,10 @@ class TTSEngine:
         metrics = timer.finish()
         metrics.frames = emitted
         metrics.audio_seconds = emitted * spf / SAMPLE_RATE
+        metrics.spec_iterations = n_iterations
+        # each iteration commits 1 + accepted-drafts slots (slots counts the
+        # bootstrap frame too)
+        metrics.spec_accepted = max(0, (slots - 1) - n_iterations)
         yield SynthesisResult(audio=full_audio, codes=codes, metrics=metrics)
 
     def _synthesize_stream(

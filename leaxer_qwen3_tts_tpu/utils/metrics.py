@@ -20,6 +20,10 @@ class SynthesisMetrics:
     frames: int = 0
     ttfa_seconds: Optional[float] = None  # time to first audio chunk
     total_seconds: float = 0.0
+    # speculative decoding (engine spec_k path): verify iterations run and
+    # draft slots accepted — acceptance = spec_accepted / (iterations * (k-1))
+    spec_iterations: int = 0
+    spec_accepted: int = 0
 
     @property
     def rtf(self) -> float:

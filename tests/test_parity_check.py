@@ -109,3 +109,18 @@ def test_quality_report_runs(model_dir, capsys):
     assert 0.0 <= report["code_agreement"] <= 1.0
     assert -1.0 <= report["prefill_logit_corr"] <= 1.0
     assert report["frames_compared"] >= 1
+
+
+def test_spec_report_runs(model_dir, capsys):
+    """Speculative-acceptance report runs end-to-end: greedy parity holds
+    and the acceptance accounting is self-consistent."""
+    from tools.spec_report import main
+
+    rc = main(["--model", model_dir, "--max-frames", "6", "--k", "3"])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["greedy_parity_vs_sequential"] is True
+    assert 0.0 <= report["acceptance"] <= 1.0
+    assert 1.0 <= report["commits_per_iteration"] <= report["k"]
+    assert report["draft"] == "repeat"
+    assert report["frames"] >= 1
