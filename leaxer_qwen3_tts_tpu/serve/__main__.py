@@ -24,6 +24,11 @@ def main(argv=None) -> int:
     p.add_argument("--max-streams", type=int, default=4,
                    help="concurrent /synthesize_stream decodes")
     p.add_argument("--quantize", choices=["int8", "int4"])
+    p.add_argument(
+        "--spec-k", type=int, choices=range(2, 9), metavar="K",
+        help="speculative decoding for the B=1 paths "
+             "(/synthesize_stream and single-request batches)",
+    )
     args = p.parse_args(argv)
 
     from ..api.engine import TTSEngine
@@ -31,7 +36,8 @@ def main(argv=None) -> int:
     from .server import BatchingServer, make_http_server
 
     engine = TTSEngine(
-        args.model, max_frames=args.max_tokens, quantize=args.quantize
+        args.model, max_frames=args.max_tokens, quantize=args.quantize,
+        spec_k=args.spec_k,
     )
     if not engine.is_ready():
         print(f"Error: {engine.get_error()}", file=sys.stderr)

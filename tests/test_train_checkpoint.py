@@ -59,3 +59,45 @@ def test_latest_step_dir(tmp_path):
         (base / f"step_{n}").mkdir(parents=True)
     (base / "not_a_step").mkdir()
     assert latest_step_dir(str(base)).endswith("step_10")
+
+
+def test_restore_onto_different_mesh_topology(tiny_model, tmp_path):
+    """A sharded train state saved on a (2,4) mesh restores onto (4,2) and
+    (8,1) meshes: orbax re-shards on load, and a continued step matches the
+    original trajectory."""
+    import jax
+
+    from leaxer_qwen3_tts_tpu.parallel import make_mesh
+    from leaxer_qwen3_tts_tpu.training import batch_sharding, shard_train_state
+
+    cfg, params = tiny_model
+    tx = make_optimizer(learning_rate=1e-3)
+    step = make_train_step(cfg, tx, donate=False)
+    rng = np.random.default_rng(1)
+    batch = make_batch(rng, B=8)  # divisible by every data-axis size tried
+
+    mesh_a = make_mesh(2, 4)
+    with jax.set_mesh(mesh_a):
+        state = shard_train_state(mesh_a, init_train_state(params, tx), tx)
+        b_a = jax.device_put(batch, batch_sharding(mesh_a))
+        state, _ = step(state, b_a)
+        ckpt = str(tmp_path / "xt" / "step_1")
+        save_train_state(ckpt, state)
+        ref, m_ref = step(state, b_a)
+        ref_lm = np.asarray(jax.device_get(ref.params["talker"]["lm_head"]))
+
+    for shape in ((4, 2), (8, 1)):
+        mesh_b = make_mesh(*shape)
+        with jax.set_mesh(mesh_b):
+            target = shard_train_state(mesh_b, init_train_state(params, tx), tx)
+            restored = restore_train_state(ckpt, target)
+            assert int(restored.step) == 1
+            b_b = jax.device_put(batch, batch_sharding(mesh_b))
+            resumed, m_res = step(restored, b_b)
+        np.testing.assert_allclose(
+            float(m_res.loss), float(m_ref.loss), rtol=1e-5, err_msg=str(shape)
+        )
+        np.testing.assert_allclose(
+            np.asarray(jax.device_get(resumed.params["talker"]["lm_head"])),
+            ref_lm, rtol=1e-5, atol=1e-6, err_msg=str(shape),
+        )
