@@ -319,7 +319,9 @@ def main() -> None:
 
         def wrong_draft(state, kk):
             return (
-                jnp.broadcast_to((state.pending + 1) % 2048, (kk - 1, 16)),
+                jnp.broadcast_to(
+                    (state.pending[:, None, :] + 1) % 2048, (1, kk - 1, 16)
+                ),
                 None,
             )
 
@@ -363,6 +365,60 @@ def main() -> None:
                 log(f"{name}: {ms:.2f} ms/frame (accept {accept*100:.0f}%)")
             except Exception as e:
                 log(f"spec probe {name} failed: {e}")
+
+    # --- batched speculative serving probe (B=8): one S=K verify pass covers
+    # B*K frame slots with per-stream acceptance — the serving multiplier
+    if batch == 1 and os.environ.get("BENCH_SKIP_SPEC") != "1":
+        from leaxer_qwen3_tts_tpu.runtime.speculative import (
+            make_spec_generate_fns as _msgf,
+            repeat_draft as _rd,
+        )
+
+        Bs = 8
+        for name, draft in (("serving_spec_ceil", _rd),
+                            ("serving_spec_floor", None)):
+            if draft is None:
+                def draft(state, kk):
+                    return (
+                        jnp.broadcast_to(
+                            (state.pending[:, None, :] + 1) % 2048,
+                            (Bs, kk - 1, 16),
+                        ),
+                        None,
+                    )
+            try:
+                sfns = _msgf(cfg, max_len=frames + 32, k=4, num_iters=8,
+                             batch=Bs, draft_fn=draft)
+                idsb = jnp.full((Bs, T), 100, jnp.int32)
+                lensb = jnp.full((Bs,), T, jnp.int32)
+                spg = SamplingParams.create(temperature=0.0, forbid_eos=True)
+                st, bd, f0, v0 = sfns.prefill(params, idsb, lensb, key, spg)
+                st, fr, vd = sfns.decode(
+                    params, st, bd.trailing, bd.trailing_len,
+                    bd.tts_pad_embed, spg,
+                )
+                sync(fr)  # compile
+                st, bd, f0, v0 = sfns.prefill(params, idsb, lensb, key, spg)
+                n_disp = max(2, frames // (4 * 8))
+                valids = []
+                t0 = time.perf_counter()
+                for _ in range(n_disp):
+                    st, fr, vd = sfns.decode(
+                        params, st, bd.trailing, bd.trailing_len,
+                        bd.tts_pad_embed, spg,
+                    )
+                    valids.append(vd)
+                sync(fr)
+                wall = time.perf_counter() - t0
+                import numpy as _np
+
+                committed = int(sum(_np.asarray(v).sum() for v in valids))
+                agg_rtf = (committed / FRAME_RATE) / wall
+                spec_results[name + "_rtf"] = round(agg_rtf, 1)
+                log(f"{name} (B={Bs}): {agg_rtf:.1f}x aggregate RTF "
+                    f"({committed} frames in {wall*1e3:.0f} ms)")
+            except Exception as e:
+                log(f"{name} probe failed: {e}")
 
     # diagnostic: host<->device round-trip latency (tunnel overhead)
     fid = jax.jit(lambda x: x + 1.0)

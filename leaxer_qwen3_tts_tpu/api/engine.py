@@ -562,7 +562,7 @@ class TTSEngine:
         committed: List[np.ndarray] = []  # [16] rows, valid frames in order
         if bool(np.asarray(valid0)[0]):
             committed.append(np.asarray(frame0)[0])
-        done = bool(np.asarray(state.done))
+        done = bool(np.asarray(state.done).all())
         slots = 1  # inputs consumed so far == state.step mirror
         n_iterations = 0  # verify iterations run (acceptance accounting)
 
@@ -623,11 +623,11 @@ class TTSEngine:
                     self.params, state, bundle.trailing, bundle.trailing_len,
                     bundle.tts_pad_embed, sp,
                 )
-                frames_np = np.asarray(frames)  # [iters*k, 16]
-            valid_np = np.asarray(valid)
+                frames_np = np.asarray(frames)[0]  # [iters*k, 16]
+            valid_np = np.asarray(valid)[0]
             committed.extend(frames_np[valid_np])
-            done = bool(np.asarray(state.done))
-            slots = int(np.asarray(state.step))
+            done = bool(np.asarray(state.done).all())
+            slots = int(np.asarray(state.step)[0])
             n_iterations += iters
 
         # final partial window
@@ -656,6 +656,130 @@ class TTSEngine:
         # bootstrap frame too)
         metrics.spec_accepted = max(0, (slots - 1) - n_iterations)
         yield SynthesisResult(audio=full_audio, codes=codes, metrics=metrics)
+
+    def _spec_stream_batched(
+        self, timer, B, ids_padded, lens, speaker, instr_arr, instr_len,
+        t_bucket, lang_id, has_speaker, i_bucket, P, max_tokens, sp, key,
+    ):
+        """Batched speculative decode (B > 1): one S=K verify pass covers
+        B*K frame slots with PER-STREAM acceptance/rewinds.  Streams commit
+        at independent rates, so frames compact per stream on the host and
+        the vocoder runs once at the end on the padded batch (no
+        intermediate audio yields — synthesize_batch consumes only the final
+        result; the <150 ms TTFA path is the B=1 stream)."""
+        voc_cfg = self.cfg.vocoder
+        spf = voc_cfg.samples_per_frame
+        top = self.kv_ladder[-1]
+        iters = min(self.spec_iters, max(1, -(-max_tokens // self.spec_k)))
+        while self.spec_k * iters > top - P - 1 and iters > 1:
+            iters -= 1
+        spec_chunk = self.spec_k * iters
+        budget = top - P - spec_chunk
+        if budget < 1:
+            raise EngineError(
+                f"prompt ({P} positions) too long for the KV cache "
+                f"(top bucket {top}, spec chunk {spec_chunk})"
+            )
+        max_tokens = min(max_tokens, budget)
+        bidx = next(
+            (i for i, b in enumerate(self.kv_ladder) if b >= P + spec_chunk + 1),
+            len(self.kv_ladder) - 1,
+        )
+
+        def get_fns(bucket):
+            from ..runtime.speculative import make_spec_generate_fns
+
+            key_ = ("specb", B, t_bucket, lang_id, has_speaker, bucket,
+                    i_bucket, self.spec_k, iters)
+            if key_ not in self._fns_cache:
+                self._fns_cache[key_] = make_spec_generate_fns(
+                    self.cfg, max_len=bucket, k=self.spec_k, num_iters=iters,
+                    batch=B, lang_id=lang_id, has_speaker=has_speaker,
+                    has_instruct=i_bucket > 0,
+                )
+            return self._fns_cache[key_]
+
+        fns = get_fns(self.kv_ladder[bidx])
+        with timer.stage("prefill"):
+            state, bundle, frame0, valid0 = fns.prefill(
+                self.params, ids_padded, lens, key, sp,
+                jnp.asarray(speaker) if speaker is not None else None,
+                jnp.asarray(instr_arr) if instr_arr is not None else None,
+                jnp.asarray(instr_len) if instr_len is not None else None,
+            )
+            jax.block_until_ready(frame0)
+
+        buffers = [[] for _ in range(B)]
+        f0, v0 = np.asarray(frame0), np.asarray(valid0)
+        for b in range(B):
+            if v0[b]:
+                buffers[b].append(f0[b])
+        done = np.asarray(state.done).copy()
+        steps = np.ones((B,), np.int64)
+        n_iterations = 0
+        while True:
+            if bool(done.all()):
+                break
+            if all(len(buf) >= max_tokens for buf in buffers):
+                break
+            slots = int(steps.max())
+            while (
+                P + slots - 1 + spec_chunk + 1 > self.kv_ladder[bidx]
+                and bidx + 1 < len(self.kv_ladder)
+            ):
+                bidx += 1
+                state = self._grow_state(state, self.kv_ladder[bidx])
+                fns = get_fns(self.kv_ladder[bidx])
+            if P + slots - 1 + spec_chunk + 1 > self.kv_ladder[bidx]:
+                break
+            with timer.stage("decode"):
+                state, frames, valid = fns.decode(
+                    self.params, state, bundle.trailing, bundle.trailing_len,
+                    bundle.tts_pad_embed, sp,
+                )
+                frames_np = np.asarray(frames)  # [B, iters*k, 16]
+            valid_np = np.asarray(valid)
+            for b in range(B):
+                buffers[b].extend(frames_np[b][valid_np[b]])
+            done = np.asarray(state.done).copy()
+            steps = np.asarray(state.step).astype(np.int64)
+            n_iterations += iters
+
+        n_valid = np.array(
+            [min(len(buf), max_tokens) for buf in buffers], np.int64
+        )
+        F_max = max(int(n_valid.max()), 1)
+        F_pad = -(-F_max // self.chunk_len) * self.chunk_len  # bound compiles
+        codes_arr = np.zeros((B, F_pad, 16), np.int32)
+        for b in range(B):
+            if n_valid[b]:
+                codes_arr[b, : n_valid[b]] = np.stack(
+                    buffers[b][: n_valid[b]], axis=0
+                )
+        with timer.stage("vocode"):
+            vf = self._get_vocode_fn(F_pad, 0)
+            audio = np.asarray(
+                vf(self.params["vocoder"], jnp.asarray(codes_arr)), np.float32
+            )
+        timer.mark_first_audio()
+        metrics = timer.finish()
+        per_stream = []
+        for b in range(B):
+            m = SynthesisMetrics(
+                stage_seconds=dict(metrics.stage_seconds),
+                audio_seconds=float(n_valid[b]) * spf / SAMPLE_RATE,
+                frames=int(n_valid[b]),
+                ttfa_seconds=metrics.ttfa_seconds,
+                total_seconds=metrics.total_seconds,
+                spec_iterations=n_iterations,
+                spec_accepted=max(0, int(steps[b]) - 1 - n_iterations),
+            )
+            per_stream.append(m)
+        yield SynthesisResult(
+            audio=[audio[b, : int(n_valid[b]) * spf] for b in range(B)],
+            codes=[codes_arr[b, : n_valid[b]] for b in range(B)],
+            metrics=per_stream,
+        )
 
     def _synthesize_stream(
         self, texts, language, speaker, temperature, top_k, top_p, max_tokens, seed,
@@ -756,15 +880,22 @@ class TTSEngine:
         sp = SamplingParams.create(temperature, top_k, top_p)
         key = jax.random.PRNGKey(seed)
 
-        if self.spec_k is not None and B == 1:
+        if self.spec_k is not None:
             # works sharded too: the S=K verify pass is a plain
             # transformer_forward, so the TP rules/GSPMD collectives apply
             # unchanged (tested on the 8-virtual-CPU mesh)
-            yield from self._spec_stream(
-                timer, ids_padded, lens, speaker, instr_arr, instr_len,
-                t_bucket, lang_id, has_speaker, i_bucket, P, max_tokens,
-                sp, key,
-            )
+            if B == 1:
+                yield from self._spec_stream(
+                    timer, ids_padded, lens, speaker, instr_arr, instr_len,
+                    t_bucket, lang_id, has_speaker, i_bucket, P, max_tokens,
+                    sp, key,
+                )
+            else:
+                yield from self._spec_stream_batched(
+                    timer, B, ids_padded, lens, speaker, instr_arr,
+                    instr_len, t_bucket, lang_id, has_speaker, i_bucket, P,
+                    max_tokens, sp, key,
+                )
             return
 
         fns = self._get_fns(

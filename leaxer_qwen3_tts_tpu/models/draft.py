@@ -149,7 +149,7 @@ def model_draft_fn(cfg: DraftConfig, params: dict, embeddings: dict):
         codes = draft_predict(
             cfg, params, embeddings, state.pending_hidden,
             state.pending_nodrip, k - 1,
-        )  # [1, k-1, 16]
-        return codes[0], None
+        )  # [B, k-1, 16]
+        return codes, None
 
     return draft_fn

@@ -9,6 +9,11 @@ weight bytes amortize over every accepted frame (arXiv 2410.21951 /
 (/root/reference/src/tts_onnx.cpp:801-846) has no analog — its inner loop is
 strictly one-frame-at-a-time).
 
+Batched (B > 1) serving multiplies the effect: one verify pass covers
+B x K frame slots, with PER-STREAM acceptance, rewinds, and EOS latching
+(streams commit different counts each iteration; cache fill levels diverge
+and the per-sequence-length machinery in models/layers.py handles it).
+
 EXACTNESS.  Unlike classic speculative sampling, the committed codes are
 ALWAYS produced by the exact model: the draft only chooses which inputs get
 prefetched into the verify pass.  A talker input embed is a pure function of
@@ -16,27 +21,26 @@ the frame's 16 codes (codec_embed(code0) + sum_j table_j[subcode_j] — see
 models/code_predictor.py), so when the draft's codes match the exact codes,
 the verify pass's hidden states ARE the sequential hidden states, and the
 next candidate is valid.  Greedy (temperature=0) output is therefore
-bit-identical to the sequential loop (the per-frame PRNG-split chain is
-replicated, and committed embeds reuse the exact predict_subcodes sums).
-With temperature > 0 the committed trajectory is a sample from the SAME
-per-frame conditional distributions; the MTP sub-code key stream differs
-from the sequential loop's (predict_subcodes shares one key across the
-batched frames), so sampled trajectories are distribution-equal rather than
-bit-equal.
+bit-identical to the sequential loop at any acceptance rate.  With
+temperature > 0 the committed trajectory samples the SAME per-frame
+conditional distributions; the PRNG stream matches the sequential loop for
+code0 at B=1 (per-frame chain keys), while the MTP sub-code stream (and, at
+B>1, the per-stream frame-index/key alignment) differs — distribution-equal,
+not bit-equal.
 
-One iteration (batch 1, K inputs):
+One iteration (K inputs per stream):
 
   inputs   = [embed(pending)] + [embed(draft_1) ... embed(draft_{K-1})]
   verify   = talker forward S=K              (weights read ONCE)
   cand[i]  = sample(logits[i]), MTP(hidden[i], cand0[i])   for i = 0..K-1
-             (MTP batched over all K candidates: trunk read ONCE)
-  n        = longest prefix with cand[i] == draft_{i+1}
-  commit   = cand[0..n]                      (n matched drafts + 1 bonus)
+             (MTP batched over all B*K candidates: trunk read ONCE)
+  n_b      = longest prefix with cand[i] == draft_{i+1}   (per stream)
+  commit   = cand[0..n_b]                    (n_b matched drafts + 1 bonus)
 
-Worst case commits 1 frame for ~1 sequential frame's bytes; best case
+Worst case commits 1 frame/stream for ~1 sequential frame's bytes; best case
 commits K.  The shipped draft is "repeat" (draft_j = pending frame): free,
-and accepts on sustained/silent stretches.  `draft_fn` is pluggable for a
-trained draft model.
+and accepts on sustained/silent stretches.  `draft_fn` is pluggable — see
+models/draft.py for the trained EAGLE-style head.
 """
 
 from __future__ import annotations
@@ -58,33 +62,26 @@ from .sampling import SamplingParams, make_codec_suppress_mask, sample_token
 
 
 class SpecState(NamedTuple):
-    """Loop state for speculative decode (batch 1).
+    """Loop state for speculative decode (B streams).
 
-    The invariant between iterations: `pending` is the last committed frame,
-    whose talker input embed (pending_nodrip + its text drip) has NOT been
-    consumed yet; the KV cache holds exactly the prompt plus the inputs of
-    all earlier committed frames (cache.length is the next write slot).
+    The invariant between iterations: `pending[b]` is stream b's last
+    committed frame, whose talker input embed (pending_nodrip + its text
+    drip) has NOT been consumed yet; the KV cache holds exactly the prompt
+    plus the inputs of all earlier committed frames (cache.length[b] is the
+    stream's next write slot — fills diverge as streams accept differently).
     """
 
     cache: KVCache
-    valid_mask: jax.Array  # [1, T] bool
-    pending: jax.Array  # [1, 16] int32 — last committed frame's codes
-    pending_nodrip: jax.Array  # [1, H] — its code0_embed + sub_sum (exact)
-    pending_hidden: jax.Array  # [1, H] — talker hidden that produced it
+    valid_mask: jax.Array  # [B, T] bool
+    pending: jax.Array  # [B, 16] int32 — last committed frame's codes
+    pending_nodrip: jax.Array  # [B, H] — its code0_embed + sub_sum (exact)
+    pending_hidden: jax.Array  # [B, H] — talker hidden that produced it
     # (the EAGLE-style draft conditions on (hidden, embed); repeat_draft
     # ignores it)
-    rope_pos: jax.Array  # [] int32 — RoPE position of the pending input
-    step: jax.Array  # [] int32 — frames committed so far (incl. pending)
-    done: jax.Array  # [] bool — EOS latched
+    rope_pos: jax.Array  # [B] int32 — RoPE position of the pending input
+    step: jax.Array  # [B] int32 — frames committed so far (incl. pending)
+    done: jax.Array  # [B] bool — EOS latched
     key: jax.Array
-
-
-def _drip_at(trailing, trailing_len, tts_pad_embed, idx):
-    """Text-drip embed for absolute frame index `idx` (mirrors generate.py)."""
-    T = trailing.shape[1]
-    d = trailing[0, jnp.minimum(idx, T - 1)]  # [H]
-    use_text = idx < trailing_len[0]
-    return jnp.where(use_text, d, tts_pad_embed.astype(d.dtype))
 
 
 def init_spec_state(
@@ -98,7 +95,7 @@ def init_spec_state(
     """Prefill + the first frame (code0 from prefill logits + its MTP run,
     exactly the non-talker half of generate._frame_step).
 
-    Returns (state, frame0 [1, 16], valid0 [1]).
+    Returns (state, frame0 [B, 16], valid0 [B]).
     """
     from ..models.talker import talker_prefill
 
@@ -108,10 +105,11 @@ def init_spec_state(
         cfg.talker, params["talker"], bundle.prompt_embeds, bundle.prompt_len,
         cache,
     )
+    B = bundle.prompt_embeds.shape[0]
     key, k_code0, k_pred = jax.random.split(key, 3)
     logits = last_logits + suppress[None, :]
     logits = logits.at[:, CODEC_EOS].add(jnp.where(sp.forbid_eos, -1e30, 0.0))
-    code0 = sample_token(k_code0, logits, sp)  # [1]
+    code0 = sample_token(k_code0, logits, sp)  # [B]
     is_eos = code0 == CODEC_EOS
 
     code0_embed = codec_embed(emb, code0)
@@ -120,7 +118,7 @@ def init_spec_state(
         cfg.code_predictor, params["code_predictor"], emb["pred_embed"],
         last_hidden, code0_embed, k_pred, sample_fn,
     )
-    frame = jnp.concatenate([code0[:, None], subcodes], axis=1)  # [1, 16]
+    frame = jnp.concatenate([code0[:, None], subcodes], axis=1)  # [B, 16]
     valid = ~is_eos
     state = SpecState(
         cache=cache,
@@ -128,9 +126,9 @@ def init_spec_state(
         pending=frame,
         pending_nodrip=code0_embed + sub_sum,
         pending_hidden=last_hidden,
-        rope_pos=bundle.prompt_len[0],
-        step=jnp.asarray(1, jnp.int32),
-        done=is_eos[0],
+        rope_pos=bundle.prompt_len,
+        step=jnp.ones((B,), jnp.int32),
+        done=is_eos,
         key=key,
     )
     return state, jnp.where(valid[:, None], frame, 0), valid
@@ -141,15 +139,14 @@ def repeat_draft(
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """The zero-cost draft: every drafted frame repeats the pending frame.
 
-    Returns (codes [k-1, 16], nodrip [k-1, H]): reusing the pending frame's
-    exact embed sum keeps accepted verify inputs BIT-identical to the
-    sequential loop's (a recompute could differ in reduction order from the
-    fused MTP's sum and flip knife-edge greedy ties)."""
+    Returns (codes [B, k-1, 16], nodrip [B, k-1, H]): reusing the pending
+    frame's exact embed sum keeps accepted verify inputs BIT-identical to
+    the sequential loop's (a recompute could differ in reduction order from
+    the fused MTP's sum and flip knife-edge greedy ties)."""
+    B, H = state.pending_nodrip.shape
     return (
-        jnp.broadcast_to(state.pending, (k - 1, 16)),
-        jnp.broadcast_to(
-            state.pending_nodrip, (k - 1, state.pending_nodrip.shape[-1])
-        ),
+        jnp.broadcast_to(state.pending[:, None, :], (B, k - 1, 16)),
+        jnp.broadcast_to(state.pending_nodrip[:, None, :], (B, k - 1, H)),
     )
 
 
@@ -164,14 +161,15 @@ def _spec_iteration(
     k: int,
     draft_fn: Callable[[SpecState, int], jax.Array],
     state: SpecState,
+    uniform_fill: bool,
 ) -> Tuple[SpecState, Tuple[jax.Array, jax.Array]]:
-    """One verify iteration.  Returns (state', (frames [k, 16], valid [k]))
-    where entries [m:] (uncommitted candidates) are zeroed/invalid."""
+    """One verify iteration.  Returns (state', (frames [B, k, 16],
+    valid [B, k])) where uncommitted candidate slots are zeroed/invalid."""
     emb = params["embeddings"]
     t = cfg.talker.transformer
-    H = t.hidden_size
+    B = state.pending.shape[0]
 
-    # --- the per-frame PRNG chain, pre-split k frames ahead --------------
+    # --- the per-frame PRNG chain, pre-split k frames ahead ---------------
     keys_code0, keys_pred, keys_after = [], [], []
     key = state.key
     for _ in range(k):
@@ -181,77 +179,91 @@ def _spec_iteration(
         keys_after.append(key)
     keys_after = jnp.stack(keys_after)  # [k, 2]
 
-    # --- build the K talker inputs ---------------------------------------
-    drafts, d_nodrip = draft_fn(state, k)  # [k-1, 16], [k-1, H] or None
+    # --- build the K talker inputs per stream -----------------------------
+    drafts, d_nodrip = draft_fn(state, k)  # [B, k-1, 16], [B, k-1, H]|None
     if d_nodrip is None:
         # model-based drafts: reconstruct the embed sum from the codes with
         # the same gather + reduction shape predict_subcodes uses (sum of
         # the first 14 step-embeds + the last)
-        d_code0_embed = codec_embed(emb, drafts[:, 0])  # [k-1, H]
+        d_code0_embed = codec_embed(emb, drafts[..., 0])  # [B, k-1, H]
         tables = emb["pred_embed"]  # [15, Vs, H]
         d_embs = jax.vmap(
-            lambda tab, c: jnp.take(tab, c, axis=0), in_axes=(0, 1)
-        )(tables, drafts[:, 1:])  # [15, k-1, H]
-        d_sub_sum = jnp.sum(d_embs[:-1], axis=0) + d_embs[-1]
-        d_nodrip = d_code0_embed + d_sub_sum  # [k-1, H]
-    nodrip = jnp.concatenate([state.pending_nodrip, d_nodrip], axis=0)  # [k, H]
+            lambda tab, c: jnp.take(tab, c, axis=0), in_axes=(0, 2), out_axes=2
+        )(tables, drafts[..., 1:])  # [B, k-1, 15, H]
+        d_sub_sum = jnp.sum(d_embs[..., :-1, :], axis=-2) + d_embs[..., -1, :]
+        d_nodrip = d_code0_embed + d_sub_sum  # [B, k-1, H]
+    nodrip = jnp.concatenate(
+        [state.pending_nodrip[:, None, :], d_nodrip], axis=1
+    )  # [B, k, H]
 
-    base_idx = state.step - 1  # pending frame's index
-    drip_idx = base_idx + jnp.arange(k, dtype=jnp.int32)  # [k]
-    drips = jax.vmap(
-        lambda i: _drip_at(trailing, trailing_len, tts_pad_embed, i)
-    )(drip_idx)  # [k, H]
-    inputs = (nodrip + drips).astype(t.jnp_dtype)[None]  # [1, k, H]
+    # text drip at each stream's own frame indices (mirrors generate.py)
+    Ttr = trailing.shape[1]
+    drip_idx = (state.step - 1)[:, None] + jnp.arange(k, dtype=jnp.int32)  # [B, k]
+    drip = jnp.take_along_axis(
+        trailing, jnp.minimum(drip_idx, Ttr - 1)[..., None], axis=1
+    )  # [B, k, H]
+    use_text = drip_idx < trailing_len[:, None]
+    drip = jnp.where(
+        use_text[..., None], drip, tts_pad_embed[None, None, :].astype(drip.dtype)
+    )
+    inputs = (nodrip + drip).astype(t.jnp_dtype)  # [B, k, H]
 
-    # --- ONE talker pass over all K inputs (weights read once) -----------
-    positions = (state.rope_pos + jnp.arange(k, dtype=jnp.int32))[None]  # [1, k]
+    # --- ONE talker pass over all B*K inputs (weights read once) ----------
+    positions = state.rope_pos[:, None] + jnp.arange(k, dtype=jnp.int32)[None]
     hidden, cache, valid_mask = transformer_forward(
         t, params["talker"]["transformer"], inputs, positions,
-        state.cache, state.valid_mask,
-    )  # hidden [1, k, H]
-    logits_all = dense(hidden, params["talker"]["lm_head"])  # [1, k, V]
+        state.cache, state.valid_mask, uniform_fill=uniform_fill,
+    )  # hidden [B, k, H]
+    logits_all = dense(hidden, params["talker"]["lm_head"])  # [B, k, V]
 
-    # --- exact candidate code0 per slot (each with its own chain key) -----
-    # one vmapped call: per-row keys keep the sequential loop's exact draws
-    # while the top-k/top-p sort runs ONCE batched [k, V] instead of k times
-    li_all = logits_all[0] + suppress[None, :]  # [k, V]
-    li_all = li_all.at[:, CODEC_EOS].add(jnp.where(sp.forbid_eos, -1e30, 0.0))
+    # --- exact candidate code0 per slot (chain key j shared across streams,
+    # exactly like the sequential batched loop's per-frame keys) -----------
+    li_all = logits_all + suppress[None, None, :]  # [B, k, V]
+    li_all = li_all.at[..., CODEC_EOS].add(jnp.where(sp.forbid_eos, -1e30, 0.0))
     cand0 = jax.vmap(
-        lambda kk, lg: sample_token(kk, lg[None], sp)[0]
-    )(jnp.stack(keys_code0), li_all)  # [k]
+        lambda kk, lg: sample_token(kk, lg, sp), in_axes=(0, 1), out_axes=1
+    )(jnp.stack(keys_code0), li_all)  # [B, k]
 
-    # --- ONE MTP chain batched over all K candidates (trunk read once) ---
-    c0e = codec_embed(emb, cand0)  # [k, H]
+    # --- ONE MTP chain batched over all B*K candidates (trunk read once) --
+    c0e = codec_embed(emb, cand0)  # [B, k, H]
     sample_fn = lambda kk, lg: sample_token(kk, lg, sp)
+    H = c0e.shape[-1]
     subcodes, sub_sums = predict_subcodes(
         cfg.code_predictor, params["code_predictor"], emb["pred_embed"],
-        hidden[0], c0e, keys_pred[0], sample_fn,
-    )  # [k, 15], [k, H]
-    cand = jnp.concatenate([cand0[:, None], subcodes], axis=1)  # [k, 16]
+        hidden.reshape(B * k, H), c0e.reshape(B * k, H), keys_pred[0],
+        sample_fn,
+    )
+    subcodes = subcodes.reshape(B, k, 15)
+    sub_sums = sub_sums.reshape(B, k, H)
+    cand = jnp.concatenate([cand0[..., None], subcodes], axis=-1)  # [B, k, 16]
 
-    # --- acceptance: longest prefix where cand[i] == draft input i+1 -----
-    match = jnp.all(cand[: k - 1] == drafts, axis=1)  # [k-1]
-    n_match = jnp.sum(jnp.cumprod(match.astype(jnp.int32)))  # leading run
-    m = n_match + 1  # committed candidates: cand[0..m-1]
+    # --- acceptance per stream: longest draft-matching prefix -------------
+    match = jnp.all(cand[:, : k - 1] == drafts, axis=-1)  # [B, k-1]
+    n_match = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)
+    m = n_match + 1  # [B] committed candidates: cand[b, 0..m_b-1]
 
-    # --- EOS / validity (mirrors generate._frame_step latching) ----------
-    is_eos = cand0 == CODEC_EOS  # [k]
-    idx = jnp.arange(k, dtype=jnp.int32)
-    committed = idx < m
-    eos_before = jnp.cumsum(is_eos.astype(jnp.int32)) - is_eos.astype(jnp.int32)
-    valid = committed & ~state.done & (eos_before == 0) & ~is_eos
-    done = state.done | jnp.any(is_eos & committed)
-    frames_out = jnp.where(valid[:, None], cand, 0)  # [k, 16]
+    # --- EOS / validity (mirrors generate._frame_step latching) -----------
+    is_eos = cand0 == CODEC_EOS  # [B, k]
+    idx = jnp.arange(k, dtype=jnp.int32)[None, :]
+    committed = idx < m[:, None]
+    eos_before = jnp.cumsum(is_eos.astype(jnp.int32), axis=1) - is_eos.astype(
+        jnp.int32
+    )
+    valid = committed & ~state.done[:, None] & (eos_before == 0) & ~is_eos
+    done = state.done | jnp.any(is_eos & committed, axis=1)
+    frames_out = jnp.where(valid[..., None], cand, 0)  # [B, k, 16]
 
-    # --- roll the state to the bonus frame -------------------------------
-    last = m - 1
-    new_pending = lax.dynamic_index_in_dim(cand, last, keepdims=True)  # [1,16]
-    new_nodrip = lax.dynamic_index_in_dim(
-        c0e, last, keepdims=True
-    ) + lax.dynamic_index_in_dim(sub_sums, last, keepdims=True)
-    # rewind the cache fill past the committed inputs only: slots beyond
+    # --- roll each stream to its bonus frame ------------------------------
+    last = (m - 1)[:, None, None]  # [B, 1, 1]
+    new_pending = jnp.take_along_axis(cand, last, axis=1)[:, 0]  # [B, 16]
+    new_nodrip = (
+        jnp.take_along_axis(c0e, last, axis=1)
+        + jnp.take_along_axis(sub_sums, last, axis=1)
+    )[:, 0]  # [B, H]
+    new_hidden = jnp.take_along_axis(hidden, last, axis=1)[:, 0]  # [B, H]
+    # rewind each stream's fill past its committed inputs only: slots beyond
     # length' hold mismatched-draft K/V and are masked out until overwritten
-    new_len = state.cache.length + m  # committed inputs consumed: pending..cand[m-2]
+    new_len = state.cache.length + m  # [B]
     cache = cache._replace(length=new_len)
     slot_ids = jnp.arange(cache.max_len, dtype=jnp.int32)
     valid_mask = valid_mask & (slot_ids[None, :] < new_len[:, None])
@@ -261,11 +273,13 @@ def _spec_iteration(
         valid_mask=valid_mask,
         pending=new_pending,
         pending_nodrip=new_nodrip,
-        pending_hidden=lax.dynamic_index_in_dim(hidden[0], last, keepdims=True),
+        pending_hidden=new_hidden,
         rope_pos=state.rope_pos + m,
         step=state.step + m,
         done=done,
-        key=keys_after[last],
+        # the chain advances one split per candidate slot; commit depth sets
+        # the resume point (matches the B=1 sequential chain exactly)
+        key=keys_after[jnp.max(m) - 1],
     )
     return new_state, (frames_out, valid)
 
@@ -281,23 +295,33 @@ def decode_frames_spec(
     k: int,
     num_iters: int,
     draft_fn: Callable[[SpecState, int], jax.Array] = repeat_draft,
+    uniform_fill: Optional[bool] = None,
 ) -> Tuple[SpecState, jax.Array, jax.Array]:
     """Run `num_iters` verify iterations via lax.scan.
 
-    Returns (state', frames [num_iters * k, 16], valid [num_iters * k]):
-    committed frames appear in order with valid=True; uncommitted candidate
-    slots and post-EOS frames are zeroed with valid=False — callers compact
-    on the valid mask (commit counts are data-dependent).
+    Returns (state', frames [B, num_iters * k, 16], valid [B, num_iters*k]):
+    committed frames appear in per-stream order with valid=True; uncommitted
+    candidate slots and post-EOS frames are zeroed with valid=False —
+    callers compact per stream on the valid mask (commit counts are
+    data-dependent and diverge across streams).
     """
+    B = state.pending.shape[0]
+    if uniform_fill is None:
+        # B=1 keeps the cheap contiguous cache write; B>1 streams diverge
+        uniform_fill = B == 1
     suppress = make_codec_suppress_mask(cfg.talker.codec_vocab_size)
     step = functools.partial(
         _spec_iteration, cfg, params, suppress, trailing, trailing_len,
         tts_pad_embed, sp, k, draft_fn,
     )
     state, (frames, valid) = lax.scan(
-        lambda s, _: step(s), state, None, length=num_iters
+        lambda s, _: (step(s, uniform_fill=uniform_fill)), state, None,
+        length=num_iters,
     )
-    return state, frames.reshape(num_iters * k, 16), valid.reshape(num_iters * k)
+    # [iters, B, k, ...] -> [B, iters*k, ...] in commit order
+    frames = jnp.moveaxis(frames, 0, 1).reshape(B, num_iters * k, 16)
+    valid = jnp.moveaxis(valid, 0, 1).reshape(B, num_iters * k)
+    return state, frames, valid
 
 
 class SpecGenerateFns(NamedTuple):
@@ -310,16 +334,17 @@ def make_spec_generate_fns(
     max_len: int,
     k: int = 4,
     num_iters: int = 8,
+    batch: int = 1,
     lang_id: Optional[int] = None,
     has_speaker: bool = False,
     has_instruct: bool = False,
     donate: bool = True,
     draft_fn: Callable[[SpecState, int], jax.Array] = repeat_draft,
 ) -> SpecGenerateFns:
-    """Jitted speculative prefill / decode for batch 1.
+    """Jitted speculative prefill / decode for `batch` streams.
 
     A decode dispatch runs `num_iters` iterations and commits between
-    `num_iters` and `num_iters * k` frames.
+    `num_iters` and `num_iters * k` frames per stream.
     """
     from ..models.talker import talker_init_cache
 
@@ -331,7 +356,7 @@ def make_spec_generate_fns(
             instruct_ids if has_instruct else None,
             instruct_len if has_instruct else None,
         )
-        cache = talker_init_cache(cfg.talker, 1, max_len)
+        cache = talker_init_cache(cfg.talker, batch, max_len)
         state, frame0, valid0 = init_spec_state(
             cfg, params, bundle, cache, key, sp
         )

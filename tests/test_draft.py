@@ -108,14 +108,14 @@ def test_draft_training_improves_and_stays_exact(tiny_model):
                 params, state, bundle.trailing, bundle.trailing_len,
                 bundle.tts_pad_embed, GREEDY,
             )
-            frames.append(np.asarray(fr))
-            valid.append(np.asarray(vd))
+            frames.append(np.asarray(fr)[0])
+            valid.append(np.asarray(vd)[0])
         frames = np.concatenate(frames, 0)
         valid = np.concatenate(valid, 0)
-        return frames[valid], int(np.asarray(state.step))
+        return frames[valid], int(np.asarray(state.step)[0])
 
     def wrong_draft(state, kk):
-        return jnp.broadcast_to((state.pending + 1) % 2048, (kk - 1, 16)), None
+        return jnp.broadcast_to((state.pending[:, None, :] + 1) % 2048, (1, kk - 1, 16)), None
 
     out_wrong, commits_wrong = run_spec(wrong_draft)
     trained = model_draft_fn(dcfg, dp, params["embeddings"])

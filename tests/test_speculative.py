@@ -53,8 +53,8 @@ def _spec_frames(cfg, params, key, k=4, num_iters=4, n_dispatch=3,
             params, state, bundle.trailing, bundle.trailing_len,
             bundle.tts_pad_embed, sp,
         )
-        frames.append(np.asarray(f))
-        valid.append(np.asarray(v))
+        frames.append(np.asarray(f)[0])
+        valid.append(np.asarray(v)[0])
     frames = np.concatenate(frames, axis=0)  # [1 + n*iters*k, 16]
     valid = np.concatenate(valid, axis=0)
     return frames[valid], state  # compacted committed frames, in order
@@ -88,11 +88,11 @@ def test_spec_greedy_oracle_draft_full_acceptance(tiny_model):
 
     def oracle_draft(state, kk):
         # candidate slot j (1..k-1) is frame index state.step + j - 1
-        start = jnp.minimum(state.step, seq_dev.shape[0] - (kk - 1))
+        start = jnp.minimum(state.step[0], seq_dev.shape[0] - (kk - 1))
         codes = jax.lax.dynamic_slice(
             seq_dev, (start, 0), (kk - 1, 16)
         )
-        return codes, None
+        return codes[None], None
 
     spec_frames, state = _spec_frames(
         cfg, params, key, k=k, num_iters=num_iters, n_dispatch=2,
@@ -100,10 +100,62 @@ def test_spec_greedy_oracle_draft_full_acceptance(tiny_model):
     )
     # full acceptance: every iteration commits k frames
     # total = 1 (bootstrap) + 2 dispatches * 3 iters * k
-    assert int(np.asarray(state.step)) == 1 + 2 * num_iters * k
+    assert int(np.asarray(state.step)[0]) == 1 + 2 * num_iters * k
     n = min(int(seq_valid.sum()), len(spec_frames))
     assert n >= 12
     np.testing.assert_array_equal(spec_frames[:n], seq_frames[:n])
+
+
+def test_spec_batched_matches_sequential_per_stream(tiny_model):
+    """B=3 streams (different prompt lengths): per-stream compacted spec
+    output == the sequential batched loop's, with per-stream commit counts
+    free to diverge (per-sequence cache fills)."""
+    cfg, params = tiny_model
+    B = 3
+    text_ids = jnp.array(
+        [[5, 6, 7, 0], [9, 10, 0, 0], [11, 3, 2, 8]], jnp.int32
+    )
+    text_len = jnp.array([3, 2, 4], jnp.int32)
+    key = jax.random.PRNGKey(7)
+
+    fns = make_generate_fns(cfg, batch=B, max_len=64, chunk_len=8,
+                            lang_id=None, donate=False)
+    state, bundle = fns.prefill(params, text_ids, text_len, key)
+    seq_frames, seq_valid = [], []
+    for _ in range(3):
+        state, fr, vd = fns.decode(
+            params, state, bundle.trailing, bundle.trailing_len,
+            bundle.tts_pad_embed, GREEDY,
+        )
+        seq_frames.append(np.asarray(fr))
+        seq_valid.append(np.asarray(vd))
+    seq_frames = np.concatenate(seq_frames, axis=1)  # [B, F, 16]
+    seq_valid = np.concatenate(seq_valid, axis=1)
+
+    sfns = make_spec_generate_fns(cfg, max_len=64, k=4, num_iters=3, batch=B,
+                                  lang_id=None, donate=False)
+    st, bd, f0, v0 = sfns.prefill(params, text_ids, text_len, key, GREEDY)
+    frames = [np.asarray(f0)[:, None, :]]  # [B, 1, 16]
+    valid = [np.asarray(v0)[:, None]]
+    for _ in range(3):
+        st, fr, vd = sfns.decode(
+            params, st, bd.trailing, bd.trailing_len, bd.tts_pad_embed, GREEDY
+        )
+        frames.append(np.asarray(fr))
+        valid.append(np.asarray(vd))
+    frames = np.concatenate(frames, axis=1)  # [B, 1+3*iters*k, 16]
+    valid = np.concatenate(valid, axis=1)
+
+    # streams commit at independent rates
+    commits = np.asarray(st.step)
+    assert commits.shape == (B,)
+    for b in range(B):
+        spec_b = frames[b][valid[b]]  # compacted, in order
+        n = min(int(seq_valid[b].sum()), len(spec_b))
+        assert n >= 6, (b, n)
+        np.testing.assert_array_equal(
+            spec_b[:n], seq_frames[b][:n], err_msg=f"stream {b}"
+        )
 
 
 def test_spec_eos_latches(tiny_model):
@@ -168,6 +220,63 @@ def test_engine_spec_respects_max_tokens(tiny_model, tiny_vocab_files):
     res = eng.synthesize("hello world", temperature=0.0, max_tokens=5)
     assert len(res.codes) <= 5
     assert res.audio.size == len(res.codes) * 2000  # tiny spf
+
+
+def test_engine_spec_batch_matches_sequential(tiny_model, tiny_vocab_files):
+    """synthesize_batch with spec_k: per-stream greedy codes and audio equal
+    the sequential batched engine's."""
+    from leaxer_qwen3_tts_tpu.api.engine import TTSEngine
+    from leaxer_qwen3_tts_tpu.frontend import Tokenizer
+
+    cfg, params = tiny_model
+    vocab_path, merges_path, _ = tiny_vocab_files
+    tok = Tokenizer(vocab_path, merges_path)
+    kw = dict(config=cfg, params=params, tokenizer=tok, max_frames=8,
+              chunk_len=4)
+    texts = ["hello world", "hello", "world hello world"]
+    seq = TTSEngine(**kw).synthesize_batch(texts, temperature=0.0, seed=4)
+    spec = TTSEngine(**kw, spec_k=3, spec_iters=2).synthesize_batch(
+        texts, temperature=0.0, seed=4
+    )
+    for b, (a, s) in enumerate(zip(seq, spec)):
+        na, ns = len(a.codes), len(s.codes)
+        n = min(na, ns)
+        assert n >= 4, (b, na, ns)
+        np.testing.assert_array_equal(
+            np.asarray(s.codes)[:n], np.asarray(a.codes)[:n], err_msg=str(b)
+        )
+        np.testing.assert_allclose(
+            np.asarray(s.audio)[: n * 2000], np.asarray(a.audio)[: n * 2000],
+            atol=1e-5, err_msg=str(b),
+        )
+        assert s.metrics.spec_iterations > 0
+
+
+def test_engine_spec_clone_and_instruct_match(tiny_model, tiny_vocab_files,
+                                              tmp_path):
+    """Spec decode composes with voice-clone and instruct conditioning:
+    greedy codes equal the sequential engine's for the same inputs."""
+    from leaxer_qwen3_tts_tpu.api.engine import TTSEngine
+    from leaxer_qwen3_tts_tpu.frontend import Tokenizer, write_wav
+
+    cfg, params = tiny_model
+    vocab_path, merges_path, _ = tiny_vocab_files
+    tok = Tokenizer(vocab_path, merges_path)
+    kw = dict(config=cfg, params=params, tokenizer=tok, max_frames=8,
+              chunk_len=4)
+    seq_eng = TTSEngine(**kw)
+    spec_eng = TTSEngine(**kw, spec_k=3, spec_iters=2)
+
+    sr = 16000
+    t = np.arange(sr) / sr
+    ref = str(tmp_path / "ref.wav")
+    write_wav(ref, (0.3 * np.sin(2 * np.pi * 330 * t)).astype(np.float32), sr)
+
+    a = seq_eng.synthesize_clone("hello", ref, temperature=0.0,
+                                 instruct="calm")
+    b = spec_eng.synthesize_clone("hello", ref, temperature=0.0,
+                                  instruct="calm")
+    np.testing.assert_array_equal(np.asarray(b.codes), np.asarray(a.codes))
 
 
 def test_engine_spec_under_mesh_matches(tiny_model, tiny_vocab_files):
