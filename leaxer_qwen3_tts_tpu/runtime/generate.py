@@ -109,11 +109,18 @@ def _frame_step(
     frame = jnp.where(frame_valid[:, None], frame, 0)
 
     # --- next talker input: codec sum + text drip (reference :823-842) ---
+    # one-hot contraction, NOT take_along_axis: dynamic gathers lower to the
+    # TPU scalar core and cost ~0.5 ms inside the decode scan (measured;
+    # runtime/speculative.py has the ablation numbers).  The mask-sum is
+    # bit-exact (x * 1.0 + 0.0 == x).
     T = trailing.shape[1]
     drip_idx = jnp.minimum(state.step, T - 1)  # [B] per-stream drip cursor
-    drip = jnp.take_along_axis(
-        trailing, drip_idx[:, None, None], axis=1
-    )[:, 0]  # [B, H]
+    oh = (
+        drip_idx[:, None] == jnp.arange(T, dtype=jnp.int32)[None, :]
+    ).astype(trailing.dtype)  # [B, T]
+    drip = jnp.einsum(
+        "bt,bth->bh", oh, trailing, preferred_element_type=jnp.float32
+    ).astype(trailing.dtype)  # [B, H]
     use_text = state.step < trailing_len  # [B]
     drip = jnp.where(use_text[:, None], drip, tts_pad_embed[None, :].astype(drip.dtype))
     next_embed = (code0_embed + sub_sum + drip).astype(code0_embed.dtype)
