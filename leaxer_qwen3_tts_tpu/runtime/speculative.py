@@ -227,14 +227,23 @@ def _spec_iteration(
     # --- exact candidate code0 per slot (chain key j shared across streams,
     # exactly like the sequential batched loop's per-frame keys) -----------
     li_all = logits_all + suppress[None, None, :]  # [B, k, V]
-    li_all = li_all.at[..., CODEC_EOS].add(jnp.where(sp.forbid_eos, -1e30, 0.0))
+    eos_pen = jnp.where(sp.forbid_eos, -1e30, 0.0)  # scalar or [B] (pool)
+    if eos_pen.ndim == 1:
+        eos_pen = eos_pen[:, None]  # broadcast over the k candidate slots
+    li_all = li_all.at[..., CODEC_EOS].add(eos_pen)
     cand0 = jax.vmap(
         lambda kk, lg: sample_token(kk, lg, sp), in_axes=(0, 1), out_axes=1
     )(jnp.stack(keys_code0), li_all)  # [B, k]
 
     # --- ONE MTP chain batched over all B*K candidates (trunk read once) --
     c0e = codec_embed(emb, cand0)  # [B, k, H]
-    sample_fn = lambda kk, lg: sample_token(kk, lg, sp)
+    # per-slot sampling knobs (pool: [B] vectors) tile to the flattened
+    # [B*k] candidate rows; scalars pass through
+    sp_flat = jax.tree.map(
+        lambda v: jnp.repeat(v, k, axis=0) if getattr(v, "ndim", 0) == 1 else v,
+        sp,
+    )
+    sample_fn = lambda kk, lg: sample_token(kk, lg, sp_flat)
     H = c0e.shape[-1]
     subcodes, sub_sums = predict_subcodes(
         cfg.code_predictor, params["code_predictor"], emb["pred_embed"],

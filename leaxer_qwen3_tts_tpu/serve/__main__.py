@@ -26,8 +26,9 @@ def main(argv=None) -> int:
     p.add_argument("--quantize", choices=["int8", "int4"])
     p.add_argument(
         "--spec-k", type=int, choices=range(2, 9), metavar="K",
-        help="speculative decoding for the B=1 paths "
-             "(/synthesize_stream and single-request batches)",
+        help="speculative decoding: the continuous pool verifies K drafted "
+             "frames per slot per talker pass; the static batcher and "
+             "/synthesize_stream use the engine's spec paths",
     )
     args = p.parse_args(argv)
 
@@ -44,7 +45,8 @@ def main(argv=None) -> int:
         return 1
     if args.batcher == "continuous":
         server = ContinuousBatcher(
-            engine, pool_size=args.pool_size, kv_bucket=args.kv_bucket
+            engine, pool_size=args.pool_size, kv_bucket=args.kv_bucket,
+            spec_k=args.spec_k,
         )
     else:
         server = BatchingServer(

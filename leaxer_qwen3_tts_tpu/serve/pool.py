@@ -95,6 +95,8 @@ class ContinuousBatcher:
         kv_bucket: int = 512,
         text_bucket_max: int = 64,
         seed: int = 0,
+        spec_k: Optional[int] = None,
+        spec_iters: int = 2,
     ):
         if not engine.is_ready():
             raise EngineError(f"engine not ready: {engine.get_error()}")
@@ -106,14 +108,13 @@ class ContinuousBatcher:
         self.chunk_len = int(chunk_len)
         self.kv_bucket = int(kv_bucket)
         self.text_bucket_max = int(text_bucket_max)
+        # speculative mode: one S=K verify pass covers pool_size*K frame
+        # slots per iteration with per-slot acceptance (runtime/speculative)
+        self.spec_k = int(spec_k) if spec_k else None
+        self.spec_iters = max(1, int(spec_iters))
 
         cfg = self.cfg
         B, T = self.pool_size, self.kv_bucket
-        # uniform_fill=False: pool slots run at DIFFERENT fill levels, so the
-        # cache write takes the per-sequence scatter path
-        self._fns = make_generate_fns(cfg, batch=B, max_len=T,
-                                      chunk_len=self.chunk_len,
-                                      uniform_fill=False)
         self._prefill_cache: Dict[tuple, object] = {}
         self._splice_cache: Dict[int, object] = {}
         self._vocode_cache: Dict[int, object] = {}
@@ -122,16 +123,59 @@ class ContinuousBatcher:
         H, V = cfg.talker.hidden_size, cfg.talker.codec_vocab_size
         dt = t.jnp_dtype
         cache = talker_init_cache(cfg.talker, B, T)
-        self._state = GenerateState(
-            cache=cache,
-            valid_mask=jnp.zeros((B, T), bool),
-            last_logits=jnp.zeros((B, V), jnp.float32),
-            last_hidden=jnp.zeros((B, H), jnp.float32),
-            pos=jnp.zeros((B,), jnp.int32),
-            step=jnp.zeros((B,), jnp.int32),
-            done=jnp.ones((B,), bool),  # empty slots idle as "done"
-            key=jax.random.PRNGKey(seed),
-        )
+        if self.spec_k:
+            from ..runtime.speculative import (
+                SpecState,
+                decode_frames_spec,
+                repeat_draft,
+            )
+
+            if cfg.draft is not None and "draft" in (engine.params or {}):
+                from ..models.draft import model_draft_fn
+
+                draft_fn = model_draft_fn(
+                    cfg.draft, engine.params["draft"],
+                    engine.params["embeddings"],
+                )
+            else:
+                draft_fn = repeat_draft
+            k, iters = self.spec_k, self.spec_iters
+
+            def dec(params, state, trailing, trailing_len, pad, sp):
+                return decode_frames_spec(
+                    cfg, params, state, trailing, trailing_len, pad, sp,
+                    k, iters, draft_fn,
+                )
+
+            self._decode = jax.jit(dec, donate_argnums=(1,))
+            self._state = SpecState(
+                cache=cache,
+                valid_mask=jnp.zeros((B, T), bool),
+                pending=jnp.zeros((B, 16), jnp.int32),
+                pending_nodrip=jnp.zeros((B, H), dt),
+                pending_hidden=jnp.zeros((B, H), dt),
+                rope_pos=jnp.zeros((B,), jnp.int32),
+                step=jnp.ones((B,), jnp.int32),
+                done=jnp.ones((B,), bool),  # empty slots idle as "done"
+                key=jax.random.PRNGKey(seed),
+            )
+        else:
+            # uniform_fill=False: pool slots run at DIFFERENT fill levels, so
+            # the cache write takes the per-sequence scatter path
+            self._fns = make_generate_fns(cfg, batch=B, max_len=T,
+                                          chunk_len=self.chunk_len,
+                                          uniform_fill=False)
+            self._decode = self._fns.decode
+            self._state = GenerateState(
+                cache=cache,
+                valid_mask=jnp.zeros((B, T), bool),
+                last_logits=jnp.zeros((B, V), jnp.float32),
+                last_hidden=jnp.zeros((B, H), jnp.float32),
+                pos=jnp.zeros((B,), jnp.int32),
+                step=jnp.zeros((B,), jnp.int32),
+                done=jnp.ones((B,), bool),  # empty slots idle as "done"
+                key=jax.random.PRNGKey(seed),
+            )
         self._trailing = jnp.zeros((B, self.text_bucket_max, H), dt)
         self._trailing_len = jnp.zeros((B,), jnp.int32)
         from ..models.embeddings import text_project
@@ -254,6 +298,61 @@ class ContinuousBatcher:
             )
         return self._splice_cache[t_bucket]
 
+    def _get_spec_prefill(self, t_bucket: int, lang_id):
+        key = ("spec", t_bucket, lang_id)
+        if key not in self._prefill_cache:
+            from ..runtime.speculative import make_spec_generate_fns
+
+            self._prefill_cache[key] = make_spec_generate_fns(
+                self.cfg, max_len=self.kv_bucket, k=self.spec_k,
+                num_iters=self.spec_iters, batch=1, lang_id=lang_id,
+                donate=False,
+            ).prefill
+        return self._prefill_cache[key]
+
+    def _get_spec_splice(self, t_bucket: int):
+        key = ("spec_splice", t_bucket)
+        if key not in self._splice_cache:
+            TB = self.text_bucket_max
+
+            def splice(state, trailing, trailing_len, slot,
+                       k1, v1, len1, valid1, pend1, nod1, hid1, rope1, done1,
+                       t1, t1len):
+                dus = jax.lax.dynamic_update_slice
+                cache = state.cache._replace(
+                    k=dus(state.cache.k, k1, (0, slot, 0, 0, 0)),
+                    v=dus(state.cache.v, v1, (0, slot, 0, 0, 0)),
+                    length=dus(state.cache.length, len1, (slot,)),
+                )
+                new = state._replace(
+                    cache=cache,
+                    valid_mask=dus(state.valid_mask, valid1, (slot, 0)),
+                    pending=dus(state.pending, pend1, (slot, 0)),
+                    pending_nodrip=dus(
+                        state.pending_nodrip,
+                        nod1.astype(state.pending_nodrip.dtype), (slot, 0),
+                    ),
+                    pending_hidden=dus(
+                        state.pending_hidden,
+                        hid1.astype(state.pending_hidden.dtype), (slot, 0),
+                    ),
+                    rope_pos=dus(state.rope_pos, rope1, (slot,)),
+                    step=dus(
+                        state.step, jnp.ones((1,), jnp.int32), (slot,)
+                    ),
+                    done=dus(state.done, done1, (slot,)),
+                )
+                row = jnp.zeros((1, TB, trailing.shape[2]), trailing.dtype)
+                row = jax.lax.dynamic_update_slice(row, t1, (0, 0, 0))
+                trailing = dus(trailing, row, (slot, 0, 0))
+                trailing_len = dus(trailing_len, t1len, (slot,))
+                return new, trailing, trailing_len
+
+            self._splice_cache[key] = jax.jit(
+                splice, donate_argnums=(0, 1, 2)
+            )
+        return self._splice_cache[key]
+
     def _get_mark_done(self):
         if "mark_done" not in self._splice_cache:
             def mark(state, slot):
@@ -304,7 +403,10 @@ class ContinuousBatcher:
             req.language if req.language != "auto" else None
         )
         P = prompt_length(lang_id, False, 0)
-        budget = self.kv_bucket - P - self.chunk_len
+        per_dispatch = (
+            self.spec_k * self.spec_iters if self.spec_k else self.chunk_len
+        )
+        budget = self.kv_bucket - P - per_dispatch
         if budget < 1:
             raise EngineError("pool kv_bucket too small for the prompt")
         if req.max_tokens is not None:
@@ -313,24 +415,47 @@ class ContinuousBatcher:
         ids_arr = np.zeros((1, t_bucket), np.int32)
         ids_arr[0, : len(ids)] = ids
         lens = np.asarray([len(ids)], np.int32)
-        prefill = self._get_prefill(t_bucket, lang_id)
+        active = _Active(req=req, budget=budget)
         # the single-stream key is discarded by the splice (the pool threads
         # its own shared PRNG chain through the decode program)
-        s1, bundle = prefill(self.engine.params, ids_arr, lens, jax.random.PRNGKey(0))
-
-        splice = self._get_splice(t_bucket)
-        self._state, self._trailing, self._trailing_len = splice(
-            self._state, self._trailing, self._trailing_len,
-            jnp.asarray(slot, jnp.int32),
-            s1.cache.k, s1.cache.v, s1.cache.length, s1.valid_mask,
-            s1.last_logits, s1.last_hidden, s1.pos, bundle.trailing,
-            bundle.trailing_len,
-        )
+        if self.spec_k:
+            sp1 = SamplingParams.create(
+                req.temperature, req.top_k, req.top_p,
+                forbid_eos=req.forbid_eos,
+            )
+            prefill = self._get_spec_prefill(t_bucket, lang_id)
+            s1, bundle, frame0, valid0 = prefill(
+                self.engine.params, ids_arr, lens, jax.random.PRNGKey(0), sp1
+            )
+            splice = self._get_spec_splice(t_bucket)
+            self._state, self._trailing, self._trailing_len = splice(
+                self._state, self._trailing, self._trailing_len,
+                jnp.asarray(slot, jnp.int32),
+                s1.cache.k, s1.cache.v, s1.cache.length, s1.valid_mask,
+                s1.pending, s1.pending_nodrip, s1.pending_hidden,
+                s1.rope_pos, s1.done, bundle.trailing, bundle.trailing_len,
+            )
+            # the spec bootstrap already committed frame 0
+            if bool(np.asarray(valid0)[0]) and budget >= 1:
+                active.frames.append(np.asarray(frame0)[0])
+        else:
+            prefill = self._get_prefill(t_bucket, lang_id)
+            s1, bundle = prefill(
+                self.engine.params, ids_arr, lens, jax.random.PRNGKey(0)
+            )
+            splice = self._get_splice(t_bucket)
+            self._state, self._trailing, self._trailing_len = splice(
+                self._state, self._trailing, self._trailing_len,
+                jnp.asarray(slot, jnp.int32),
+                s1.cache.k, s1.cache.v, s1.cache.length, s1.valid_mask,
+                s1.last_logits, s1.last_hidden, s1.pos, bundle.trailing,
+                bundle.trailing_len,
+            )
         self._temps[slot] = req.temperature
         self._top_ks[slot] = req.top_k
         self._top_ps[slot] = req.top_p
         self._forbid[slot] = req.forbid_eos
-        self._slots[slot] = _Active(req=req, budget=budget)
+        self._slots[slot] = active
 
     def _retire(self, slot: int) -> None:
         active = self._slots[slot]
@@ -384,7 +509,7 @@ class ContinuousBatcher:
                 jnp.asarray(self._top_ps), forbid_eos=jnp.asarray(self._forbid),
             )
             try:
-                self._state, frames, valid = self._fns.decode(
+                self._state, frames, valid = self._decode(
                     params, self._state, self._trailing, self._trailing_len,
                     self._tts_pad, sp,
                 )

@@ -27,11 +27,14 @@ def engine(tiny_model, tiny_vocab_files):
     )
 
 
-@pytest.fixture()
-def pool(engine):
-    p = ContinuousBatcher(
-        engine, pool_size=4, chunk_len=2, kv_bucket=64, text_bucket_max=16
-    )
+@pytest.fixture(params=["sequential", "spec"])
+def pool(engine, request):
+    kw = dict(pool_size=4, chunk_len=2, kv_bucket=64, text_bucket_max=16)
+    if request.param == "spec":
+        # speculative pool: one S=K verify pass per iteration covers
+        # pool_size*K frame slots with per-slot acceptance
+        kw.update(spec_k=3, spec_iters=1)
+    p = ContinuousBatcher(engine, **kw)
     yield p
     p.shutdown()
 
