@@ -482,14 +482,15 @@ class TTSEngine:
         return self._vocode_cache[key]
 
     def _get_spec_fns(self, t_bucket: int, lang_id, has_speaker: bool,
-                      max_len: int, i_bucket: int, num_iters: int):
+                      max_len: int, i_bucket: int, num_iters: int,
+                      batch: int = 1):
         from ..runtime.speculative import make_spec_generate_fns, repeat_draft
 
         use_model_draft = (
             self.cfg.draft is not None and "draft" in (self.params or {})
         )
-        key = ("spec", t_bucket, lang_id, has_speaker, max_len, i_bucket,
-               self.spec_k, num_iters, use_model_draft)
+        key = ("spec", batch, t_bucket, lang_id, has_speaker, max_len,
+               i_bucket, self.spec_k, num_iters, use_model_draft)
         if key not in self._fns_cache:
             if use_model_draft:
                 # trained EAGLE-style draft head (models/draft.py) beats the
@@ -504,11 +505,34 @@ class TTSEngine:
                 draft_fn = repeat_draft
             self._fns_cache[key] = make_spec_generate_fns(
                 self.cfg, max_len=max_len, k=self.spec_k,
-                num_iters=num_iters, lang_id=lang_id,
+                num_iters=num_iters, batch=batch, lang_id=lang_id,
                 has_speaker=has_speaker, has_instruct=i_bucket > 0,
                 draft_fn=draft_fn,
             )
         return self._fns_cache[key]
+
+    def _spec_prologue(self, P: int, max_tokens: int):
+        """Shared setup for both spec streams: shrink iterations-per-dispatch
+        to fit short requests / small KV budgets (each dispatch can consume
+        up to k * iters cache slots), clamp max_tokens to the bucket budget,
+        pick the starting ladder rung.  Returns (iters, spec_chunk,
+        max_tokens, bidx)."""
+        top = self.kv_ladder[-1]
+        iters = min(self.spec_iters, max(1, -(-max_tokens // self.spec_k)))
+        while self.spec_k * iters > top - P - 1 and iters > 1:
+            iters -= 1
+        spec_chunk = self.spec_k * iters
+        budget = top - P - spec_chunk
+        if budget < 1:
+            raise EngineError(
+                f"prompt ({P} positions) too long for the KV cache "
+                f"(top bucket {top}, spec chunk {spec_chunk})"
+            )
+        bidx = next(
+            (i for i, b in enumerate(self.kv_ladder) if b >= P + spec_chunk + 1),
+            len(self.kv_ladder) - 1,
+        )
+        return iters, spec_chunk, min(max_tokens, budget), bidx
 
     def _spec_stream(
         self, timer, ids_padded, lens, speaker, instr_arr, instr_len,
@@ -523,24 +547,7 @@ class TTSEngine:
         """
         voc_cfg = self.cfg.vocoder
         spf = voc_cfg.samples_per_frame
-        top = self.kv_ladder[-1]
-        # shrink iterations-per-dispatch to fit short requests / small KV
-        # budgets (each dispatch can consume up to k * iters cache slots)
-        iters = min(self.spec_iters, max(1, -(-max_tokens // self.spec_k)))
-        while self.spec_k * iters > top - P - 1 and iters > 1:
-            iters -= 1
-        spec_chunk = self.spec_k * iters  # max slots per dispatch
-        budget = top - P - spec_chunk
-        if budget < 1:
-            raise EngineError(
-                f"prompt ({P} positions) too long for the KV cache "
-                f"(top bucket {top}, spec chunk {spec_chunk})"
-            )
-        max_tokens = min(max_tokens, budget)
-        bidx = next(
-            (i for i, b in enumerate(self.kv_ladder) if b >= P + spec_chunk + 1),
-            len(self.kv_ladder) - 1,
-        )
+        iters, spec_chunk, max_tokens, bidx = self._spec_prologue(P, max_tokens)
         fns = self._get_spec_fns(
             t_bucket, lang_id, has_speaker, self.kv_ladder[bidx], i_bucket,
             iters,
@@ -669,35 +676,13 @@ class TTSEngine:
         result; the <150 ms TTFA path is the B=1 stream)."""
         voc_cfg = self.cfg.vocoder
         spf = voc_cfg.samples_per_frame
-        top = self.kv_ladder[-1]
-        iters = min(self.spec_iters, max(1, -(-max_tokens // self.spec_k)))
-        while self.spec_k * iters > top - P - 1 and iters > 1:
-            iters -= 1
-        spec_chunk = self.spec_k * iters
-        budget = top - P - spec_chunk
-        if budget < 1:
-            raise EngineError(
-                f"prompt ({P} positions) too long for the KV cache "
-                f"(top bucket {top}, spec chunk {spec_chunk})"
-            )
-        max_tokens = min(max_tokens, budget)
-        bidx = next(
-            (i for i, b in enumerate(self.kv_ladder) if b >= P + spec_chunk + 1),
-            len(self.kv_ladder) - 1,
-        )
+        iters, spec_chunk, max_tokens, bidx = self._spec_prologue(P, max_tokens)
 
         def get_fns(bucket):
-            from ..runtime.speculative import make_spec_generate_fns
-
-            key_ = ("specb", B, t_bucket, lang_id, has_speaker, bucket,
-                    i_bucket, self.spec_k, iters)
-            if key_ not in self._fns_cache:
-                self._fns_cache[key_] = make_spec_generate_fns(
-                    self.cfg, max_len=bucket, k=self.spec_k, num_iters=iters,
-                    batch=B, lang_id=lang_id, has_speaker=has_speaker,
-                    has_instruct=i_bucket > 0,
-                )
-            return self._fns_cache[key_]
+            return self._get_spec_fns(
+                t_bucket, lang_id, has_speaker, bucket, i_bucket, iters,
+                batch=B,
+            )
 
         fns = get_fns(self.kv_ladder[bidx])
         with timer.stage("prefill"):
@@ -970,7 +955,11 @@ class TTSEngine:
             audio_chunks.append(audio)
             timer.mark_first_audio()
             first = False
-            yield audio[0] if B == 1 else audio
+            # the last chunk may overshoot max_tokens: cap the STREAMED
+            # audio so consumers never hear frames the final result trims
+            keep = min(cur_chunk, max_tokens - (steps - cur_chunk)) * spf
+            emit = audio[:, :keep]
+            yield emit[0] if B == 1 else emit
 
             if bool(np.asarray(state.done).all()):
                 break

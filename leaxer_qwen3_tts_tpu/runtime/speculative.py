@@ -170,6 +170,12 @@ def _spec_iteration(
     B = state.pending.shape[0]
 
     # --- the per-frame PRNG chain, pre-split k frames ahead ---------------
+    # NOTE: the 3-way split per slot mirrors the sequential loop's per-frame
+    # (key, k_code0, k_pred) chain so the B=1 code0 draws are bit-identical;
+    # keys_pred[1:] are intentionally unused — the batched MTP shares
+    # keys_pred[0] (sampled sub-code streams are distribution-equal, see the
+    # module docstring) but the splits must still happen to keep the chain
+    # values aligned with generate._frame_step.
     keys_code0, keys_pred, keys_after = [], [], []
     key = state.key
     for _ in range(k):
@@ -183,14 +189,23 @@ def _spec_iteration(
     drafts, d_nodrip = draft_fn(state, k)  # [B, k-1, 16], [B, k-1, H]|None
     if d_nodrip is None:
         # model-based drafts: reconstruct the embed sum from the codes with
-        # the same gather + reduction shape predict_subcodes uses (sum of
-        # the first 14 step-embeds + the last)
+        # the same gather + reduction GROUPING predict_subcodes uses for the
+        # active impl, so accepted drafts' verify inputs match the
+        # sequential loop's bit-for-bit (the cached/fused impls sum the
+        # first 14 step-embeds then add the last; the dense impl sums all
+        # 15 in one reduce — the groupings can differ in the last ulp and
+        # flip knife-edge greedy ties)
         d_code0_embed = codec_embed(emb, drafts[..., 0])  # [B, k-1, H]
         tables = emb["pred_embed"]  # [15, Vs, H]
         d_embs = jax.vmap(
             lambda tab, c: jnp.take(tab, c, axis=0), in_axes=(0, 2), out_axes=2
         )(tables, drafts[..., 1:])  # [B, k-1, 15, H]
-        d_sub_sum = jnp.sum(d_embs[..., :-1, :], axis=-2) + d_embs[..., -1, :]
+        if cfg.code_predictor.impl == "dense":
+            d_sub_sum = jnp.sum(d_embs, axis=-2)
+        else:
+            d_sub_sum = (
+                jnp.sum(d_embs[..., :-1, :], axis=-2) + d_embs[..., -1, :]
+            )
         d_nodrip = d_code0_embed + d_sub_sum  # [B, k-1, H]
     nodrip = jnp.concatenate(
         [state.pending_nodrip[:, None, :], d_nodrip], axis=1
@@ -271,19 +286,40 @@ def _spec_iteration(
     frames_out = jnp.where(valid[..., None], cand, 0)  # [B, k, 16]
 
     # --- roll each stream to its bonus frame ------------------------------
+    # FREEZE streams that entered the iteration done: a finished stream must
+    # not keep consuming KV slots (at up to k/iteration its repeat-draft
+    # self-accepts the repetitive post-EOS output, races ahead of live
+    # batch-mates, and can exhaust the shared bucket budget).  A stream that
+    # EOSes THIS iteration still advances once — its committed inputs were
+    # genuinely consumed — then freezes.
+    m_adv = jnp.where(state.done, 0, m)  # [B]
     # one-hot masked sums, NOT take_along_axis: dynamic gathers lower to the
     # TPU scalar core (~0.5 ms each in-scan); selecting one of k rows via a
     # mask+reduce is pure VPU and bit-exact (x + 0.0 == x)
     oh = (
         jnp.arange(k, dtype=jnp.int32)[None, :] == (m - 1)[:, None]
     )  # [B, k]
-    new_pending = jnp.sum(jnp.where(oh[..., None], cand, 0), axis=1)  # [B,16]
+    frozen = state.done[:, None]
+    new_pending = jnp.where(
+        frozen, state.pending,
+        jnp.sum(jnp.where(oh[..., None], cand, 0), axis=1),
+    )  # [B, 16]
     ohf = oh[..., None].astype(c0e.dtype)
-    new_nodrip = jnp.sum((c0e + sub_sums) * ohf, axis=1)  # [B, H]
-    new_hidden = jnp.sum(hidden * ohf.astype(hidden.dtype), axis=1)  # [B, H]
+    new_nodrip = jnp.where(
+        frozen, state.pending_nodrip,
+        jnp.sum((c0e + sub_sums) * ohf, axis=1).astype(
+            state.pending_nodrip.dtype
+        ),
+    )  # [B, H]
+    new_hidden = jnp.where(
+        frozen, state.pending_hidden,
+        jnp.sum(hidden * ohf.astype(hidden.dtype), axis=1).astype(
+            state.pending_hidden.dtype
+        ),
+    )  # [B, H]
     # rewind each stream's fill past its committed inputs only: slots beyond
     # length' hold mismatched-draft K/V and are masked out until overwritten
-    new_len = state.cache.length + m  # [B]
+    new_len = state.cache.length + m_adv  # [B]
     cache = cache._replace(length=new_len)
     slot_ids = jnp.arange(cache.max_len, dtype=jnp.int32)
     valid_mask = valid_mask & (slot_ids[None, :] < new_len[:, None])
@@ -294,8 +330,8 @@ def _spec_iteration(
         pending=new_pending,
         pending_nodrip=new_nodrip,
         pending_hidden=new_hidden,
-        rope_pos=state.rope_pos + m,
-        step=state.step + m,
+        rope_pos=state.rope_pos + m_adv,
+        step=state.step + m_adv,
         done=done,
         # the chain advances one split per candidate slot; commit depth sets
         # the resume point (matches the B=1 sequential chain exactly).

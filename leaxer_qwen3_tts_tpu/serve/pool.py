@@ -34,7 +34,7 @@ from __future__ import annotations
 import queue
 import threading
 import time
-from concurrent.futures import Future
+from concurrent.futures import Future, ThreadPoolExecutor
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional
 
@@ -42,7 +42,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..api.engine import EngineError, SynthesisResult, TTSEngine
+from ..api.engine import (
+    EngineError,
+    SynthesisResult,
+    TTSEngine,
+    _round_up,
+)
 from ..config import SAMPLE_RATE, language_to_codec_id
 from ..models.codec12hz import vocoder_forward
 from ..models.talker import talker_init_cache
@@ -55,8 +60,6 @@ from ..utils.metrics import SynthesisMetrics
 log = get_logger(__name__)
 
 
-def _round_up(n: int, m: int) -> int:
-    return ((max(n, 1) + m - 1) // m) * m
 
 
 @dataclass
@@ -110,25 +113,19 @@ class ContinuousBatcher:
         self.text_bucket_max = int(text_bucket_max)
         # speculative mode: one S=K verify pass covers pool_size*K frame
         # slots per iteration with per-slot acceptance (runtime/speculative)
+        if spec_k is not None and not 2 <= int(spec_k) <= 8:
+            raise ValueError("spec_k must be in [2, 8]")
         self.spec_k = int(spec_k) if spec_k else None
         self.spec_iters = max(1, int(spec_iters))
 
         cfg = self.cfg
-        B, T = self.pool_size, self.kv_bucket
+        self._seed = int(seed)
         self._prefill_cache: Dict[tuple, object] = {}
         self._splice_cache: Dict[int, object] = {}
         self._vocode_cache: Dict[int, object] = {}
 
-        t = cfg.talker.transformer
-        H, V = cfg.talker.hidden_size, cfg.talker.codec_vocab_size
-        dt = t.jnp_dtype
-        cache = talker_init_cache(cfg.talker, B, T)
         if self.spec_k:
-            from ..runtime.speculative import (
-                SpecState,
-                decode_frames_spec,
-                repeat_draft,
-            )
+            from ..runtime.speculative import decode_frames_spec, repeat_draft
 
             if cfg.draft is not None and "draft" in (engine.params or {}):
                 from ..models.draft import model_draft_fn
@@ -148,34 +145,18 @@ class ContinuousBatcher:
                 )
 
             self._decode = jax.jit(dec, donate_argnums=(1,))
-            self._state = SpecState(
-                cache=cache,
-                valid_mask=jnp.zeros((B, T), bool),
-                pending=jnp.zeros((B, 16), jnp.int32),
-                pending_nodrip=jnp.zeros((B, H), dt),
-                pending_hidden=jnp.zeros((B, H), dt),
-                rope_pos=jnp.zeros((B,), jnp.int32),
-                step=jnp.ones((B,), jnp.int32),
-                done=jnp.ones((B,), bool),  # empty slots idle as "done"
-                key=jax.random.PRNGKey(seed),
-            )
         else:
             # uniform_fill=False: pool slots run at DIFFERENT fill levels, so
             # the cache write takes the per-sequence scatter path
-            self._fns = make_generate_fns(cfg, batch=B, max_len=T,
+            self._fns = make_generate_fns(cfg, batch=self.pool_size,
+                                          max_len=self.kv_bucket,
                                           chunk_len=self.chunk_len,
                                           uniform_fill=False)
             self._decode = self._fns.decode
-            self._state = GenerateState(
-                cache=cache,
-                valid_mask=jnp.zeros((B, T), bool),
-                last_logits=jnp.zeros((B, V), jnp.float32),
-                last_hidden=jnp.zeros((B, H), jnp.float32),
-                pos=jnp.zeros((B,), jnp.int32),
-                step=jnp.zeros((B,), jnp.int32),
-                done=jnp.ones((B,), bool),  # empty slots idle as "done"
-                key=jax.random.PRNGKey(seed),
-            )
+        self._state = self._make_idle_state()
+        B = self.pool_size
+        H = cfg.talker.hidden_size
+        dt = cfg.talker.transformer.jnp_dtype
         self._trailing = jnp.zeros((B, self.text_bucket_max, H), dt)
         self._trailing_len = jnp.zeros((B,), jnp.int32)
         from ..models.embeddings import text_project
@@ -196,6 +177,10 @@ class ContinuousBatcher:
         self._stop = threading.Event()
         self._requests_done = 0
         self._chunks_run = 0
+        # retirement vocoding runs off the decode loop (see _retire)
+        self._finisher = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="pool-retire"
+        )
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -233,10 +218,47 @@ class ContinuousBatcher:
         self._stop.set()
         if wait:
             self._thread.join(timeout=60)
+        self._finisher.shutdown(wait=wait)
 
     # ------------------------------------------------------------------
     # jitted helpers (cached per signature)
     # ------------------------------------------------------------------
+
+    def _make_idle_state(self):
+        """Fresh all-slots-idle pool state.  Used at construction AND to
+        recover after a failed dispatch: the decode jit donates the state,
+        so after an exception the old buffers are deleted and the pool must
+        rebuild (in-flight requests were already failed by the caller)."""
+        cfg = self.cfg
+        B, T = self.pool_size, self.kv_bucket
+        t = cfg.talker.transformer
+        H, V = cfg.talker.hidden_size, cfg.talker.codec_vocab_size
+        dt = t.jnp_dtype
+        cache = talker_init_cache(cfg.talker, B, T)
+        if self.spec_k:
+            from ..runtime.speculative import SpecState
+
+            return SpecState(
+                cache=cache,
+                valid_mask=jnp.zeros((B, T), bool),
+                pending=jnp.zeros((B, 16), jnp.int32),
+                pending_nodrip=jnp.zeros((B, H), dt),
+                pending_hidden=jnp.zeros((B, H), dt),
+                rope_pos=jnp.zeros((B,), jnp.int32),
+                step=jnp.ones((B,), jnp.int32),
+                done=jnp.ones((B,), bool),  # empty slots idle as "done"
+                key=jax.random.PRNGKey(self._seed),
+            )
+        return GenerateState(
+            cache=cache,
+            valid_mask=jnp.zeros((B, T), bool),
+            last_logits=jnp.zeros((B, V), jnp.float32),
+            last_hidden=jnp.zeros((B, H), jnp.float32),
+            pos=jnp.zeros((B,), jnp.int32),
+            step=jnp.zeros((B,), jnp.int32),
+            done=jnp.ones((B,), bool),  # empty slots idle as "done"
+            key=jax.random.PRNGKey(self._seed),
+        )
 
     def _get_prefill(self, t_bucket: int, lang_id):
         key = (t_bucket, lang_id)
@@ -458,29 +480,41 @@ class ContinuousBatcher:
         self._slots[slot] = active
 
     def _retire(self, slot: int) -> None:
+        """Free the slot immediately; vocode + future resolution run on the
+        single finisher thread so a long utterance's whole-sequence vocode
+        (plus any first-time length-bucket compile) never stalls the decode
+        loop — that would reintroduce the head-of-line blocking this pool
+        exists to remove.  One worker keeps retirement FIFO."""
         active = self._slots[slot]
         self._slots[slot] = None
         self._state = self._get_mark_done()(
             self._state, jnp.asarray(slot, jnp.int32)
         )
-        codes = (
-            np.stack(active.frames).astype(np.int32)
-            if active.frames else np.zeros((0, 16), np.int32)
-        )
-        codes = codes[: active.budget]
-        audio = self._vocode(codes)
-        now = time.perf_counter()
-        spf = self.cfg.vocoder.samples_per_frame
-        m = SynthesisMetrics(
-            audio_seconds=len(codes) * spf / float(SAMPLE_RATE),
-            frames=len(codes),
-            total_seconds=now - active.req.enqueued_at,
-        )
-        m.stage_seconds["queued"] = active.admitted_at - active.req.enqueued_at
         self._requests_done += 1
-        active.req.future.set_result(
-            SynthesisResult(audio=audio, codes=codes, metrics=m)
-        )
+        self._finisher.submit(self._finish, active)
+
+    def _finish(self, active: "_Active") -> None:
+        try:
+            codes = (
+                np.stack(active.frames).astype(np.int32)
+                if active.frames else np.zeros((0, 16), np.int32)
+            )
+            codes = codes[: active.budget]
+            audio = self._vocode(codes)
+            now = time.perf_counter()
+            spf = self.cfg.vocoder.samples_per_frame
+            m = SynthesisMetrics(
+                audio_seconds=len(codes) * spf / float(SAMPLE_RATE),
+                frames=len(codes),
+                total_seconds=now - active.req.enqueued_at,
+            )
+            m.stage_seconds["queued"] = active.admitted_at - active.req.enqueued_at
+            active.req.future.set_result(
+                SynthesisResult(audio=audio, codes=codes, metrics=m)
+            )
+        except Exception as e:  # pragma: no cover
+            if not active.req.future.done():
+                active.req.future.set_exception(e)
 
     def _try_admissions(self) -> None:
         for slot in range(self.pool_size):
@@ -522,6 +556,10 @@ class ContinuousBatcher:
                     if active is not None and not active.req.future.done():
                         active.req.future.set_exception(e)
                     self._slots[slot] = None
+                # the decode jit donated self._state: its buffers may now be
+                # deleted, which would poison every future splice — rebuild
+                # a fresh idle state so the pool keeps serving
+                self._state = self._make_idle_state()
                 continue
             self._chunks_run += 1
             for slot, active in enumerate(self._slots):

@@ -216,7 +216,11 @@ def test_first_chunk_ramp(tiny_model, tiny_vocab_files):
         else:
             chunks.append(item)
     assert chunks[0].size == 2 * SPF  # small first chunk
-    assert all(c.size == 4 * SPF for c in chunks[1:])
+    assert all(c.size <= 4 * SPF for c in chunks[1:])
+    # streamed audio is capped at max_frames: the last chunk is trimmed
+    # instead of overshooting (consumers never hear frames the final
+    # result would drop)
+    assert sum(c.size for c in chunks) == 8 * SPF
 
     r_uniform = uniform.synthesize("hello world", temperature=0.0)
     np.testing.assert_array_equal(result.codes, r_uniform.codes)

@@ -158,6 +158,34 @@ def test_spec_batched_matches_sequential_per_stream(tiny_model):
         )
 
 
+def test_spec_done_stream_frozen(tiny_model):
+    """A stream that enters an iteration done must NOT advance its KV fill /
+    step / position: at up to k slots per iteration its repeat draft
+    self-accepts the repetitive post-EOS output, races ahead of live
+    batch-mates, and exhausts the shared bucket (review finding)."""
+    cfg, params = tiny_model
+    B = 2
+    text_ids = jnp.array([[5, 6, 7, 0], [9, 10, 0, 0]], jnp.int32)
+    text_len = jnp.array([3, 2], jnp.int32)
+    fns = make_spec_generate_fns(cfg, max_len=64, k=4, num_iters=3, batch=B,
+                                 lang_id=None, donate=False)
+    state, bundle, f0, v0 = fns.prefill(
+        params, text_ids, text_len, jax.random.PRNGKey(0), GREEDY
+    )
+    state = state._replace(done=jnp.array([True, False]))
+    step0 = np.asarray(state.step).copy()
+    len0 = np.asarray(state.cache.length).copy()
+    state, frames, valid = fns.decode(
+        params, state, bundle.trailing, bundle.trailing_len,
+        bundle.tts_pad_embed, GREEDY,
+    )
+    step1 = np.asarray(state.step)
+    len1 = np.asarray(state.cache.length)
+    assert step1[0] == step0[0] and len1[0] == len0[0]  # frozen
+    assert step1[1] > step0[1] and len1[1] > len0[1]  # live stream advanced
+    assert not np.asarray(valid)[0].any()  # no phantom commits
+
+
 def test_spec_eos_latches(tiny_model):
     """Boosted-EOS lm_head: frame 0 is EOS at bootstrap -> no valid frames,
     done latched, later dispatches emit nothing."""
