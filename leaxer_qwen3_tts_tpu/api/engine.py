@@ -548,9 +548,13 @@ class TTSEngine:
         voc_cfg = self.cfg.vocoder
         spf = voc_cfg.samples_per_frame
         iters, spec_chunk, max_tokens, bidx = self._spec_prologue(P, max_tokens)
+        # TTFA ramp: the first dispatch runs a single verify iteration so
+        # first audio lands after ~1 iteration instead of `iters`; steady
+        # state uses the full count (ladder math stays sized for the max)
+        cur_iters = 1 if iters > 1 else iters
         fns = self._get_spec_fns(
             t_bucket, lang_id, has_speaker, self.kv_ladder[bidx], i_bucket,
-            iters,
+            cur_iters,
         )
 
         with timer.stage("prefill"):
@@ -621,7 +625,7 @@ class TTSEngine:
                 state = self._grow_state(state, self.kv_ladder[bidx])
                 fns = self._get_spec_fns(
                     t_bucket, lang_id, has_speaker, self.kv_ladder[bidx],
-                    i_bucket, iters,
+                    i_bucket, cur_iters,
                 )
             if P + slots - 1 + spec_chunk + 1 > self.kv_ladder[bidx]:
                 break  # KV budget exhausted (max_tokens clamp makes this rare)
@@ -635,7 +639,13 @@ class TTSEngine:
             committed.extend(frames_np[valid_np])
             done = bool(np.asarray(state.done).all())
             slots = int(np.asarray(state.step)[0])
-            n_iterations += iters
+            n_iterations += cur_iters
+            if cur_iters != iters:
+                cur_iters = iters
+                fns = self._get_spec_fns(
+                    t_bucket, lang_id, has_speaker, self.kv_ladder[bidx],
+                    i_bucket, cur_iters,
+                )
 
         # final partial window
         if emitted < min(len(committed), max_tokens):
