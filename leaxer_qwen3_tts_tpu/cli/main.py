@@ -47,6 +47,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="speculative frame decoding: verify K drafted frames per talker "
              "pass (greedy output identical to sequential decode)",
     )
+    p.add_argument(
+        "--stream", action="store_true",
+        help="write audio to the output WAV incrementally as it decodes "
+             "(header patched at the end; a tailing player hears audio "
+             "before synthesis finishes)",
+    )
     p.add_argument("--verbose", action="store_true", help="print per-stage metrics")
     return p
 
@@ -106,18 +112,35 @@ def main(argv=None) -> int:
 
     print("Synthesizing...")
     try:
-        if args.ref:
-            if not engine.has_speaker_encoder():
-                print(
-                    "Error: speaker encoder not available for voice clone",
-                    file=sys.stderr,
-                )
-                return 1
-            result = engine.synthesize_clone(args.prompt, args.ref, **sampling)
-        elif args.speaker:
-            result = engine.synthesize_speaker(args.prompt, args.speaker, **sampling)
+        if args.stream and not args.ref and not args.speaker:
+            # incremental write: audio chunks land in the file as they
+            # decode (streaming synthesis — a capability the reference
+            # lacks; it vocodes once at the end, main_onnx.cpp)
+            from ..frontend import StreamingWavWriter
+
+            result = None
+            with StreamingWavWriter(args.output, SAMPLE_RATE) as w:
+                for item in engine.synthesize_stream(args.prompt, **sampling):
+                    if hasattr(item, "metrics"):
+                        result = item
+                    else:
+                        w.write(item)
         else:
-            result = engine.synthesize(args.prompt, **sampling)
+            if args.stream:
+                print("(--stream with --ref/--speaker: falling back to "
+                      "one-shot write)", file=sys.stderr)
+            if args.ref:
+                if not engine.has_speaker_encoder():
+                    print(
+                        "Error: speaker encoder not available for voice clone",
+                        file=sys.stderr,
+                    )
+                    return 1
+                result = engine.synthesize_clone(args.prompt, args.ref, **sampling)
+            elif args.speaker:
+                result = engine.synthesize_speaker(args.prompt, args.speaker, **sampling)
+            else:
+                result = engine.synthesize(args.prompt, **sampling)
     except Exception as e:
         print(f"Error: synthesis failed: {e}", file=sys.stderr)
         return 1
@@ -130,10 +153,11 @@ def main(argv=None) -> int:
     if args.verbose:
         print(result.metrics.summary())
 
-    try:
-        write_wav(args.output, result.audio, SAMPLE_RATE)
-    except Exception as e:
-        print(f"Error: failed to write WAV: {e}", file=sys.stderr)
-        return 1
+    if not (args.stream and not args.ref and not args.speaker):
+        try:
+            write_wav(args.output, result.audio, SAMPLE_RATE)
+        except Exception as e:
+            print(f"Error: failed to write WAV: {e}", file=sys.stderr)
+            return 1
     print(f"Saved to: {args.output}")
     return 0

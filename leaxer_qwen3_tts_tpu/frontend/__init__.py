@@ -2,13 +2,14 @@
 
 from .mel import log_mel, log_mel_reference_np, mel_filterbank, num_frames
 from .tokenizer import Tokenizer, find_tokenizer_files
-from .wav import read_wav, resample, write_wav
+from .wav import StreamingWavWriter, read_wav, resample, write_wav
 
 __all__ = [
     "Tokenizer",
     "find_tokenizer_files",
     "read_wav",
     "write_wav",
+    "StreamingWavWriter",
     "resample",
     "log_mel",
     "log_mel_reference_np",

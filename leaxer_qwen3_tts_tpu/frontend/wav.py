@@ -146,3 +146,48 @@ def _write_wav_py(
         f.write(b"data")
         f.write(struct.pack("<I", data_size))
         f.write(pcm.tobytes())
+
+
+class StreamingWavWriter:
+    """Incremental mono 16-bit PCM writer for streaming synthesis.
+
+    Writes a placeholder header up front, appends PCM as chunks arrive, and
+    patches the RIFF/data sizes on close — a player tailing the file hears
+    audio while synthesis is still running (CLI ``--stream``).  Same sample
+    format as :func:`write_wav` with ``normalize_peak<=0`` (clamp only);
+    peak normalization is impossible before the audio is complete.
+    """
+
+    def __init__(self, path: str, sample_rate: int = 24000):
+        self._f = open(path, "wb")
+        self._samples = 0
+        self._f.write(b"RIFF")
+        self._f.write(struct.pack("<I", 36))  # patched on close
+        self._f.write(b"WAVE")
+        self._f.write(b"fmt ")
+        self._f.write(
+            struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16)
+        )
+        self._f.write(b"data")
+        self._f.write(struct.pack("<I", 0))  # patched on close
+
+    def write(self, samples: np.ndarray) -> None:
+        samples = np.asarray(samples, np.float32).reshape(-1)
+        pcm = (np.clip(samples, -1.0, 1.0) * 32767.0).astype("<i2")
+        self._f.write(pcm.tobytes())
+        self._f.flush()
+        self._samples += len(pcm)
+
+    def close(self) -> None:
+        data_size = self._samples * 2
+        self._f.seek(4)
+        self._f.write(struct.pack("<I", 36 + data_size))
+        self._f.seek(40)
+        self._f.write(struct.pack("<I", data_size))
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

@@ -391,3 +391,37 @@ def test_fused_prep_gated_on_int8(tiny_model, monkeypatch):
     eng = TTSEngine(config=cfg2, params=params, quantize="int8")
     assert eng.is_ready(), eng.get_error()
     assert calls == ["m", "t"]  # int8 config: both kernels packed
+
+
+def test_cli_stream_writes_incremental_wav(tiny_model, tiny_vocab_files, tmp_path):
+    """--stream writes a valid WAV incrementally whose PCM prefix matches the
+    one-shot output (trailing post-EOS silence may pad the streamed file)."""
+    import json
+    import shutil as _sh
+
+    from leaxer_qwen3_tts_tpu.cli.main import main as cli_main
+    from leaxer_qwen3_tts_tpu.runtime.weights import save_checkpoint
+
+    cfg, params = tiny_model
+    vocab_path, merges_path, _ = tiny_vocab_files
+    d = str(tmp_path / "ckpt")
+    save_checkpoint(d, cfg, params)
+    _sh.copy(vocab_path, os.path.join(d, "vocab.json"))
+    _sh.copy(merges_path, os.path.join(d, "merges.txt"))
+
+    out1 = str(tmp_path / "oneshot.wav")
+    out2 = str(tmp_path / "streamed.wav")
+    args = ["-m", d, "-p", "hello world", "--temp", "0", "--max-tokens", "6",
+            "--seed", "1"]
+    assert cli_main(args + ["-o", out1]) == 0
+    assert cli_main(args + ["-o", out2, "--stream"]) == 0
+
+    a1, sr1 = read_wav(out1)
+    a2, sr2 = read_wav(out2)
+    assert sr1 == sr2 == SAMPLE_RATE
+    n = min(a1.size, a2.size)
+    assert n > 0
+    np.testing.assert_allclose(np.asarray(a2)[:n], np.asarray(a1)[:n],
+                               atol=1e-4)
+    # any extra streamed tail is post-EOS silence
+    assert np.abs(np.asarray(a2)[n:]).max(initial=0.0) == 0.0
