@@ -133,3 +133,31 @@ def test_pool_http_facade(pool):
             assert r.read()[:4] == b"RIFF"
     finally:
         httpd.shutdown()
+
+
+def test_pool_recovers_after_decode_failure(engine):
+    """A failing dispatch fails the in-flight requests but the pool rebuilds
+    its (donated) state and keeps serving new requests (review finding:
+    without the rebuild, one transient error poisoned every future splice)."""
+    p = ContinuousBatcher(engine, pool_size=2, chunk_len=2, kv_bucket=64,
+                          text_bucket_max=16)
+    try:
+        real_decode = p._decode
+        calls = {"n": 0}
+
+        def flaky(*a, **kw):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("injected device error")
+            return real_decode(*a, **kw)
+
+        p._decode = flaky
+        f1 = p.submit("hello", temperature=0.0, max_tokens=3)
+        with pytest.raises(Exception, match="injected"):
+            f1.result(timeout=300)
+        # the pool must still serve after the failure
+        r = p.submit("hello", temperature=0.0, max_tokens=3).result(timeout=300)
+        assert r.codes.shape[0] <= 3
+        assert np.isfinite(r.audio).all()
+    finally:
+        p.shutdown()
