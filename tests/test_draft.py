@@ -173,3 +173,35 @@ def test_draft_config_checkpoint_roundtrip(tmp_path, tiny_model):
     np.testing.assert_array_equal(
         np.asarray(params2["draft"]["w_in"]), np.asarray(params["draft"]["w_in"])
     )
+
+
+def test_train_draft_tool_end_to_end(tiny_model, tiny_vocab_files, tmp_path):
+    """tools/train_draft.py: self-rollout -> train -> checkpoint carries the
+    draft -> a spec engine uses it and still greedy-matches sequential."""
+    import json as _json
+    import os
+    import shutil as _sh
+
+    from leaxer_qwen3_tts_tpu.api.engine import TTSEngine
+    from leaxer_qwen3_tts_tpu.runtime.weights import save_checkpoint
+    from tools.train_draft import main as train_main
+
+    cfg, params = tiny_model
+    vocab_path, merges_path, _ = tiny_vocab_files
+    d = str(tmp_path / "ckpt")
+    save_checkpoint(d, cfg, params)
+    _sh.copy(vocab_path, os.path.join(d, "vocab.json"))
+    _sh.copy(merges_path, os.path.join(d, "merges.txt"))
+    out = str(tmp_path / "ckpt_draft")
+
+    rc = train_main(["--model", d, "--out", out, "--steps", "40",
+                     "--frames", "8", "--d-model", "32"])
+    assert rc == 0
+
+    eng = TTSEngine(out, max_frames=8, chunk_len=4, spec_k=3, spec_iters=2)
+    assert eng.is_ready(), eng.get_error()
+    assert eng.cfg.draft is not None and "draft" in eng.params
+    seq = TTSEngine(d, max_frames=8, chunk_len=4)
+    a = seq.synthesize("hello world", temperature=0.0, seed=5)
+    b = eng.synthesize("hello world", temperature=0.0, seed=5)
+    np.testing.assert_array_equal(np.asarray(b.codes), np.asarray(a.codes))
