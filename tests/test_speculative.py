@@ -344,3 +344,50 @@ def test_spec_sampling_valid_and_deterministic(tiny_model):
     assert (f1 >= 0).all()
     v = cfg.talker.codec_vocab_size
     assert (f1[:, 0] < v).all()
+
+
+def test_spec_kv_bucket_growth_matches_single_bucket(tiny_model):
+    """Growing a SpecState into a bigger KV bucket mid-request (the engine's
+    ladder migration: zero-pad the cache + validity, rebuild fns at the new
+    bucket) produces the same greedy codes as running in the big bucket from
+    the start.  EOS is suppressed via forbid_eos so decode spans the
+    boundary."""
+    from leaxer_qwen3_tts_tpu.api.engine import TTSEngine
+
+    cfg, params = tiny_model
+    sp = SamplingParams.create(temperature=0.0, forbid_eos=True)
+    key = jax.random.PRNGKey(2)
+    k, iters = 3, 2  # 6 slots per dispatch
+
+    # reference: one big bucket from the start
+    big = make_spec_generate_fns(cfg, max_len=64, k=k, num_iters=iters,
+                                 lang_id=None, donate=False)
+    st, bd, f0, v0 = big.prefill(params, TEXT_IDS, TEXT_LEN, key, sp)
+    ref = [np.asarray(f0)]
+    for _ in range(12):
+        st, fr, vd = big.decode(params, st, bd.trailing, bd.trailing_len,
+                                bd.tts_pad_embed, sp)
+        ref.append(np.asarray(fr)[0][np.asarray(vd)[0]])
+    ref = np.concatenate(ref, axis=0)
+
+    # small bucket, grow to 64 when the next dispatch could overflow
+    small = make_spec_generate_fns(cfg, max_len=32, k=k, num_iters=iters,
+                                   lang_id=None, donate=False)
+    st, bd, f0, v0 = small.prefill(params, TEXT_IDS, TEXT_LEN, key, sp)
+    got = [np.asarray(f0)]
+    fns, bucket = small, 32
+    grew = False
+    for _ in range(12):
+        fill = int(np.asarray(st.cache.length)[0])
+        if fill + k * iters > bucket and bucket < 64:
+            st = TTSEngine._grow_state(st, 64)
+            fns, bucket, grew = big, 64, True
+        st, fr, vd = fns.decode(params, st, bd.trailing, bd.trailing_len,
+                                bd.tts_pad_embed, sp)
+        got.append(np.asarray(fr)[0][np.asarray(vd)[0]])
+    got = np.concatenate(got, axis=0)
+
+    assert grew  # the migration actually happened
+    n = min(len(ref), len(got))
+    assert n >= 12
+    np.testing.assert_array_equal(got[:n], ref[:n])
