@@ -269,7 +269,7 @@ class TTSEngine:
         )
         yield from self._synthesize_stream(
             [text], language, speaker, temperature, top_k, top_p, max_tokens, seed,
-            instruct=instruct,
+            instruct=instruct, streaming=True,
         )
 
     def synthesize_clone(
@@ -778,7 +778,7 @@ class TTSEngine:
 
     def _synthesize_stream(
         self, texts, language, speaker, temperature, top_k, top_p, max_tokens, seed,
-        instruct=None,
+        instruct=None, streaming=False,
     ):
         self._require_ready()
         timer = StageTimer(SynthesisMetrics())
@@ -787,7 +787,7 @@ class TTSEngine:
             instruct_ids = self._tokenize(instruct) if instruct else None
         yield from self._ids_stream(
             id_lists, language, speaker, temperature, top_k, top_p, max_tokens, seed,
-            timer, instruct_ids=instruct_ids,
+            timer, instruct_ids=instruct_ids, streaming=streaming,
         )
 
     def _synthesize_ids_stream(
@@ -801,17 +801,17 @@ class TTSEngine:
 
     def _ids_stream(
         self, id_lists, language, speaker, temperature, top_k, top_p, max_tokens, seed,
-        timer, instruct_ids=None,
+        timer, instruct_ids=None, streaming=False,
     ):
         with maybe_trace("synthesize"):
             yield from self._ids_stream_impl(
                 id_lists, language, speaker, temperature, top_k, top_p, max_tokens, seed,
-                timer, instruct_ids,
+                timer, instruct_ids, streaming,
             )
 
     def _ids_stream_impl(
         self, id_lists, language, speaker, temperature, top_k, top_p, max_tokens, seed,
-        timer, instruct_ids=None,
+        timer, instruct_ids=None, streaming=False,
     ):
         cfg = self.cfg
         B = len(id_lists)
@@ -875,7 +875,11 @@ class TTSEngine:
         sp = SamplingParams.create(temperature, top_k, top_p)
         key = jax.random.PRNGKey(seed)
 
-        if self.spec_k is not None:
+        # Batched spec decode yields no incremental audio (frames compact per
+        # stream; one final vocode) — a STREAMING caller at B > 1 keeps the
+        # per-chunk contract via the sequential path instead (round-2 advisor
+        # finding); spec batching stays the synthesize_batch fast path.
+        if self.spec_k is not None and not (streaming and B > 1):
             # works sharded too: the S=K verify pass is a plain
             # transformer_forward, so the TP rules/GSPMD collectives apply
             # unchanged (tested on the 8-virtual-CPU mesh)

@@ -71,11 +71,15 @@ def quantize_weight_int4(w: jax.Array, group: int = INT4_GROUP) -> QuantizedLine
     slicing along K/N lands on group/column boundaries — the fused kernel and
     this XLA path therefore dequantize identical values.
     """
+    import math
+
     wf = jnp.asarray(w, jnp.float32)
     K, N = wf.shape[-2], wf.shape[-1]
-    group = min(group, max(K // 2, 1))  # small test models: shrink the group
-    if K % (2 * group) != 0:
-        raise ValueError(f"int4 needs K ({K}) divisible by 2*group ({2 * group})")
+    if K % 2 != 0:
+        raise ValueError(f"int4 packing needs an even K, got {K}")
+    # shrink the group to a divisor of K/2 (small/odd-shaped models) so any
+    # even K quantizes instead of hard-failing (round-2 advisor finding)
+    group = math.gcd(min(group, max(K // 2, 1)), K // 2)
     lead = wf.shape[:-2]
     g = wf.reshape(*lead, K // group, group, N)
     amax = jnp.max(jnp.abs(g), axis=-2, keepdims=True)  # [..., G, 1, N]
@@ -229,7 +233,8 @@ def quantize_params(
         raise ValueError(f"bits must be 4 or 8, got {bits}")
 
     def quant_one(k, v):
-        if bits == 4 and k not in _INT8_ONLY_KEYS:
+        # odd-K matmuls can't nibble-pack; degrade to int8 rather than fail
+        if bits == 4 and k not in _INT8_ONLY_KEYS and v.shape[-2] % 2 == 0:
             return quantize_weight_int4(v)
         return quantize_weight(v)
 

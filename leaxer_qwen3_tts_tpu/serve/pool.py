@@ -177,6 +177,7 @@ class ContinuousBatcher:
         self._stop = threading.Event()
         self._requests_done = 0
         self._chunks_run = 0
+        self._admits = 0  # per-request PRNG derivation counter
         # retirement vocoding runs off the decode loop (see _retire)
         self._finisher = ThreadPoolExecutor(
             max_workers=1, thread_name_prefix="pool-retire"
@@ -438,8 +439,16 @@ class ContinuousBatcher:
         ids_arr[0, : len(ids)] = ids
         lens = np.asarray([len(ids)], np.int32)
         active = _Active(req=req, budget=budget)
-        # the single-stream key is discarded by the splice (the pool threads
-        # its own shared PRNG chain through the decode program)
+        # Per-request key: fold the admit counter into the pool seed.  The
+        # non-spec prefill discards it (the splice drops last_logits' sample;
+        # the pool threads its own shared PRNG chain through the decode
+        # program), but the SPEC prefill samples and commits frame 0 with it,
+        # so a fixed key would give every same-text request an identical
+        # first frame at temperature > 0 (round-2 advisor finding).
+        admit_key = jax.random.fold_in(
+            jax.random.PRNGKey(self._seed), self._admits
+        )
+        self._admits += 1
         if self.spec_k:
             sp1 = SamplingParams.create(
                 req.temperature, req.top_k, req.top_p,
@@ -447,7 +456,7 @@ class ContinuousBatcher:
             )
             prefill = self._get_spec_prefill(t_bucket, lang_id)
             s1, bundle, frame0, valid0 = prefill(
-                self.engine.params, ids_arr, lens, jax.random.PRNGKey(0), sp1
+                self.engine.params, ids_arr, lens, admit_key, sp1
             )
             splice = self._get_spec_splice(t_bucket)
             self._state, self._trailing, self._trailing_len = splice(
@@ -463,7 +472,7 @@ class ContinuousBatcher:
         else:
             prefill = self._get_prefill(t_bucket, lang_id)
             s1, bundle = prefill(
-                self.engine.params, ids_arr, lens, jax.random.PRNGKey(0)
+                self.engine.params, ids_arr, lens, admit_key
             )
             splice = self._get_splice(t_bucket)
             self._state, self._trailing, self._trailing_len = splice(

@@ -21,7 +21,11 @@ class SynthesisMetrics:
     ttfa_seconds: Optional[float] = None  # time to first audio chunk
     total_seconds: float = 0.0
     # speculative decoding (engine spec_k path): verify iterations run and
-    # draft slots accepted — acceptance = spec_accepted / (iterations * (k-1))
+    # draft slots accepted — acceptance = spec_accepted / (iterations * (k-1)).
+    # NOTE spec_iterations counts every verify iteration DISPATCHED, including
+    # ones after a stream latched EOS (tail of the final dispatch; in the
+    # batched path, iterations after early-finishing streams freeze), so the
+    # derived acceptance rate is a mild UNDERestimate for short utterances.
     spec_iterations: int = 0
     spec_accepted: int = 0
 

@@ -43,8 +43,21 @@ def test_int4_pack_unpack_roundtrip():
 
 
 def test_int4_rejects_odd_k():
-    with pytest.raises(ValueError, match="divisible"):
+    with pytest.raises(ValueError, match="even K"):
         quantize_weight_int4(jnp.zeros((101, 8)))
+
+
+def test_int4_even_k_indivisible_by_group_shrinks_group():
+    # K=320 with the default group 128: gcd(128, 160) = 32 -> still quantizes
+    rng = np.random.default_rng(7)
+    w = jnp.asarray(rng.normal(size=(320, 8)).astype(np.float32))
+    q4 = quantize_weight_int4(w)
+    assert q4.q.shape == (160, 8)
+    assert q4.scale.shape[0] == 320 // 32  # group shrank to 32
+    deq = np.asarray(unpack_int4(q4.q)).astype(np.float32) * np.repeat(
+        np.asarray(q4.scale), 32, axis=0
+    )
+    assert np.abs(deq - np.asarray(w)).max() <= np.abs(np.asarray(w)).max() / 7.0
 
 
 def test_dense_int4_matches_dequant_matmul():
