@@ -93,7 +93,15 @@ def main() -> None:
             out.append(((v / 199.0 - 0.5) * 0.04).reshape(sd.shape).astype(sd.dtype))
         return jax.tree_util.tree_unflatten(treedef, out)
 
+    # per-stage init timing: the r2 driver run reported a one-off 325 s init
+    # (45 s in r1, ~27 s cold-cache when re-measured) that could not be
+    # attributed; stage stamps make any recurrence diagnosable from the log
+    def stamp(name):
+        log(f"  init/{name}: +{time.perf_counter() - t0:.1f}s")
+
     params = jax.jit(lambda: fast_fill(shapes))()
+    sync(params["talker"]["lm_head"])
+    stamp("fill")
     if os.environ.get("BENCH_NO_FUSE") != "1":
         from leaxer_qwen3_tts_tpu.ops.quant import fuse_params
 
@@ -104,6 +112,8 @@ def main() -> None:
         from leaxer_qwen3_tts_tpu.ops.quant import quantize_params
 
         params = jax.jit(quantize_params)(params)
+    sync(params["talker"]["transformer"]["layers"].get("wqkv", params["talker"]["lm_head"]))
+    stamp("fuse+quant")
     on_tpu = platform == "tpu"  # fused kernels interpret (=crawl) off-TPU
     if mtp_impl == "fused" and on_tpu:
         from leaxer_qwen3_tts_tpu.models.code_predictor import prepare_fused_step
