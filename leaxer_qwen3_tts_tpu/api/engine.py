@@ -87,6 +87,7 @@ class TTSEngine:
         mesh=None,
         spec_k: Optional[int] = None,
         spec_iters: int = 8,
+        kv_quant: bool = False,
     ):
         self._ready = False
         self._error = ""
@@ -141,6 +142,22 @@ class TTSEngine:
                 if config is None or params is None:
                     raise EngineError("need model_dir or (config, params)")
                 self.cfg, self.params = config, params
+            if kv_quant:
+                # int8 KV cache with per-slot scales on the TALKER only (the
+                # MTP cache is <=64 slots — its bytes are noise, and keeping
+                # it bf16 leaves the fused MTP kernels untouched).  Weight
+                # quantization (``quantize``) is orthogonal.
+                import dataclasses as _dc
+
+                self.cfg = _dc.replace(
+                    self.cfg,
+                    talker=_dc.replace(
+                        self.cfg.talker,
+                        transformer=_dc.replace(
+                            self.cfg.talker.transformer, kv_cache_quant=True
+                        ),
+                    ),
+                )
             if fuse and mesh is None:
                 # inference layout: one qkv matvec and one gate/up matvec per
                 # layer (TP keeps the separate layout; rules key on wq/wk/...)
@@ -466,6 +483,11 @@ class TTSEngine:
             k=jnp.pad(state.cache.k, widen),
             v=jnp.pad(state.cache.v, widen),
         )
+        if state.cache.k_scale is not None:
+            cache = cache._replace(
+                k_scale=jnp.pad(state.cache.k_scale, widen[:-1]),
+                v_scale=jnp.pad(state.cache.v_scale, widen[:-1]),
+            )
         valid = jnp.pad(state.valid_mask, ((0, 0), (0, pad)))
         return state._replace(cache=cache, valid_mask=valid)
 

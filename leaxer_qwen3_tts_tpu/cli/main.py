@@ -43,6 +43,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="weight-only quantization for faster decode",
     )
     p.add_argument(
+        "--kv-quant", action="store_true",
+        help="int8 KV cache (per-slot scales): halves cache bandwidth for "
+             "long-form and large-batch serving",
+    )
+    p.add_argument(
         "--spec-k", type=int, choices=range(2, 9), metavar="K",
         help="speculative frame decoding: verify K drafted frames per talker "
              "pass (greedy output identical to sequential decode)",
@@ -94,7 +99,7 @@ def main(argv=None) -> int:
     from ..frontend import write_wav
 
     engine = TTSEngine(args.model, max_frames=args.max_tokens, quantize=args.quantize,
-                       spec_k=args.spec_k)
+                       spec_k=args.spec_k, kv_quant=args.kv_quant)
     if not engine.is_ready():
         print(f"Error: {engine.get_error()}", file=sys.stderr)
         return 1

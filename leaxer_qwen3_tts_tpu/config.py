@@ -111,6 +111,11 @@ class TransformerConfig:
     # QK RMSNorm per head (Qwen3 style)
     use_qk_norm: bool = True
     attn_impl: str = "xla"  # "xla" | "pallas"
+    # int8 KV cache with per-slot-per-head scales (models/layers.py KVCache):
+    # halves the cache bytes that bind B>=16 serving and long-form decode.
+    # Runtime choice (engine --kv-quant flips the talker's flag); checkpoints
+    # are unaffected.
+    kv_cache_quant: bool = False
 
     @property
     def jnp_dtype(self):

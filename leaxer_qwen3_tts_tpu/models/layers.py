@@ -32,6 +32,13 @@ class KVCache(NamedTuple):
     length: [batch] int32 — filled slots PER SEQUENCE (continuous serving
         admits streams mid-flight, so fill levels diverge; a separate validity
         mask marks right-padded prompt slots as unattendable).
+    k_scale, v_scale: None (bf16/f32 cache) or float32
+        [num_layers, batch, num_kv_heads, max_len] — per-slot-per-head
+        symmetric int8 scales (``cfg.kv_cache_quant``).  Per-slot scales track
+        magnitude drift over the sequence (a single per-head scale loses
+        ~2 bits once early loud frames pin the range); the dequant applies to
+        the score/weight matrices, never to the cache itself, so HBM traffic
+        is the int8 bytes.
 
     Head-major (heads before time) makes the decode-step attention a clean
     batched [g, d] x [d, T] GEMM with NO cache transposes; the time-major
@@ -42,6 +49,8 @@ class KVCache(NamedTuple):
     k: jax.Array
     v: jax.Array
     length: jax.Array  # [batch] int32
+    k_scale: Optional[jax.Array] = None  # f32 [L, B, Nk, T] when k is int8
+    v_scale: Optional[jax.Array] = None
 
     @property
     def max_len(self) -> int:
@@ -51,15 +60,58 @@ class KVCache(NamedTuple):
     def batch(self) -> int:
         return self.k.shape[1]
 
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
+
 
 def init_kv_cache(cfg: TransformerConfig, batch: int, max_len: int) -> KVCache:
     shape = (cfg.num_layers, batch, cfg.num_kv_heads, max_len, cfg.head_dim)
+    if cfg.kv_cache_quant:
+        sshape = shape[:-1]
+        return KVCache(
+            k=jnp.zeros(shape, jnp.int8),
+            v=jnp.zeros(shape, jnp.int8),
+            length=jnp.zeros((batch,), jnp.int32),
+            k_scale=jnp.zeros(sshape, jnp.float32),
+            v_scale=jnp.zeros(sshape, jnp.float32),
+        )
     dtype = cfg.jnp_dtype
     return KVCache(
         k=jnp.zeros(shape, dtype),
         v=jnp.zeros(shape, dtype),
         length=jnp.zeros((batch,), jnp.int32),
     )
+
+
+def splice_kv_cache(cache: KVCache, c1: KVCache, slot) -> KVCache:
+    """Write a 1-stream cache ``c1`` into batch row ``slot`` of ``cache``
+    (continuous-pool admission).  Handles quantized caches (scale arrays
+    splice alongside) so callers never touch the field list."""
+    dus = lax.dynamic_update_slice
+    out = cache._replace(
+        k=dus(cache.k, c1.k, (0, slot, 0, 0, 0)),
+        v=dus(cache.v, c1.v, (0, slot, 0, 0, 0)),
+        length=dus(cache.length, c1.length, (slot,)),
+    )
+    if cache.k_scale is not None:
+        out = out._replace(
+            k_scale=dus(cache.k_scale, c1.k_scale, (0, slot, 0, 0)),
+            v_scale=dus(cache.v_scale, c1.v_scale, (0, slot, 0, 0)),
+        )
+    return out
+
+
+def quantize_kv(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """[..., d] float -> (int8 [..., d], f32 scale [...]) per-vector symmetric.
+
+    Matches the fused kernels' in-register quantization exactly (f32 math,
+    round-half-away via jnp.round, amax/127 scale floored at 1e-8)."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1)
+    scale = jnp.maximum(amax / 127.0, 1e-8)
+    q = jnp.clip(jnp.round(xf / scale[..., None]), -127, 127).astype(jnp.int8)
+    return q, scale
 
 
 # ---------------------------------------------------------------------------
@@ -185,11 +237,13 @@ def _block(
     x: jax.Array,  # [B, S, H]
     cos: jax.Array,
     sin: jax.Array,
-    k_cache: jax.Array,  # [B, Nk, T, D] head-major
+    k_cache: jax.Array,  # [B, Nk, T, D] head-major (int8 when quantized)
     v_cache: jax.Array,
+    ks_cache: Optional[jax.Array],  # f32 [B, Nk, T] int8 scales (or None)
+    vs_cache: Optional[jax.Array],
     cache_len: jax.Array,  # [B] int32 — per-sequence write offset
     attn_mask: jax.Array,  # [B, S, T] bool
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
+):
     B, S, H = x.shape
     nq, nk, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
@@ -206,6 +260,12 @@ def _block(
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
+    if ks_cache is not None:
+        # int8 cache: quantize the post-RoPE K/V per (token, head) — the
+        # cached value IS the dequantized one everywhere downstream
+        k, k_sc = quantize_kv(k)  # k int8 [B,S,nk,d], k_sc f32 [B,S,nk]
+        v, v_sc = quantize_kv(v)
+
     # Write this step's K/V into the head-major cache.  The new [B,S,Nk,D]
     # slab transposes once — S*Nk*D elements, trivial — so the big cache is
     # never relayouted.  Uniform fill (scalar cache_len: every sequence at
@@ -220,20 +280,36 @@ def _block(
         v_cache = lax.dynamic_update_slice(
             v_cache, jnp.swapaxes(v, 1, 2), (0, 0, cache_len, 0)
         )
+        if ks_cache is not None:
+            ks_cache = lax.dynamic_update_slice(
+                ks_cache, jnp.swapaxes(k_sc, 1, 2), (0, 0, cache_len)
+            )
+            vs_cache = lax.dynamic_update_slice(
+                vs_cache, jnp.swapaxes(v_sc, 1, 2), (0, 0, cache_len)
+            )
     else:
         write = jax.vmap(
             lambda c, new, off: lax.dynamic_update_slice(c, new, (0, off, 0))
         )
         k_cache = write(k_cache, jnp.swapaxes(k, 1, 2), cache_len)
         v_cache = write(v_cache, jnp.swapaxes(v, 1, 2), cache_len)
+        if ks_cache is not None:
+            write_s = jax.vmap(
+                lambda c, new, off: lax.dynamic_update_slice(c, new, (0, off))
+            )
+            ks_cache = write_s(ks_cache, jnp.swapaxes(k_sc, 1, 2), cache_len)
+            vs_cache = write_s(vs_cache, jnp.swapaxes(v_sc, 1, 2), cache_len)
 
-    out = attend(q, k_cache, v_cache, attn_mask, impl=cfg.attn_impl)  # [B,S,Nq,D]
+    out = attend(
+        q, k_cache, v_cache, attn_mask, impl=cfg.attn_impl,
+        k_scale=ks_cache, v_scale=vs_cache,
+    )  # [B,S,Nq,D]
     out = out.reshape(B, S, nq * d)
     x = x + dense(out, p["wo"]).astype(x.dtype)
 
     h = rms_norm(x, p["mlp_norm"], cfg.rms_norm_eps)
     x = x + _mlp(cfg, p, h)
-    return x, k_cache, v_cache
+    return x, k_cache, v_cache, ks_cache, vs_cache
 
 
 def transformer_forward(
@@ -289,14 +365,22 @@ def transformer_forward(
     cache_len = length[0] if uniform_fill else length
 
     def body(x, layer):
-        p, kc, vc = layer
-        x, kc, vc = _block(cfg, p, x, cos, sin, kc, vc, cache_len, attn_mask)
-        return x, (kc, vc)
+        p, kc, vc, ksc, vsc = layer
+        x, kc, vc, ksc, vsc = _block(
+            cfg, p, x, cos, sin, kc, vc, ksc, vsc, cache_len, attn_mask
+        )
+        return x, (kc, vc, ksc, vsc)
 
-    x, (new_k, new_v) = lax.scan(body, x, (params["layers"], cache.k, cache.v))
+    # None scale leaves flatten away, so the unquantized scan is unchanged
+    x, (new_k, new_v, new_ks, new_vs) = lax.scan(
+        body, x,
+        (params["layers"], cache.k, cache.v, cache.k_scale, cache.v_scale),
+    )
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
 
-    new_cache = KVCache(k=new_k, v=new_v, length=length + S)
+    new_cache = KVCache(
+        k=new_k, v=new_v, length=length + S, k_scale=new_ks, v_scale=new_vs
+    )
     return x, new_cache, valid_mask
 
 

@@ -129,7 +129,8 @@ def talker_decode_step(
     # (online-softmax) kernel, which needs the bucket to be WINDOW-aligned
     # (the engine rounds its ladder top accordingly)
     fused_ok = cache.max_len <= cfg.fused_max_cache or cache.max_len % 512 == 0
-    if cfg.decode_impl == "fused" and "fused_step" in params and 2 <= B <= 8:
+    kv_q = cache.quantized  # int8 KV: fused kernels take the scale arrays
+    if cfg.decode_impl == "fused" and "fused_step" in params and 2 <= B <= 8 and not kv_q:
         # batched fused step: per-stream positions, weights read ONCE for the
         # whole serving batch (ops/fused_step.fused_decode_step_batched)
         from ..ops.fused_step import batched_window, fused_decode_step_batched
@@ -158,6 +159,7 @@ def talker_decode_step(
         and "fused_step" in params
         and B == 1
         and fused_ok
+        and not kv_q
     ):
         # ONE Pallas kernel for all 28 layers (ops/fused_step.py); final norm,
         # logit head, and bookkeeping stay outside the kernel

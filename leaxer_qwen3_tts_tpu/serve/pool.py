@@ -275,18 +275,10 @@ class ContinuousBatcher:
             TB = self.text_bucket_max
 
             def splice(state, trailing, trailing_len, slot,
-                       k1, v1, len1, valid1, logits1, hidden1, pos1, t1, t1len):
-                cache = state.cache._replace(
-                    k=jax.lax.dynamic_update_slice(
-                        state.cache.k, k1, (0, slot, 0, 0, 0)
-                    ),
-                    v=jax.lax.dynamic_update_slice(
-                        state.cache.v, v1, (0, slot, 0, 0, 0)
-                    ),
-                    length=jax.lax.dynamic_update_slice(
-                        state.cache.length, len1, (slot,)
-                    ),
-                )
+                       cache1, valid1, logits1, hidden1, pos1, t1, t1len):
+                from ..models.layers import splice_kv_cache
+
+                cache = splice_kv_cache(state.cache, cache1, slot)
                 z32 = jnp.zeros((1,), jnp.int32)
                 new = state._replace(
                     cache=cache,
@@ -339,14 +331,12 @@ class ContinuousBatcher:
             TB = self.text_bucket_max
 
             def splice(state, trailing, trailing_len, slot,
-                       k1, v1, len1, valid1, pend1, nod1, hid1, rope1, done1,
+                       cache1, valid1, pend1, nod1, hid1, rope1, done1,
                        t1, t1len):
+                from ..models.layers import splice_kv_cache
+
                 dus = jax.lax.dynamic_update_slice
-                cache = state.cache._replace(
-                    k=dus(state.cache.k, k1, (0, slot, 0, 0, 0)),
-                    v=dus(state.cache.v, v1, (0, slot, 0, 0, 0)),
-                    length=dus(state.cache.length, len1, (slot,)),
-                )
+                cache = splice_kv_cache(state.cache, cache1, slot)
                 new = state._replace(
                     cache=cache,
                     valid_mask=dus(state.valid_mask, valid1, (slot, 0)),
@@ -462,7 +452,7 @@ class ContinuousBatcher:
             self._state, self._trailing, self._trailing_len = splice(
                 self._state, self._trailing, self._trailing_len,
                 jnp.asarray(slot, jnp.int32),
-                s1.cache.k, s1.cache.v, s1.cache.length, s1.valid_mask,
+                s1.cache, s1.valid_mask,
                 s1.pending, s1.pending_nodrip, s1.pending_hidden,
                 s1.rope_pos, s1.done, bundle.trailing, bundle.trailing_len,
             )
@@ -478,7 +468,7 @@ class ContinuousBatcher:
             self._state, self._trailing, self._trailing_len = splice(
                 self._state, self._trailing, self._trailing_len,
                 jnp.asarray(slot, jnp.int32),
-                s1.cache.k, s1.cache.v, s1.cache.length, s1.valid_mask,
+                s1.cache, s1.valid_mask,
                 s1.last_logits, s1.last_hidden, s1.pos, bundle.trailing,
                 bundle.trailing_len,
             )
