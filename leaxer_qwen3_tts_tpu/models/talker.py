@@ -130,21 +130,36 @@ def talker_decode_step(
     # (the engine rounds its ladder top accordingly)
     fused_ok = cache.max_len <= cfg.fused_max_cache or cache.max_len % 512 == 0
     kv_q = cache.quantized  # int8 KV: fused kernels take the scale arrays
-    if cfg.decode_impl == "fused" and "fused_step" in params and 2 <= B <= 8 and not kv_q:
+    if cfg.decode_impl == "fused" and "fused_step" in params and 2 <= B <= 8:
         # batched fused step: per-stream positions, weights read ONCE for the
         # whole serving batch (ops/fused_step.fused_decode_step_batched)
         from ..ops.fused_step import batched_window, fused_decode_step_batched
 
-        if cache.max_len <= 64 or cache.max_len % batched_window(B) == 0:
+        bwin_ok = (
+            cache.max_len > 64
+            and cache.max_len % batched_window(B) == 0
+            and cache.max_len % 128 == 0
+        )
+        if (cache.max_len <= 64 or cache.max_len % batched_window(B) == 0) if not kv_q else bwin_ok:
             import jax as _jax
 
             from ..models.layers import rms_norm
 
             interpret = _jax.default_backend() != "tpu"
-            x_out, kc, vc = fused_decode_step_batched(
-                t, params["fused_step"], embed, position, cache.k, cache.v,
-                interpret=interpret,
-            )
+            if kv_q:
+                x_out, kc, vc, ksc, vsc = fused_decode_step_batched(
+                    t, params["fused_step"], embed, position, cache.k,
+                    cache.v, cache.k_scale, cache.v_scale,
+                    interpret=interpret,
+                )
+                new_cache = KVCache(k=kc, v=vc, length=cache.length + 1,
+                                    k_scale=ksc, v_scale=vsc)
+            else:
+                x_out, kc, vc = fused_decode_step_batched(
+                    t, params["fused_step"], embed, position, cache.k,
+                    cache.v, interpret=interpret,
+                )
+                new_cache = KVCache(k=kc, v=vc, length=cache.length + 1)
             hidden = rms_norm(
                 x_out, params["transformer"]["final_norm"], t.rms_norm_eps
             ).astype(embed.dtype)
@@ -152,14 +167,13 @@ def talker_decode_step(
             new_valid = valid_mask | (
                 jnp.arange(cache.max_len)[None, :] == position[:, None]
             )
-            new_cache = KVCache(k=kc, v=vc, length=cache.length + 1)
             return logits, hidden, new_cache, new_valid
     if (
         cfg.decode_impl == "fused"
         and "fused_step" in params
         and B == 1
         and fused_ok
-        and not kv_q
+        and (not kv_q or cache.max_len % 128 == 0)
     ):
         # ONE Pallas kernel for all 28 layers (ops/fused_step.py); final norm,
         # logit head, and bookkeeping stay outside the kernel
@@ -170,10 +184,19 @@ def talker_decode_step(
 
         interpret = _jax.default_backend() != "tpu"
         pos = position[0]
-        x_out, kc, vc = fused_decode_step(
-            t, params["fused_step"], embed, pos, cache.k, cache.v,
-            interpret=interpret,
-        )
+        if kv_q:
+            x_out, kc, vc, ksc, vsc = fused_decode_step(
+                t, params["fused_step"], embed, pos, cache.k, cache.v,
+                cache.k_scale, cache.v_scale, interpret=interpret,
+            )
+            new_cache = KVCache(k=kc, v=vc, length=cache.length + 1,
+                                k_scale=ksc, v_scale=vsc)
+        else:
+            x_out, kc, vc = fused_decode_step(
+                t, params["fused_step"], embed, pos, cache.k, cache.v,
+                interpret=interpret,
+            )
+            new_cache = KVCache(k=kc, v=vc, length=cache.length + 1)
         hidden = rms_norm(
             x_out, params["transformer"]["final_norm"], t.rms_norm_eps
         ).astype(embed.dtype)
@@ -181,7 +204,6 @@ def talker_decode_step(
         new_valid = jax.lax.dynamic_update_slice(
             valid_mask, jnp.ones((1, 1), bool), (0, pos)
         )
-        new_cache = KVCache(k=kc, v=vc, length=cache.length + 1)
         return logits, hidden, new_cache, new_valid
 
     hidden, cache, valid_mask = transformer_forward(

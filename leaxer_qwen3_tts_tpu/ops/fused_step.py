@@ -269,12 +269,19 @@ def _make_matmul(w_ref, s_ref, H: int, w4: bool, n_groups: int):
 
 
 def _make_kernel(cfg: TransformerConfig, T: int, mode: str = "vmem",
-                 w4: bool = False, n_groups: int = 1):
+                 w4: bool = False, n_groups: int = 1, kvq: bool = False):
     """mode: "vmem"  — per-layer K/V cache blocks resident in VMEM (T <= 512)
              "hbm"   — cache in HBM, whole [nk, T, d] DMA'd through scratch
              "win"   — cache in HBM, streamed in WINDOW-slot chunks with
                        ONLINE-SOFTMAX accumulation (any T; the VMEM cost is
                        2 double-buffered windows, not the whole context)
+    kvq: int8 KV cache — caches are int8 with f32 per-(head, slot) scale
+         arrays [L, nk, T] (models/layers.py quantize_kv grid).  Scales apply
+         in the SCORE/WEIGHT domain (exact w.r.t. the contraction); the new
+         slot quantizes in-register and the diagonal term uses the
+         DEQUANTIZED value so the kernel matches the XLA path.  int8 slot
+         RMW windows widen to 32 (int8 sublane tile); scale windows are 128
+         lanes at 128-aligned offsets.
     """
     H = cfg.hidden_size
     nq, nk, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -286,34 +293,53 @@ def _make_kernel(cfg: TransformerConfig, T: int, mode: str = "vmem",
     U = n_qkv + n_wo + n_gu + n_wd
     b1, b2, b3 = n_qkv, n_qkv + n_wo, n_qkv + n_wo + n_gu  # static boundaries
     hbm_cache = mode in ("hbm", "win")
+    SLOT_W = 32 if kvq else 8  # slot RMW window width (int8 sublane tile: 32)
 
-    def kernel(
-        pos_ref,  # SMEM [1] int32 — write slot / current position
-        x_ref,  # [1, H] f32 — step input
-        cos_ref,  # [1, d//2] f32
-        sin_ref,  # [1, d//2] f32
-        w_ref,  # [1, 1, H, N_UNIT] int8 (unit block)
-        s_ref,  # [1, 1, 1, N_UNIT] f32
-        an_ref,  # [1, 1, H] f32 attn_norm (layer block)
-        mn_ref,  # [1, 1, H] f32 mlp_norm
-        qn_ref,  # [1, 1, d] f32 q_norm
-        kn_ref,  # [1, 1, d] f32 k_norm
-        kc_in,  # VMEM variant: [1, nk, T, d] layer block; HBM variants: full [L, nk, T, d] in ANY
-        vc_in,
-        x_out,  # [1, H] f32
-        kc_out,  # VMEM variant: layer block; HBM variants: full array aliased to kc_in
-        vc_out,
-        x_s,  # scratch [1, H] f32 — residual stream
-        h_s,  # scratch [1, H] f32 — normed input to the current matmul group
-        qkv_s,  # scratch [1, qd + 2*kvd] f32
-        attn_s,  # scratch [1, qd] f32
-        gu_s,  # scratch [1, 2I] f32
-        k_vm=None,  # "hbm": [nk, T, d] scratch; "win": [2, nk, WINDOW, d]
-        v_vm=None,
-        slot_k=None,  # "win": [nk, 8, d] RMW window around pos
-        slot_v=None,
-        sems=None,  # HBM variants: DMA semaphores
-    ):
+    def kernel(*refs):
+        # --- positional unpack (inputs, outputs, scratch — flag-dependent) --
+        (pos_ref,  # SMEM [1] int32 — write slot / current position
+         x_ref,  # [1, H] f32 — step input
+         cos_ref,  # [1, d//2] f32
+         sin_ref,  # [1, d//2] f32
+         w_ref,  # [1, 1, H, N_UNIT] int8 (unit block)
+         s_ref,  # [1, 1, 1, N_UNIT] f32
+         an_ref,  # [1, 1, H] f32 attn_norm (layer block)
+         mn_ref,  # [1, 1, H] f32 mlp_norm
+         qn_ref,  # [1, 1, d] f32 q_norm
+         kn_ref,  # [1, 1, d] f32 k_norm
+         kc_in,  # VMEM variant: [1, nk, T, d] layer block; HBM variants: full [L, nk, T, d] in ANY
+         vc_in) = refs[:12]
+        i = 12
+        ks_in = vs_in = None
+        if kvq:
+            ks_in, vs_in = refs[i : i + 2]  # [1, nk, T] block | [L, nk, T] ANY
+            i += 2
+        x_out = refs[i]  # [1, H] f32
+        kc_out = refs[i + 1]  # VMEM: layer block; HBM: full array aliased
+        vc_out = refs[i + 2]
+        i += 3
+        ks_out = vs_out = None
+        if kvq:
+            ks_out, vs_out = refs[i : i + 2]
+            i += 2
+        (x_s,  # scratch [1, H] f32 — residual stream
+         h_s,  # scratch [1, H] f32 — normed input to the current matmul group
+         qkv_s,  # scratch [1, qd + 2*kvd] f32
+         attn_s,  # scratch [1, qd] f32
+         gu_s) = refs[i : i + 5]  # scratch [1, 2I] f32
+        i += 5
+        k_vm = v_vm = slot_k = slot_v = sems = None
+        ks_vm = vs_vm = slot_ks = slot_vs = None
+        if hbm_cache:
+            # "hbm": k_vm [nk, T, d]; "win": [2, nk, WINDOW, d] double-buffered
+            k_vm, v_vm, slot_k, slot_v = refs[i : i + 4]
+            i += 4
+            if kvq:
+                # "hbm": ks_vm [nk, T]; "win": [2, nk, WINDOW]; slot_ks [nk, 128]
+                ks_vm, vs_vm, slot_ks, slot_vs = refs[i : i + 4]
+                i += 4
+            sems = refs[i]
+
         l = pl.program_id(0)
         u = pl.program_id(1)
         # unit schedule, computed from u against the static boundaries.
@@ -347,6 +373,9 @@ def _make_kernel(cfg: TransformerConfig, T: int, mode: str = "vmem",
             def _cache_in():
                 pltpu.make_async_copy(kc_in.at[l], k_vm, sems.at[0]).start()
                 pltpu.make_async_copy(vc_in.at[l], v_vm, sems.at[1]).start()
+                if kvq:
+                    pltpu.make_async_copy(ks_in.at[l], ks_vm, sems.at[4]).start()
+                    pltpu.make_async_copy(vs_in.at[l], vs_vm, sems.at[5]).start()
 
         if mode == "win":
             # start the RMW slot window + the first K/V attention window while
@@ -354,13 +383,21 @@ def _make_kernel(cfg: TransformerConfig, T: int, mode: str = "vmem",
             @pl.when(u == 0)
             def _win_prefetch():
                 pos_ = pos_ref[0]
-                w0 = pl.multiple_of((pos_ // 8) * 8, 8)
+                w0 = pl.multiple_of((pos_ // SLOT_W) * SLOT_W, SLOT_W)
                 pltpu.make_async_copy(
-                    kc_in.at[l, :, pl.ds(w0, 8), :], slot_k, sems.at[4]
+                    kc_in.at[l, :, pl.ds(w0, SLOT_W), :], slot_k, sems.at[4]
                 ).start()
                 pltpu.make_async_copy(
-                    vc_in.at[l, :, pl.ds(w0, 8), :], slot_v, sems.at[5]
+                    vc_in.at[l, :, pl.ds(w0, SLOT_W), :], slot_v, sems.at[5]
                 ).start()
+                if kvq:
+                    w0s = pl.multiple_of((pos_ // 128) * 128, 128)
+                    pltpu.make_async_copy(
+                        ks_in.at[l, :, pl.ds(w0s, 128)], slot_ks, sems.at[12]
+                    ).start()
+                    pltpu.make_async_copy(
+                        vs_in.at[l, :, pl.ds(w0s, 128)], slot_vs, sems.at[13]
+                    ).start()
 
                 @pl.when(pos_ > 0)
                 def _():
@@ -372,6 +409,15 @@ def _make_kernel(cfg: TransformerConfig, T: int, mode: str = "vmem",
                         vc_in.at[l, :, pl.ds(0, WINDOW), :], v_vm.at[0],
                         sems.at[2],
                     ).start()
+                    if kvq:
+                        pltpu.make_async_copy(
+                            ks_in.at[l, :, pl.ds(0, WINDOW)], ks_vm.at[0],
+                            sems.at[8],
+                        ).start()
+                        pltpu.make_async_copy(
+                            vs_in.at[l, :, pl.ds(0, WINDOW)], vs_vm.at[0],
+                            sems.at[10],
+                        ).start()
 
         @pl.when(u == 0)
         def _norm_attn():
@@ -389,34 +435,79 @@ def _make_kernel(cfg: TransformerConfig, T: int, mode: str = "vmem",
             k = _rms(k, kn_ref[0, 0], eps)
             q = _rope(q, cos, sin)
             k = _rope(k, cos, sin)
+            if kvq:
+                # quantize the new slot in-register on the quantize_kv grid;
+                # k/v below become the DEQUANTIZED values (diagonal term and
+                # cache write read the same numbers the XLA path would)
+                k_sc = jnp.maximum(
+                    jnp.max(jnp.abs(k), axis=-1, keepdims=True) / 127.0, 1e-8
+                )  # [nk, 1]
+                v_sc = jnp.maximum(
+                    jnp.max(jnp.abs(v), axis=-1, keepdims=True) / 127.0, 1e-8
+                )
+                k_qr = jnp.clip(jnp.round(k / k_sc), -127, 127)
+                v_qr = jnp.clip(jnp.round(v / v_sc), -127, 127)
+                k = k_qr * k_sc
+                v = v_qr * v_sc
+                k_store = k_qr  # integer-valued f32; .astype(int8) at write
+                v_store = v_qr
+            else:
+                k_store, v_store = k, v
             if mode == "win":
                 # --- streamed attention: online softmax over WINDOW chunks.
                 # Slots [0, pos) stream from the HBM cache (double-buffered
                 # DMA); the new slot's contribution comes straight from
                 # registers, so the cache write-back below never races the
                 # streamed reads (it only rewrites values < pos unchanged).
-                w0 = pl.multiple_of((pos // 8) * 8, 8)
+                w0 = pl.multiple_of((pos // SLOT_W) * SLOT_W, SLOT_W)
                 pltpu.make_async_copy(
-                    kc_in.at[l, :, pl.ds(w0, 8), :], slot_k, sems.at[4]
+                    kc_in.at[l, :, pl.ds(w0, SLOT_W), :], slot_k, sems.at[4]
                 ).wait()
                 pltpu.make_async_copy(
-                    vc_in.at[l, :, pl.ds(w0, 8), :], slot_v, sems.at[5]
+                    vc_in.at[l, :, pl.ds(w0, SLOT_W), :], slot_v, sems.at[5]
                 ).wait()
-                wslot = jax.lax.broadcasted_iota(jnp.int32, (nk, 8, d), 1) + w0
+                wslot = (
+                    jax.lax.broadcasted_iota(jnp.int32, (nk, SLOT_W, d), 1) + w0
+                )
                 slot_k[:] = jnp.where(
-                    wslot == pos, k[:, None, :].astype(slot_k.dtype), slot_k[:]
+                    wslot == pos, k_store[:, None, :].astype(slot_k.dtype),
+                    slot_k[:],
                 )
                 slot_v[:] = jnp.where(
-                    wslot == pos, v[:, None, :].astype(slot_v.dtype), slot_v[:]
+                    wslot == pos, v_store[:, None, :].astype(slot_v.dtype),
+                    slot_v[:],
                 )
                 kout = pltpu.make_async_copy(
-                    slot_k, kc_out.at[l, :, pl.ds(w0, 8), :], sems.at[6]
+                    slot_k, kc_out.at[l, :, pl.ds(w0, SLOT_W), :], sems.at[6]
                 )
                 vout = pltpu.make_async_copy(
-                    slot_v, vc_out.at[l, :, pl.ds(w0, 8), :], sems.at[7]
+                    slot_v, vc_out.at[l, :, pl.ds(w0, SLOT_W), :], sems.at[7]
                 )
                 kout.start()
                 vout.start()
+                souts = []
+                if kvq:
+                    w0s = pl.multiple_of((pos // 128) * 128, 128)
+                    pltpu.make_async_copy(
+                        ks_in.at[l, :, pl.ds(w0s, 128)], slot_ks, sems.at[12]
+                    ).wait()
+                    pltpu.make_async_copy(
+                        vs_in.at[l, :, pl.ds(w0s, 128)], slot_vs, sems.at[13]
+                    ).wait()
+                    sslot = (
+                        jax.lax.broadcasted_iota(jnp.int32, (nk, 128), 1) + w0s
+                    )
+                    slot_ks[:] = jnp.where(sslot == pos, k_sc, slot_ks[:])
+                    slot_vs[:] = jnp.where(sslot == pos, v_sc, slot_vs[:])
+                    kso = pltpu.make_async_copy(
+                        slot_ks, ks_out.at[l, :, pl.ds(w0s, 128)], sems.at[14]
+                    )
+                    vso = pltpu.make_async_copy(
+                        slot_vs, vs_out.at[l, :, pl.ds(w0s, 128)], sems.at[15]
+                    )
+                    kso.start()
+                    vso.start()
+                    souts = [kso, vso]
 
                 qg = q.reshape(nk, g, d)
                 inv_sqrt_d = 1.0 / (d**0.5)
@@ -438,6 +529,15 @@ def _make_kernel(cfg: TransformerConfig, T: int, mode: str = "vmem",
                             vc_in.at[l, :, pl.ds(off_next, WINDOW), :],
                             v_vm.at[nxt], sems.at[2 + nxt],
                         ).start()
+                        if kvq:
+                            pltpu.make_async_copy(
+                                ks_in.at[l, :, pl.ds(off_next, WINDOW)],
+                                ks_vm.at[nxt], sems.at[8 + nxt],
+                            ).start()
+                            pltpu.make_async_copy(
+                                vs_in.at[l, :, pl.ds(off_next, WINDOW)],
+                                vs_vm.at[nxt], sems.at[10 + nxt],
+                            ).start()
 
                     off_i = pl.multiple_of(i * WINDOW, WINDOW)
                     pltpu.make_async_copy(
@@ -454,6 +554,16 @@ def _make_kernel(cfg: TransformerConfig, T: int, mode: str = "vmem",
                         qg, K_w, (((2,), (2,)), ((0,), (0,))),
                         preferred_element_type=jnp.float32,
                     ) * inv_sqrt_d  # [nk, g, W]
+                    if kvq:
+                        pltpu.make_async_copy(
+                            ks_in.at[l, :, pl.ds(off_i, WINDOW)], ks_vm.at[buf],
+                            sems.at[8 + buf],
+                        ).wait()
+                        pltpu.make_async_copy(
+                            vs_in.at[l, :, pl.ds(off_i, WINDOW)], vs_vm.at[buf],
+                            sems.at[10 + buf],
+                        ).wait()
+                        sc = sc * ks_vm[buf][:, None, :]
                     gslot = (
                         jax.lax.broadcasted_iota(jnp.int32, (nk, g, WINDOW), 2)
                         + i * WINDOW
@@ -463,8 +573,9 @@ def _make_kernel(cfg: TransformerConfig, T: int, mode: str = "vmem",
                     alpha = jnp.exp(m - m_new)
                     e = jnp.exp(sc - m_new)
                     s_new = s * alpha + jnp.sum(e, axis=-1, keepdims=True)
+                    ew = e * vs_vm[buf][:, None, :] if kvq else e
                     acc_new = acc * alpha + jax.lax.dot_general(
-                        e, V_w, (((2,), (1,)), ((0,), (0,))),
+                        ew, V_w, (((2,), (1,)), ((0,), (0,))),
                         preferred_element_type=jnp.float32,
                     )
                     return m_new, s_new, acc_new
@@ -487,65 +598,104 @@ def _make_kernel(cfg: TransformerConfig, T: int, mode: str = "vmem",
                 attn_s[:] = (acc / s).reshape(1, qd)
                 kout.wait()
                 vout.wait()
+                for so in souts:
+                    so.wait()
                 return
             if hbm_cache:
                 # K/V live in VMEM scratch (DMA'd at u == 0); place the new
-                # slot via an 8-aligned read-modify-write window, then DMA
+                # slot via an aligned read-modify-write window, then DMA
                 # only that window back to the HBM cache (aliased in-place)
                 pltpu.make_async_copy(kc_in.at[l], k_vm, sems.at[0]).wait()
                 pltpu.make_async_copy(vc_in.at[l], v_vm, sems.at[1]).wait()
-                w0 = pl.multiple_of((pos // 8) * 8, 8)
-                wslot = jax.lax.broadcasted_iota(jnp.int32, (nk, 8, d), 1) + w0
+                w0 = pl.multiple_of((pos // SLOT_W) * SLOT_W, SLOT_W)
+                wslot = (
+                    jax.lax.broadcasted_iota(jnp.int32, (nk, SLOT_W, d), 1) + w0
+                )
                 k_win = jnp.where(
-                    wslot == pos, k[:, None, :].astype(k_vm.dtype),
-                    k_vm[:, pl.ds(w0, 8), :],
+                    wslot == pos, k_store[:, None, :].astype(k_vm.dtype),
+                    k_vm[:, pl.ds(w0, SLOT_W), :],
                 )
                 v_win = jnp.where(
-                    wslot == pos, v[:, None, :].astype(v_vm.dtype),
-                    v_vm[:, pl.ds(w0, 8), :],
+                    wslot == pos, v_store[:, None, :].astype(v_vm.dtype),
+                    v_vm[:, pl.ds(w0, SLOT_W), :],
                 )
-                k_vm[:, pl.ds(w0, 8), :] = k_win
-                v_vm[:, pl.ds(w0, 8), :] = v_win
+                k_vm[:, pl.ds(w0, SLOT_W), :] = k_win
+                v_vm[:, pl.ds(w0, SLOT_W), :] = v_win
                 kout = pltpu.make_async_copy(
-                    k_vm.at[:, pl.ds(w0, 8), :],
-                    kc_out.at[l, :, pl.ds(w0, 8), :],
+                    k_vm.at[:, pl.ds(w0, SLOT_W), :],
+                    kc_out.at[l, :, pl.ds(w0, SLOT_W), :],
                     sems.at[2],
                 )
                 vout = pltpu.make_async_copy(
-                    v_vm.at[:, pl.ds(w0, 8), :],
-                    vc_out.at[l, :, pl.ds(w0, 8), :],
+                    v_vm.at[:, pl.ds(w0, SLOT_W), :],
+                    vc_out.at[l, :, pl.ds(w0, SLOT_W), :],
                     sems.at[3],
                 )
                 kout.start()
                 vout.start()
                 K = k_vm[:].astype(jnp.float32)  # [nk, T, d]
                 V = v_vm[:].astype(jnp.float32)
+                if kvq:
+                    pltpu.make_async_copy(ks_in.at[l], ks_vm, sems.at[4]).wait()
+                    pltpu.make_async_copy(vs_in.at[l], vs_vm, sems.at[5]).wait()
+                    sslot = jax.lax.broadcasted_iota(jnp.int32, (nk, T), 1)
+                    ks_vm[:] = jnp.where(sslot == pos, k_sc, ks_vm[:])
+                    vs_vm[:] = jnp.where(sslot == pos, v_sc, vs_vm[:])
+                    w0s = pl.multiple_of((pos // 128) * 128, 128)
+                    kso = pltpu.make_async_copy(
+                        ks_vm.at[:, pl.ds(w0s, 128)],
+                        ks_out.at[l, :, pl.ds(w0s, 128)], sems.at[6],
+                    )
+                    vso = pltpu.make_async_copy(
+                        vs_vm.at[:, pl.ds(w0s, 128)],
+                        vs_out.at[l, :, pl.ds(w0s, 128)], sems.at[7],
+                    )
+                    kso.start()
+                    vso.start()
+                    ks_row = ks_vm[:]  # [nk, T] — includes the new slot
+                    vs_row = vs_vm[:]
+                    kso.wait()
+                    vso.wait()
                 kout.wait()
                 vout.wait()
             else:
                 # cache write at pos as a masked full-block select
                 slot = jax.lax.broadcasted_iota(jnp.int32, (1, nk, T, d), 2)
                 K_new = jnp.where(
-                    slot == pos, k[None, :, None, :].astype(kc_in.dtype), kc_in[:]
+                    slot == pos,
+                    k_store[None, :, None, :].astype(kc_in.dtype), kc_in[:],
                 )
                 V_new = jnp.where(
-                    slot == pos, v[None, :, None, :].astype(vc_in.dtype), vc_in[:]
+                    slot == pos,
+                    v_store[None, :, None, :].astype(vc_in.dtype), vc_in[:],
                 )
                 kc_out[:] = K_new
                 vc_out[:] = V_new
                 K = K_new[0].astype(jnp.float32)  # [nk, T, d]
                 V = V_new[0].astype(jnp.float32)
+                if kvq:
+                    sslot = jax.lax.broadcasted_iota(jnp.int32, (1, nk, T), 2)
+                    ks_row = jnp.where(sslot == pos, k_sc[None], ks_in[:])
+                    vs_row = jnp.where(sslot == pos, v_sc[None], vs_in[:])
+                    ks_out[:] = ks_row
+                    vs_out[:] = vs_row
+                    ks_row = ks_row[0]  # [nk, T]
+                    vs_row = vs_row[0]
             qg = q.reshape(nk, g, d)
             scores = jax.lax.dot_general(
                 qg, K, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )  # [nk, g, T]
             scores = scores * (1.0 / (d**0.5))
+            if kvq:
+                scores = scores * ks_row[:, None, :]
             slot = jax.lax.broadcasted_iota(jnp.int32, (nk, g, T), 2)
             scores = jnp.where(slot <= pos, scores, -1e30)
             m = jnp.max(scores, axis=-1, keepdims=True)
             e = jnp.exp(scores - m)
             w = e / jnp.sum(e, axis=-1, keepdims=True)
+            if kvq:
+                w = w * vs_row[:, None, :]
             out = jax.lax.dot_general(
                 w, V, (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
@@ -613,14 +763,17 @@ def fused_decode_step(
     pos: jax.Array,  # scalar int32
     k_cache: jax.Array,  # [L, 1, nk, T, d]
     v_cache: jax.Array,
+    k_scale: "jax.Array | None" = None,  # [L, 1, nk, T] f32 (int8 KV cache)
+    v_scale: "jax.Array | None" = None,
     interpret: bool = False,
     mode: str = None,
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
+):
     """One fused decode step over all layers (pre-final-norm output).
 
-    Returns (x_out [1, H] f32, k_cache, v_cache).  ``mode`` (vmem/hbm/win)
-    defaults by cache size — resolved OUTSIDE jit so env overrides and
-    explicit choices are never shadowed by a cached trace."""
+    Returns (x_out [1, H] f32, k_cache, v_cache[, k_scale, v_scale]) — the
+    scale outputs only when a quantized cache was given.  ``mode``
+    (vmem/hbm/win) defaults by cache size — resolved OUTSIDE jit so env
+    overrides and explicit choices are never shadowed by a cached trace."""
     T = k_cache.shape[3]
     # clamp like dynamic_update_slice would: an overflowing position (idle
     # done stream in a serving pool) must not DMA outside the cache
@@ -634,8 +787,13 @@ def fused_decode_step(
         )
     if mode == "vmem" and T > 512:
         raise ValueError(f"vmem mode caps at 512 cache slots, got {T}")
+    if k_scale is not None and T % 128 != 0:
+        raise ValueError(
+            f"int8 KV fused decode needs the bucket ({T}) 128-aligned "
+            f"(scale slot windows); round the bucket up (engine does this)"
+        )
     return _fused_decode_step_jit(cfg, fw, x, pos, k_cache, v_cache,
-                                  interpret, mode)
+                                  k_scale, v_scale, interpret, mode)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "interpret", "mode"))
@@ -646,9 +804,11 @@ def _fused_decode_step_jit(
     pos: jax.Array,
     k_cache: jax.Array,
     v_cache: jax.Array,
+    k_scale,
+    v_scale,
     interpret: bool,
     mode: str,
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
+):
     L = fw.units.shape[0]
     T = k_cache.shape[3]
     H = cfg.hidden_size
@@ -656,10 +816,13 @@ def _fused_decode_step_jit(
     qd, kvd, I = cfg.q_dim, cfg.kv_dim, cfg.intermediate_size
 
     hbm_cache = mode in ("hbm", "win")
+    kvq = k_scale is not None
     KU = fw.units.shape[2]  # H (int8) or H/2 (int4 nibble-packed)
     w4 = KU == H // 2
     n_groups = fw.scales.shape[2]
-    kernel, U = _make_kernel(cfg, T, mode=mode, w4=w4, n_groups=n_groups)
+    kernel, U = _make_kernel(cfg, T, mode=mode, w4=w4, n_groups=n_groups,
+                             kvq=kvq)
+    SLOT_W = 32 if kvq else 8
 
     half = d // 2
     freqs = 1.0 / (cfg.rope_theta ** (jnp.arange(half, dtype=jnp.float32) / half))
@@ -669,6 +832,9 @@ def _fused_decode_step_jit(
 
     kc = k_cache.reshape(L, nk, T, d)
     vc = v_cache.reshape(L, nk, T, d)
+    if kvq:
+        ks = k_scale.reshape(L, nk, T)
+        vs = v_scale.reshape(L, nk, T)
 
     norm_block = lambda l, u: (l, 0, 0)
 
@@ -694,65 +860,73 @@ def _fused_decode_step_jit(
         pltpu.VMEM((1, 2 * I), jnp.float32),
     ]
     x_out_spec = pl.BlockSpec((1, H), lambda l, u: (0, 0), memory_space=_VMEM)
+    out_shape = [
+        jax.ShapeDtypeStruct((1, H), jnp.float32),
+        jax.ShapeDtypeStruct((L, nk, T, d), kc.dtype),
+        jax.ShapeDtypeStruct((L, nk, T, d), vc.dtype),
+    ]
+    if kvq:
+        out_shape += [
+            jax.ShapeDtypeStruct((L, nk, T), jnp.float32),
+            jax.ShapeDtypeStruct((L, nk, T), jnp.float32),
+        ]
     if hbm_cache:
         # caches stay in HBM (ANY), aliased input->output for in-place update;
         # the kernel DMAs the layer's K/V through VMEM scratch
-        in_specs += [
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ]
-        out_specs = [
-            x_out_spec,
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ]
+        any_spec = pl.BlockSpec(memory_space=pl.ANY)
+        in_specs += [any_spec, any_spec] + ([any_spec, any_spec] if kvq else [])
+        out_specs = [x_out_spec, any_spec, any_spec] + (
+            [any_spec, any_spec] if kvq else []
+        )
         if mode == "win":
             scratch += [
                 pltpu.VMEM((2, nk, WINDOW, d), kc.dtype),  # double-buffered
                 pltpu.VMEM((2, nk, WINDOW, d), vc.dtype),
-                pltpu.VMEM((nk, 8, d), kc.dtype),  # RMW slot window
-                pltpu.VMEM((nk, 8, d), vc.dtype),
-                pltpu.SemaphoreType.DMA((8,)),
+                pltpu.VMEM((nk, SLOT_W, d), kc.dtype),  # RMW slot window
+                pltpu.VMEM((nk, SLOT_W, d), vc.dtype),
             ]
+            if kvq:
+                scratch += [
+                    pltpu.VMEM((2, nk, WINDOW), jnp.float32),
+                    pltpu.VMEM((2, nk, WINDOW), jnp.float32),
+                    pltpu.VMEM((nk, 128), jnp.float32),  # scale slot windows
+                    pltpu.VMEM((nk, 128), jnp.float32),
+                ]
+            scratch += [pltpu.SemaphoreType.DMA((16 if kvq else 8,))]
         else:
             scratch += [
                 pltpu.VMEM((nk, T, d), kc.dtype),
                 pltpu.VMEM((nk, T, d), vc.dtype),
-                pltpu.VMEM((nk, 8, d), kc.dtype),  # unused (signature pad)
-                pltpu.VMEM((nk, 8, d), vc.dtype),
-                pltpu.SemaphoreType.DMA((8,)),
+                pltpu.VMEM((nk, SLOT_W, d), kc.dtype),  # unused (signature pad)
+                pltpu.VMEM((nk, SLOT_W, d), vc.dtype),
             ]
-        aliases = {10: 1, 11: 2}  # kc, vc inputs -> outputs (in-place)
+            if kvq:
+                scratch += [
+                    pltpu.VMEM((nk, T), jnp.float32),
+                    pltpu.VMEM((nk, T), jnp.float32),
+                    pltpu.VMEM((nk, 128), jnp.float32),  # unused pads
+                    pltpu.VMEM((nk, 128), jnp.float32),
+                ]
+            scratch += [pltpu.SemaphoreType.DMA((8,))]
+        if kvq:
+            # kc, vc, ks, vs inputs -> outputs (in-place)
+            aliases = {10: 1, 11: 2, 12: 3, 13: 4}
+        else:
+            aliases = {10: 1, 11: 2}
     else:
-        in_specs += [
-            pl.BlockSpec((1, nk, T, d), lambda l, u: (l, 0, 0, 0),
-                         memory_space=_VMEM),
-            pl.BlockSpec((1, nk, T, d), lambda l, u: (l, 0, 0, 0),
-                         memory_space=_VMEM),
-        ]
-        out_specs = [
-            x_out_spec,
-            pl.BlockSpec((1, nk, T, d), lambda l, u: (l, 0, 0, 0),
-                         memory_space=_VMEM),
-            pl.BlockSpec((1, nk, T, d), lambda l, u: (l, 0, 0, 0),
-                         memory_space=_VMEM),
-        ]
+        cache_spec = pl.BlockSpec((1, nk, T, d), lambda l, u: (l, 0, 0, 0),
+                                  memory_space=_VMEM)
+        scale_spec = pl.BlockSpec((1, nk, T), lambda l, u: (l, 0, 0),
+                                  memory_space=_VMEM)
+        in_specs += [cache_spec, cache_spec] + (
+            [scale_spec, scale_spec] if kvq else []
+        )
+        out_specs = [x_out_spec, cache_spec, cache_spec] + (
+            [scale_spec, scale_spec] if kvq else []
+        )
         aliases = {}
 
-    x_out, kc_out, vc_out = pl.pallas_call(
-        kernel,
-        grid=(L, U),
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=[
-            jax.ShapeDtypeStruct((1, H), jnp.float32),
-            jax.ShapeDtypeStruct((L, nk, T, d), kc.dtype),
-            jax.ShapeDtypeStruct((L, nk, T, d), vc.dtype),
-        ],
-        scratch_shapes=scratch,
-        input_output_aliases=aliases,
-        interpret=interpret,
-    )(
+    args = [
         jnp.asarray([pos], jnp.int32),
         x.astype(jnp.float32),
         cos,
@@ -765,8 +939,26 @@ def _fused_decode_step_jit(
         fw.k_norm,
         kc,
         vc,
-    )
-    return x_out, kc_out.reshape(L, 1, nk, T, d), vc_out.reshape(L, 1, nk, T, d)
+    ]
+    if kvq:
+        args += [ks, vs]
+    outs = pl.pallas_call(
+        kernel,
+        grid=(L, U),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        input_output_aliases=aliases,
+        interpret=interpret,
+    )(*args)
+    x_out, kc_out, vc_out = outs[:3]
+    kc_out = kc_out.reshape(L, 1, nk, T, d)
+    vc_out = vc_out.reshape(L, 1, nk, T, d)
+    if kvq:
+        return (x_out, kc_out, vc_out,
+                outs[3].reshape(L, 1, nk, T), outs[4].reshape(L, 1, nk, T))
+    return x_out, kc_out, vc_out
 
 
 # ---------------------------------------------------------------------------
@@ -790,7 +982,8 @@ def batched_window(B: int) -> int:
 
 
 def _make_kernel_batched(cfg: TransformerConfig, T: int, B: int, mode: str,
-                         w4: bool = False, n_groups: int = 1):
+                         w4: bool = False, n_groups: int = 1,
+                         kvq: bool = False):
     H = cfg.hidden_size
     nq, nk, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     g = nq // nk
@@ -801,35 +994,55 @@ def _make_kernel_batched(cfg: TransformerConfig, T: int, B: int, mode: str,
     U = n_qkv + n_wo + n_gu + n_wd
     b1, b2, b3 = n_qkv, n_qkv + n_wo, n_qkv + n_wo + n_gu
     W = batched_window(B)
+    SLOT_W = 32 if kvq else 8  # int8 sublane tile: 32
+    # sem layout (bwin): 0-3 cache window bufs; kvq: 4-7 scale window bufs;
+    # then per-stream slot pairs (cache), then per-stream slot pairs (scale)
+    SLOT_SEM = 8 if kvq else 4
+    SSLOT_SEM = SLOT_SEM + 2 * B  # scale slot sems (kvq only)
 
-    def kernel(
-        pos_ref,  # SMEM [B] int32 — per-stream write slot / position
-        x_ref,  # [B, H] f32
-        pos_vm,  # [B, 1] int32 (vector copy of pos for mask math)
-        cos_ref,  # [B, d//2] f32
-        sin_ref,  # [B, d//2] f32
-        w_ref,  # [1, 1, H, N_UNIT] int8
-        s_ref,  # [1, 1, 1, N_UNIT] f32
-        an_ref,
-        mn_ref,
-        qn_ref,
-        kn_ref,
-        kc_in,  # bvmem: [1, B, nk, T, d] block; bwin: full [L, B, nk, T, d] ANY
-        vc_in,
-        x_out,  # [B, H] f32
-        kc_out,
-        vc_out,
-        x_s,  # [B, H] f32
-        h_s,  # [B, H] f32
-        qkv_s,  # [B, qd + 2*kvd] f32
-        attn_s,  # [B, qd] f32
-        gu_s,  # [B, 2I] f32
-        k_vm=None,  # bwin: [2, B, nk, W, d] cache dtype
-        v_vm=None,
-        kslot=None,  # bwin: [B, nk, 8, d] per-stream RMW windows
-        vslot=None,
-        sems=None,  # bwin: DMA sems (4 + 2*B,)
-    ):
+    def kernel(*refs):
+        (pos_ref,  # SMEM [B] int32 — per-stream write slot / position
+         x_ref,  # [B, H] f32
+         pos_vm,  # [B, 1] int32 (vector copy of pos for mask math)
+         cos_ref,  # [B, d//2] f32
+         sin_ref,  # [B, d//2] f32
+         w_ref,  # [1, 1, H, N_UNIT] int8
+         s_ref,  # [1, 1, 1, N_UNIT] f32
+         an_ref,
+         mn_ref,
+         qn_ref,
+         kn_ref,
+         kc_in,  # bvmem: [1, B, nk, T, d] block; bwin: full [L, B, nk, T, d] ANY
+         vc_in) = refs[:13]
+        i = 13
+        ks_in = vs_in = None
+        if kvq:
+            ks_in, vs_in = refs[i : i + 2]  # [L, B, nk, T] ANY (bwin)
+            i += 2
+        x_out, kc_out, vc_out = refs[i : i + 3]  # x_out [B, H] f32
+        i += 3
+        ks_out = vs_out = None
+        if kvq:
+            ks_out, vs_out = refs[i : i + 2]
+            i += 2
+        (x_s,  # [B, H] f32
+         h_s,  # [B, H] f32
+         qkv_s,  # [B, qd + 2*kvd] f32
+         attn_s,  # [B, qd] f32
+         gu_s) = refs[i : i + 5]  # [B, 2I] f32
+        i += 5
+        k_vm = v_vm = kslot = vslot = sems = None
+        ks_vm = vs_vm = kslot_s = vslot_s = None
+        if mode == "bwin":
+            # k_vm [2, B, nk, W, d]; kslot [B, nk, SLOT_W, d] per-stream RMW
+            k_vm, v_vm, kslot, vslot = refs[i : i + 4]
+            i += 4
+            if kvq:
+                # ks_vm [2, B, nk, W]; kslot_s [B, nk, 128]
+                ks_vm, vs_vm, kslot_s, vslot_s = refs[i : i + 4]
+                i += 4
+            sems = refs[i]
+
         l = pl.program_id(0)
         u = pl.program_id(1)
         nn = H // N_UNIT
@@ -864,6 +1077,15 @@ def _make_kernel_batched(cfg: TransformerConfig, T: int, B: int, mode: str,
                         vc_in.at[l, :, :, pl.ds(0, W), :], v_vm.at[0],
                         sems.at[2],
                     ).start()
+                    if kvq:
+                        pltpu.make_async_copy(
+                            ks_in.at[l, :, :, pl.ds(0, W)], ks_vm.at[0],
+                            sems.at[4],
+                        ).start()
+                        pltpu.make_async_copy(
+                            vs_in.at[l, :, :, pl.ds(0, W)], vs_vm.at[0],
+                            sems.at[6],
+                        ).start()
 
         @pl.when(u == 0)
         def _norm_attn():
@@ -887,6 +1109,22 @@ def _make_kernel_batched(cfg: TransformerConfig, T: int, B: int, mode: str,
                 )
             q = rope_b(q)
             k = rope_b(k)
+            if kvq:
+                # quantize each stream's new slot in-register (quantize_kv
+                # grid); k/v below are the DEQUANTIZED values
+                k_sc = jnp.maximum(
+                    jnp.max(jnp.abs(k), axis=-1, keepdims=True) / 127.0, 1e-8
+                )  # [B, nk, 1]
+                v_sc = jnp.maximum(
+                    jnp.max(jnp.abs(v), axis=-1, keepdims=True) / 127.0, 1e-8
+                )
+                k_qr = jnp.clip(jnp.round(k / k_sc), -127, 127)
+                v_qr = jnp.clip(jnp.round(v / v_sc), -127, 127)
+                k = k_qr * k_sc
+                v = v_qr * v_sc
+                k_store, v_store = k_qr, v_qr
+            else:
+                k_store, v_store = k, v
             qg = q.reshape(B, nk, g, d)
             inv_sqrt_d = 1.0 / (d**0.5)
             pos_col = pos_vm[:]  # [B, 1]
@@ -928,49 +1166,82 @@ def _make_kernel_batched(cfg: TransformerConfig, T: int, B: int, mode: str,
                 attn_s[:] = out.reshape(B, qd)
                 return
 
-            # --- bwin: per-stream 8-aligned RMW window around pos[b] (the
+            # --- bwin: per-stream aligned RMW window around pos[b] (the
             # B=1 kernel's approach; a 1-slot staging buffer is not sliceable
             # under bf16 sublane tiling).  Writes back slots < pos unchanged,
             # so it never races the streamed window reads.
             ins = []
             for b in range(B):
-                w0b = pl.multiple_of((pos_ref[b] // 8) * 8, 8)
+                w0b = pl.multiple_of((pos_ref[b] // SLOT_W) * SLOT_W, SLOT_W)
                 ki = pltpu.make_async_copy(
-                    kc_in.at[l, b, :, pl.ds(w0b, 8), :], kslot.at[b],
-                    sems.at[4 + 2 * b],
+                    kc_in.at[l, b, :, pl.ds(w0b, SLOT_W), :], kslot.at[b],
+                    sems.at[SLOT_SEM + 2 * b],
                 )
                 vi = pltpu.make_async_copy(
-                    vc_in.at[l, b, :, pl.ds(w0b, 8), :], vslot.at[b],
-                    sems.at[5 + 2 * b],
+                    vc_in.at[l, b, :, pl.ds(w0b, SLOT_W), :], vslot.at[b],
+                    sems.at[SLOT_SEM + 1 + 2 * b],
                 )
                 ki.start()
                 vi.start()
                 ins.append((ki, vi))
+                if kvq:
+                    w0s = pl.multiple_of((pos_ref[b] // 128) * 128, 128)
+                    ksi = pltpu.make_async_copy(
+                        ks_in.at[l, b, :, pl.ds(w0s, 128)], kslot_s.at[b],
+                        sems.at[SSLOT_SEM + 2 * b],
+                    )
+                    vsi = pltpu.make_async_copy(
+                        vs_in.at[l, b, :, pl.ds(w0s, 128)], vslot_s.at[b],
+                        sems.at[SSLOT_SEM + 1 + 2 * b],
+                    )
+                    ksi.start()
+                    vsi.start()
+                    ins.append((ksi, vsi))
             for ki, vi in ins:
                 ki.wait()
                 vi.wait()
-            wpos = jax.lax.broadcasted_iota(jnp.int32, (B, nk, 8, d), 2)
-            rel = (pos_col - (pos_col // 8) * 8).reshape(B, 1, 1, 1)
+            wpos = jax.lax.broadcasted_iota(jnp.int32, (B, nk, SLOT_W, d), 2)
+            rel = (pos_col - (pos_col // SLOT_W) * SLOT_W).reshape(B, 1, 1, 1)
             kslot[:] = jnp.where(
-                wpos == rel, k[:, :, None, :].astype(kslot.dtype), kslot[:]
+                wpos == rel, k_store[:, :, None, :].astype(kslot.dtype),
+                kslot[:],
             )
             vslot[:] = jnp.where(
-                wpos == rel, v[:, :, None, :].astype(vslot.dtype), vslot[:]
+                wpos == rel, v_store[:, :, None, :].astype(vslot.dtype),
+                vslot[:],
             )
+            if kvq:
+                spos = jax.lax.broadcasted_iota(jnp.int32, (B, nk, 128), 2)
+                rel_s = (pos_col - (pos_col // 128) * 128).reshape(B, 1, 1)
+                kslot_s[:] = jnp.where(spos == rel_s, k_sc, kslot_s[:])
+                vslot_s[:] = jnp.where(spos == rel_s, v_sc, vslot_s[:])
             outs = []
             for b in range(B):
-                w0b = pl.multiple_of((pos_ref[b] // 8) * 8, 8)
+                w0b = pl.multiple_of((pos_ref[b] // SLOT_W) * SLOT_W, SLOT_W)
                 ko = pltpu.make_async_copy(
-                    kslot.at[b], kc_out.at[l, b, :, pl.ds(w0b, 8), :],
-                    sems.at[4 + 2 * b],
+                    kslot.at[b], kc_out.at[l, b, :, pl.ds(w0b, SLOT_W), :],
+                    sems.at[SLOT_SEM + 2 * b],
                 )
                 vo = pltpu.make_async_copy(
-                    vslot.at[b], vc_out.at[l, b, :, pl.ds(w0b, 8), :],
-                    sems.at[5 + 2 * b],
+                    vslot.at[b], vc_out.at[l, b, :, pl.ds(w0b, SLOT_W), :],
+                    sems.at[SLOT_SEM + 1 + 2 * b],
                 )
                 ko.start()
                 vo.start()
                 outs.append((ko, vo))
+                if kvq:
+                    w0s = pl.multiple_of((pos_ref[b] // 128) * 128, 128)
+                    kso = pltpu.make_async_copy(
+                        kslot_s.at[b], ks_out.at[l, b, :, pl.ds(w0s, 128)],
+                        sems.at[SSLOT_SEM + 2 * b],
+                    )
+                    vso = pltpu.make_async_copy(
+                        vslot_s.at[b], vs_out.at[l, b, :, pl.ds(w0s, 128)],
+                        sems.at[SSLOT_SEM + 1 + 2 * b],
+                    )
+                    kso.start()
+                    vso.start()
+                    outs.append((kso, vso))
 
             max_pos = pos_ref[0]
             for b in range(1, B):
@@ -993,6 +1264,15 @@ def _make_kernel_batched(cfg: TransformerConfig, T: int, B: int, mode: str,
                         vc_in.at[l, :, :, pl.ds(off_next, W), :],
                         v_vm.at[nxt], sems.at[2 + nxt],
                     ).start()
+                    if kvq:
+                        pltpu.make_async_copy(
+                            ks_in.at[l, :, :, pl.ds(off_next, W)],
+                            ks_vm.at[nxt], sems.at[4 + nxt],
+                        ).start()
+                        pltpu.make_async_copy(
+                            vs_in.at[l, :, :, pl.ds(off_next, W)],
+                            vs_vm.at[nxt], sems.at[6 + nxt],
+                        ).start()
 
                 off_i = pl.multiple_of(i * W, W)
                 pltpu.make_async_copy(
@@ -1012,6 +1292,16 @@ def _make_kernel_batched(cfg: TransformerConfig, T: int, B: int, mode: str,
                     preferred_element_type=jnp.float32,
                 ) * inv_sqrt_d  # [B*nk, g, W]
                 sc = sc.reshape(B, nk, g, W)
+                if kvq:
+                    pltpu.make_async_copy(
+                        ks_in.at[l, :, :, pl.ds(off_i, W)], ks_vm.at[buf],
+                        sems.at[4 + buf],
+                    ).wait()
+                    pltpu.make_async_copy(
+                        vs_in.at[l, :, :, pl.ds(off_i, W)], vs_vm.at[buf],
+                        sems.at[6 + buf],
+                    ).wait()
+                    sc = sc * ks_vm[buf][:, :, None, :]
                 gslot = (
                     jax.lax.broadcasted_iota(jnp.int32, (B, nk, g, W), 3)
                     + i * W
@@ -1021,8 +1311,9 @@ def _make_kernel_batched(cfg: TransformerConfig, T: int, B: int, mode: str,
                 alpha = jnp.exp(m - m_new)
                 e = jnp.exp(sc - m_new)
                 s_new = s * alpha + jnp.sum(e, axis=-1, keepdims=True)
+                ew = e * vs_vm[buf][:, :, None, :] if kvq else e
                 acc_new = acc * alpha + jax.lax.dot_general(
-                    e.reshape(B * nk, g, W), V_w, (((2,), (1,)), ((0,), (0,))),
+                    ew.reshape(B * nk, g, W), V_w, (((2,), (1,)), ((0,), (0,))),
                     preferred_element_type=jnp.float32,
                 ).reshape(B, nk, g, d)
                 return m_new, s_new, acc_new
@@ -1092,11 +1383,13 @@ def fused_decode_step_batched(
     pos: jax.Array,  # [B] int32 — per-stream positions
     k_cache: jax.Array,  # [L, B, nk, T, d]
     v_cache: jax.Array,
+    k_scale: "jax.Array | None" = None,  # [L, B, nk, T] f32 (int8 KV cache)
+    v_scale: "jax.Array | None" = None,
     interpret: bool = False,
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
+):
     """Batched fused decode step (B streams, per-stream positions).
 
-    Returns (x_out [B, H] f32, k_cache, v_cache)."""
+    Returns (x_out [B, H] f32, k_cache, v_cache[, k_scale, v_scale])."""
     B = x.shape[0]
     T = k_cache.shape[3]
     # clamp like dynamic_update_slice would: an overflowing position (idle
@@ -1109,8 +1402,19 @@ def fused_decode_step_batched(
             f"batched fused decode needs the KV bucket ({T}) to be a "
             f"multiple of {W} at B={B}"
         )
+    if k_scale is not None:
+        if mode == "bvmem":
+            raise ValueError(
+                "int8 KV batched fused decode supports the bwin mode only "
+                "(the <=64-slot bvmem caches are the MTP's, never quantized)"
+            )
+        if T % 128 != 0:
+            raise ValueError(
+                f"int8 KV batched fused decode needs the bucket ({T}) "
+                f"128-aligned (scale slot windows)"
+            )
     return _fused_decode_step_batched_jit(
-        cfg, fw, x, pos, k_cache, v_cache, interpret, mode
+        cfg, fw, x, pos, k_cache, v_cache, k_scale, v_scale, interpret, mode
     )
 
 
@@ -1122,9 +1426,11 @@ def _fused_decode_step_batched_jit(
     pos: jax.Array,
     k_cache: jax.Array,
     v_cache: jax.Array,
+    k_scale,
+    v_scale,
     interpret: bool,
     mode: str,
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
+):
     L = fw.units.shape[0]
     B = x.shape[0]
     T = k_cache.shape[3]
@@ -1132,11 +1438,14 @@ def _fused_decode_step_batched_jit(
     nk, d = cfg.num_kv_heads, cfg.head_dim
     qd, kvd, I = cfg.q_dim, cfg.kv_dim, cfg.intermediate_size
     W = batched_window(B)
+    kvq = k_scale is not None
+    SLOT_W = 32 if kvq else 8
 
     KU = fw.units.shape[2]  # H (int8) or H/2 (int4 nibble-packed)
     w4 = KU == H // 2
     n_groups = fw.scales.shape[2]
-    kernel, U = _make_kernel_batched(cfg, T, B, mode, w4=w4, n_groups=n_groups)
+    kernel, U = _make_kernel_batched(cfg, T, B, mode, w4=w4, n_groups=n_groups,
+                                     kvq=kvq)
 
     half = d // 2
     freqs = 1.0 / (cfg.rope_theta ** (jnp.arange(half, dtype=jnp.float32) / half))
@@ -1168,24 +1477,40 @@ def _fused_decode_step_batched_jit(
         pltpu.VMEM((B, 2 * I), jnp.float32),
     ]
     x_out_spec = pl.BlockSpec((B, H), lambda l, u: (0, 0), memory_space=_VMEM)
+    out_shape = [
+        jax.ShapeDtypeStruct((B, H), jnp.float32),
+        jax.ShapeDtypeStruct((L, B, nk, T, d), k_cache.dtype),
+        jax.ShapeDtypeStruct((L, B, nk, T, d), v_cache.dtype),
+    ]
+    if kvq:
+        out_shape += [
+            jax.ShapeDtypeStruct((L, B, nk, T), jnp.float32),
+            jax.ShapeDtypeStruct((L, B, nk, T), jnp.float32),
+        ]
     if mode == "bwin":
-        in_specs += [
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ]
-        out_specs = [
-            x_out_spec,
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ]
+        any_spec = pl.BlockSpec(memory_space=pl.ANY)
+        in_specs += [any_spec, any_spec] + ([any_spec, any_spec] if kvq else [])
+        out_specs = [x_out_spec, any_spec, any_spec] + (
+            [any_spec, any_spec] if kvq else []
+        )
         scratch += [
             pltpu.VMEM((2, B, nk, W, d), k_cache.dtype),
             pltpu.VMEM((2, B, nk, W, d), v_cache.dtype),
-            pltpu.VMEM((B, nk, 8, d), k_cache.dtype),
-            pltpu.VMEM((B, nk, 8, d), v_cache.dtype),
-            pltpu.SemaphoreType.DMA((4 + 2 * B,)),
+            pltpu.VMEM((B, nk, SLOT_W, d), k_cache.dtype),
+            pltpu.VMEM((B, nk, SLOT_W, d), v_cache.dtype),
         ]
-        aliases = {11: 1, 12: 2}
+        if kvq:
+            scratch += [
+                pltpu.VMEM((2, B, nk, W), jnp.float32),
+                pltpu.VMEM((2, B, nk, W), jnp.float32),
+                pltpu.VMEM((B, nk, 128), jnp.float32),
+                pltpu.VMEM((B, nk, 128), jnp.float32),
+            ]
+            scratch += [pltpu.SemaphoreType.DMA((8 + 4 * B,))]
+            aliases = {11: 1, 12: 2, 13: 3, 14: 4}
+        else:
+            scratch += [pltpu.SemaphoreType.DMA((4 + 2 * B,))]
+            aliases = {11: 1, 12: 2}
     else:
         in_specs += [
             pl.BlockSpec((1, B, nk, T, d), lambda l, u: (l, 0, 0, 0, 0),
@@ -1209,21 +1534,7 @@ def _fused_decode_step_batched_jit(
         compiler_params = pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024
         )
-    x_out, kc_out, vc_out = pl.pallas_call(
-        kernel,
-        grid=(L, U),
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=[
-            jax.ShapeDtypeStruct((B, H), jnp.float32),
-            jax.ShapeDtypeStruct((L, B, nk, T, d), k_cache.dtype),
-            jax.ShapeDtypeStruct((L, B, nk, T, d), v_cache.dtype),
-        ],
-        scratch_shapes=scratch,
-        input_output_aliases=aliases,
-        interpret=interpret,
-        compiler_params=compiler_params,
-    )(
+    args = [
         jnp.asarray(pos, jnp.int32),
         x.astype(jnp.float32),
         jnp.asarray(pos, jnp.int32)[:, None],
@@ -1237,5 +1548,20 @@ def _fused_decode_step_batched_jit(
         fw.k_norm,
         k_cache,
         v_cache,
-    )
-    return x_out, kc_out, vc_out
+    ]
+    if kvq:
+        args += [k_scale, v_scale]
+    outs = pl.pallas_call(
+        kernel,
+        grid=(L, U),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        input_output_aliases=aliases,
+        interpret=interpret,
+        compiler_params=compiler_params,
+    )(*args)
+    if kvq:
+        return outs[0], outs[1], outs[2], outs[3], outs[4]
+    return outs[0], outs[1], outs[2]
