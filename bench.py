@@ -309,6 +309,88 @@ def main() -> None:
         except Exception as e:
             log(f"long-form probe failed: {e}")
 
+    # --- int8 KV cache probes (models/layers.py kv_cache_quant) -------------
+    # the KV-byte-bound regimes: batched serving (B>=8) and long-form decode.
+    # Same weights; only the cache dtype/scales differ.
+    kvq_results = {}
+    if batch == 1 and os.environ.get("BENCH_SKIP_KVQ") != "1":
+        import dataclasses
+
+        kvq_cfg = dataclasses.replace(
+            cfg,
+            talker=dataclasses.replace(
+                cfg.talker,
+                transformer=dataclasses.replace(
+                    cfg.talker.transformer, kv_cache_quant=True
+                ),
+            ),
+        )
+        for Bs in (8, 32):
+            try:
+                blen = ((frames + 32 + 127) // 128) * 128
+                fnsq = make_generate_fns(
+                    kvq_cfg, batch=Bs, max_len=blen, chunk_len=chunk
+                )
+                idsb = jnp.full((Bs, T), 100, jnp.int32)
+                lensb = jnp.full((Bs,), T, jnp.int32)
+                stq, bdq = fnsq.prefill(params, idsb, lensb, key)
+                stq, frq, _ = fnsq.decode(
+                    params, stq, bdq.trailing, bdq.trailing_len,
+                    bdq.tts_pad_embed, sp,
+                )
+                sync(frq)
+                ab = voc(params["vocoder"], frq)
+                sync(ab)
+                nb = max(2, n_chunks // 2)
+                t0 = time.perf_counter()
+                abs_ = []
+                for _ in range(nb):
+                    stq, frq, _ = fnsq.decode(
+                        params, stq, bdq.trailing, bdq.trailing_len,
+                        bdq.tts_pad_embed, sp,
+                    )
+                    abs_.append(voc(params["vocoder"], frq))
+                for ab in abs_:
+                    sync(ab)
+                dtq = time.perf_counter() - t0
+                kvq_results[f"serving_kvq_rtf_batch{Bs}"] = round(
+                    (nb * chunk * Bs / FRAME_RATE) / dtq, 1
+                )
+                log(f"serving batch{Bs} (int8 KV): "
+                    f"{kvq_results[f'serving_kvq_rtf_batch{Bs}']:.1f}x aggregate RTF")
+            except Exception as e:
+                log(f"kvq serving probe (B={Bs}) failed: {e}")
+        try:
+            fnsl = make_generate_fns(kvq_cfg, batch=1, max_len=2560,
+                                     chunk_len=chunk)
+            stl, bdl = fnsl.prefill(params, ids[:1], lens[:1], key)
+            fill = jnp.asarray(2000, jnp.int32)
+            stl = stl._replace(
+                pos=jnp.full_like(stl.pos, fill),
+                cache=stl.cache._replace(
+                    length=jnp.full_like(stl.cache.length, fill)
+                ),
+                valid_mask=jnp.ones_like(stl.valid_mask),
+            )
+            stl, frl, _ = fnsl.decode(
+                params, stl, bdl.trailing, bdl.trailing_len, bdl.tts_pad_embed, sp
+            )
+            sync(frl)
+            t0 = time.perf_counter()
+            for _ in range(2):
+                stl, frl, _ = fnsl.decode(
+                    params, stl, bdl.trailing, bdl.trailing_len,
+                    bdl.tts_pad_embed, sp,
+                )
+            sync(frl)
+            kvq_results["longform_kvq_ms_per_frame"] = round(
+                (time.perf_counter() - t0) / (2 * chunk) * 1e3, 2
+            )
+            log(f"long-form (int8 KV): "
+                f"{kvq_results['longform_kvq_ms_per_frame']:.2f} ms/frame")
+        except Exception as e:
+            log(f"kvq long-form probe failed: {e}")
+
     # --- speculative decoding probes (runtime/speculative.py, B=1) ----------
     # Drafted frames verify in one S=K talker pass; committed codes are exact.
     # "floor" uses an always-wrong draft (acceptance 0: every iteration
@@ -462,6 +544,7 @@ def main() -> None:
         result["bf16_decode_ms_per_frame"] = round(bf16_frame_ms, 2)
     if long_frame_ms is not None:
         result["longform_decode_ms_per_frame"] = round(long_frame_ms, 2)
+    result.update(kvq_results)
     result.update(spec_results)
     print(json.dumps(result), flush=True)
 

@@ -232,11 +232,62 @@ def _spec_iteration(
     inputs = (nodrip + drip).astype(t.jnp_dtype)  # [B, k, H]
 
     # --- ONE talker pass over all B*K inputs (weights read once) ----------
-    positions = state.rope_pos[:, None] + jnp.arange(k, dtype=jnp.int32)[None]
-    hidden, cache, valid_mask = transformer_forward(
-        t, params["talker"]["transformer"], inputs, positions,
-        state.cache, state.valid_mask, uniform_fill=uniform_fill,
-    )  # hidden [B, k, H]
+    talker_p = params["talker"]
+    kvq = state.cache.quantized
+    from ..ops.fused_verify import verify_supported
+
+    if (
+        B == 1
+        and uniform_fill
+        and "fused_step" in talker_p
+        and verify_supported(t, state.cache.max_len, k, kvq)
+    ):
+        # fused S=K verify kernel (ops/fused_verify.py): the XLA pass ran at
+        # ~52% of its DMA floor (xplane, docs/ROUND3_PLAN.md); the kernel
+        # streams the int8 units once for all K candidates.  Write slot ==
+        # RoPE position here: at B=1 cache.length[0] == rope_pos[0] (the
+        # prompt is a fixed static length, and both advance by m together).
+        import jax as _jax
+
+        from ..models.layers import rms_norm
+        from ..ops.fused_verify import fused_verify_step
+
+        interpret = _jax.default_backend() != "tpu"
+        pos0 = state.cache.length[0]
+        if kvq:
+            x_out, kc, vc, ksc, vsc = fused_verify_step(
+                t, talker_p["fused_step"], inputs[0], pos0,
+                state.cache.k, state.cache.v,
+                state.cache.k_scale, state.cache.v_scale,
+                interpret=interpret,
+            )
+            cache = state.cache._replace(
+                k=kc, v=vc, k_scale=ksc, v_scale=vsc,
+                length=state.cache.length + k,
+            )
+        else:
+            x_out, kc, vc = fused_verify_step(
+                t, talker_p["fused_step"], inputs[0], pos0,
+                state.cache.k, state.cache.v, interpret=interpret,
+            )
+            cache = state.cache._replace(
+                k=kc, v=vc, length=state.cache.length + k
+            )
+        hidden = rms_norm(
+            x_out, talker_p["transformer"]["final_norm"], t.rms_norm_eps
+        ).astype(inputs.dtype)[None]  # [1, k, H]
+        slot_ids_v = jnp.arange(state.cache.max_len, dtype=jnp.int32)
+        valid_mask = state.valid_mask | (
+            (slot_ids_v[None, :] >= pos0) & (slot_ids_v[None, :] < pos0 + k)
+        )
+    else:
+        positions = (
+            state.rope_pos[:, None] + jnp.arange(k, dtype=jnp.int32)[None]
+        )
+        hidden, cache, valid_mask = transformer_forward(
+            t, talker_p["transformer"], inputs, positions,
+            state.cache, state.valid_mask, uniform_fill=uniform_fill,
+        )  # hidden [B, k, H]
     logits_all = dense(hidden, params["talker"]["lm_head"])  # [B, k, V]
 
     # --- exact candidate code0 per slot (chain key j shared across streams,
