@@ -104,7 +104,12 @@ class ContinuousBatcher:
         if not engine.is_ready():
             raise EngineError(f"engine not ready: {engine.get_error()}")
         if engine.mesh is not None:
-            raise EngineError("continuous pool is single-program; no mesh yet")
+            data = engine.mesh.shape.get("data", 1)
+            if int(pool_size) % max(data, 1) != 0:
+                raise EngineError(
+                    f"pool_size ({pool_size}) must divide over the mesh "
+                    f"data axis ({data})"
+                )
         self.engine = engine
         self.cfg = engine.cfg
         self.pool_size = int(pool_size)
@@ -159,6 +164,9 @@ class ContinuousBatcher:
         dt = cfg.talker.transformer.jnp_dtype
         self._trailing = jnp.zeros((B, self.text_bucket_max, H), dt)
         self._trailing_len = jnp.zeros((B,), jnp.int32)
+        if engine.mesh is not None:
+            self._trailing = self._put(self._trailing, 0)
+            self._trailing_len = self._put(self._trailing_len, 0)
         from ..models.embeddings import text_project
         from ..config import TTS_PAD
 
@@ -225,6 +233,40 @@ class ContinuousBatcher:
     # jitted helpers (cached per signature)
     # ------------------------------------------------------------------
 
+    def _put(self, x, axis):
+        """device_put with the pool-batch axis sharded over "data"."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        spec = [None] * x.ndim
+        if axis is not None:
+            spec[axis] = "data"
+        return jax.device_put(x, NamedSharding(self.engine.mesh, P(*spec)))
+
+    def _shard_state(self, state):
+        """Shard the pool state over the mesh: slots (the pool batch axis)
+        over "data", everything else following GSPMD propagation from the
+        TP-sharded params.  Host-side admit/retire stays unchanged — the
+        splice jits reshard their 1-stream inputs automatically."""
+        if self.engine.mesh is None:
+            return state
+        cache = state.cache
+        cache = cache._replace(
+            k=self._put(cache.k, 1),
+            v=self._put(cache.v, 1),
+            length=self._put(cache.length, 0),
+        )
+        if state.cache.k_scale is not None:
+            cache = cache._replace(
+                k_scale=self._put(state.cache.k_scale, 1),
+                v_scale=self._put(state.cache.v_scale, 1),
+            )
+        rest = {
+            f: self._put(getattr(state, f), None if f == "key" else 0)
+            for f in state._fields
+            if f != "cache"
+        }
+        return state._replace(cache=cache, **rest)
+
     def _make_idle_state(self):
         """Fresh all-slots-idle pool state.  Used at construction AND to
         recover after a failed dispatch: the decode jit donates the state,
@@ -239,7 +281,7 @@ class ContinuousBatcher:
         if self.spec_k:
             from ..runtime.speculative import SpecState
 
-            return SpecState(
+            return self._shard_state(SpecState(
                 cache=cache,
                 valid_mask=jnp.zeros((B, T), bool),
                 pending=jnp.zeros((B, 16), jnp.int32),
@@ -249,8 +291,8 @@ class ContinuousBatcher:
                 step=jnp.ones((B,), jnp.int32),
                 done=jnp.ones((B,), bool),  # empty slots idle as "done"
                 key=jax.random.PRNGKey(self._seed),
-            )
-        return GenerateState(
+            ))
+        return self._shard_state(GenerateState(
             cache=cache,
             valid_mask=jnp.zeros((B, T), bool),
             last_logits=jnp.zeros((B, V), jnp.float32),
@@ -259,7 +301,7 @@ class ContinuousBatcher:
             step=jnp.zeros((B,), jnp.int32),
             done=jnp.ones((B,), bool),  # empty slots idle as "done"
             key=jax.random.PRNGKey(self._seed),
-        )
+        ))
 
     def _get_prefill(self, t_bucket: int, lang_id):
         key = (t_bucket, lang_id)

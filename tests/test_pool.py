@@ -4,10 +4,12 @@ mixed-language coexistence, greedy parity with the offline engine."""
 import threading
 import time
 
+import jax
+
 import numpy as np
 import pytest
 
-from leaxer_qwen3_tts_tpu.api.engine import TTSEngine
+from leaxer_qwen3_tts_tpu.api.engine import EngineError, TTSEngine
 from leaxer_qwen3_tts_tpu.frontend import Tokenizer
 from leaxer_qwen3_tts_tpu.serve import ContinuousBatcher
 
@@ -161,3 +163,82 @@ def test_pool_recovers_after_decode_failure(engine):
         assert np.isfinite(r.audio).all()
     finally:
         p.shutdown()
+
+
+@pytest.mark.parametrize("data,model", [(4, 2), (2, 4)])
+def test_pool_on_mesh_matches_single_device(tiny_model, tiny_vocab_files,
+                                            data, model):
+    """Continuous pool with a TP x DP mesh: greedy output identical to the
+    single-device pool (slots sharded over "data", params over "model")."""
+    from leaxer_qwen3_tts_tpu.parallel import make_mesh
+
+    cfg, params = tiny_model
+    vocab_path, merges_path, _ = tiny_vocab_files
+    tok = Tokenizer(vocab_path, merges_path)
+    kw = dict(config=cfg, params=params, tokenizer=tok, max_frames=8,
+              chunk_len=2)
+    pool_kw = dict(pool_size=4, chunk_len=2, kv_bucket=64, text_bucket_max=16)
+    texts = ["hello world", "hello", "world hello", "hello hello"]
+
+    plain_eng = TTSEngine(**kw)
+    plain = ContinuousBatcher(plain_eng, **pool_kw)
+    try:
+        base = [plain.synthesize(t, temperature=0.0, max_tokens=6) for t in texts]
+    finally:
+        plain.shutdown()
+
+    mesh = make_mesh(data, model)
+    with jax.set_mesh(mesh):
+        meng = TTSEngine(**kw, mesh=mesh)
+        assert meng.is_ready(), meng.get_error()
+        mpool = ContinuousBatcher(meng, **pool_kw)
+        try:
+            futs = [mpool.submit(t, temperature=0.0, max_tokens=6) for t in texts]
+            got = [f.result(timeout=600) for f in futs]
+        finally:
+            mpool.shutdown()
+
+    for b, g in zip(base, got):
+        np.testing.assert_array_equal(np.asarray(b.codes), np.asarray(g.codes))
+
+
+def test_pool_mesh_rejects_indivisible_pool_size(tiny_model):
+    from leaxer_qwen3_tts_tpu.parallel import make_mesh
+
+    cfg, params = tiny_model
+    mesh = make_mesh(4, 2)
+    with jax.set_mesh(mesh):
+        eng = TTSEngine(config=cfg, params=params, mesh=mesh)
+        with pytest.raises(EngineError, match="data axis"):
+            ContinuousBatcher(eng, pool_size=3, chunk_len=2, kv_bucket=64,
+                              text_bucket_max=16)
+
+
+def test_pool_spec_on_mesh(tiny_model, tiny_vocab_files):
+    """Speculative continuous pool sharded: runs and matches the greedy
+    single-device spec pool."""
+    from leaxer_qwen3_tts_tpu.parallel import make_mesh
+
+    cfg, params = tiny_model
+    vocab_path, merges_path, _ = tiny_vocab_files
+    tok = Tokenizer(vocab_path, merges_path)
+    kw = dict(config=cfg, params=params, tokenizer=tok, max_frames=8,
+              chunk_len=2)
+    pool_kw = dict(pool_size=2, chunk_len=2, kv_bucket=64, text_bucket_max=16,
+                   spec_k=3, spec_iters=1)
+
+    plain = ContinuousBatcher(TTSEngine(**kw), **pool_kw)
+    try:
+        base = plain.synthesize("hello world", temperature=0.0, max_tokens=6)
+    finally:
+        plain.shutdown()
+
+    mesh = make_mesh(2, 4)
+    with jax.set_mesh(mesh):
+        meng = TTSEngine(**kw, mesh=mesh)
+        mpool = ContinuousBatcher(meng, **pool_kw)
+        try:
+            got = mpool.synthesize("hello world", temperature=0.0, max_tokens=6)
+        finally:
+            mpool.shutdown()
+    np.testing.assert_array_equal(np.asarray(base.codes), np.asarray(got.codes))
