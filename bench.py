@@ -222,8 +222,8 @@ def main() -> None:
             try:
                 # round the bucket so the batched fused kernel's window size
                 # divides it (engine ladder buckets are aligned already);
-                # B > 8 stays on the XLA path — keep its bucket tight
-                blen = ((frames + 32 + 127) // 128) * 128 if Bs <= 8 else frames + 32
+                # the batched fused talker + MTP kernels now cover B <= 32
+                blen = ((frames + 32 + 127) // 128) * 128
                 fnsb = make_generate_fns(
                     cfg, batch=Bs, max_len=blen, chunk_len=chunk
                 )

@@ -70,7 +70,7 @@ def predict_subcodes(
         return predict_subcodes_fused(
             cfg, params, pred_embed_tables, last_hidden, code0_embed, key, sample_fn
         )
-    if cfg.impl == "fused" and "fused_step" in params and 2 <= last_hidden.shape[0] <= 8:
+    if cfg.impl == "fused" and "fused_step" in params and 2 <= last_hidden.shape[0] <= 32:
         return predict_subcodes_fused_batched(
             cfg, params, pred_embed_tables, last_hidden, code0_embed, key, sample_fn
         )
@@ -270,7 +270,7 @@ def predict_subcodes_fused_batched(
     cfg: CodePredictorConfig,
     params: dict,
     pred_embed_tables: jax.Array,
-    last_hidden: jax.Array,  # [B, H], 2 <= B <= 8
+    last_hidden: jax.Array,  # [B, H], 2 <= B <= 32
     code0_embed: jax.Array,
     key: jax.Array,
     sample_fn: Callable[[jax.Array, jax.Array], jax.Array],

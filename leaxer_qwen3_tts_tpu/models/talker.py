@@ -130,7 +130,7 @@ def talker_decode_step(
     # (the engine rounds its ladder top accordingly)
     fused_ok = cache.max_len <= cfg.fused_max_cache or cache.max_len % 512 == 0
     kv_q = cache.quantized  # int8 KV: fused kernels take the scale arrays
-    if cfg.decode_impl == "fused" and "fused_step" in params and 2 <= B <= 8:
+    if cfg.decode_impl == "fused" and "fused_step" in params and 2 <= B <= 32:
         # batched fused step: per-stream positions, weights read ONCE for the
         # whole serving batch (ops/fused_step.fused_decode_step_batched)
         from ..ops.fused_step import batched_window, fused_decode_step_batched
