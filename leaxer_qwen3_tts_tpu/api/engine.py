@@ -87,6 +87,8 @@ class TTSEngine:
         mesh=None,
         spec_k: Optional[int] = None,
         spec_iters: int = 8,
+        spec_accept_floor: float = 0.3,
+        spec_adapt_window: int = 24,
         kv_quant: bool = False,
     ):
         self._ready = False
@@ -106,6 +108,14 @@ class TTSEngine:
             raise ValueError("spec_k must be in [2, 8]")
         self.spec_k = int(spec_k) if spec_k is not None else None
         self.spec_iters = max(1, int(spec_iters))
+        # adaptive spec: once >= spec_adapt_window verify iterations have run
+        # with trailing acceptance below spec_accept_floor, the request
+        # reverts to sequential decode (runtime/speculative.spec_to_seq) so
+        # enabling spec can never cost more than a few percent vs plain
+        # decode (measured floor ~+5%: 4.16 vs 3.95 ms/frame at 0% match).
+        # 0 disables the fallback.
+        self.spec_accept_floor = float(spec_accept_floor)
+        self.spec_adapt_window = max(1, int(spec_adapt_window))
         full = self.max_frames + 32
         if full > 1024:
             # the windowed fused decode kernel streams K/V in 512-slot
@@ -669,6 +679,32 @@ class TTSEngine:
                     i_bucket, cur_iters,
                 )
 
+            # --- adaptive fallback: trailing acceptance too low for spec to
+            # pay for itself -> consume the pending input once and continue
+            # on the sequential loop (greedy output is unchanged: both paths
+            # sample the same per-frame conditionals)
+            if (
+                not done
+                and self.spec_accept_floor > 0
+                and n_iterations >= self.spec_adapt_window
+            ):
+                accept = (slots - 1 - n_iterations) / max(
+                    n_iterations * (self.spec_k - 1), 1
+                )
+                if accept < self.spec_accept_floor:
+                    log.info(
+                        "spec acceptance %.2f < floor %.2f after %d "
+                        "iterations; reverting to sequential decode",
+                        accept, self.spec_accept_floor, n_iterations,
+                    )
+                    yield from self._spec_seq_continue(
+                        timer, state, bundle, committed, emitted,
+                        audio_chunks, vocode, max_tokens, sp, t_bucket,
+                        lang_id, has_speaker, i_bucket, bidx, n_iterations,
+                        slots, spf,
+                    )
+                    return
+
         # final partial window
         if emitted < min(len(committed), max_tokens):
             n = min(len(committed), max_tokens) - emitted
@@ -694,6 +730,93 @@ class TTSEngine:
         # each iteration commits 1 + accepted-drafts slots (slots counts the
         # bootstrap frame too)
         metrics.spec_accepted = max(0, (slots - 1) - n_iterations)
+        yield SynthesisResult(audio=full_audio, codes=codes, metrics=metrics)
+
+    def _spec_seq_continue(
+        self, timer, spec_state, bundle, committed, emitted, audio_chunks,
+        vocode, max_tokens, sp, t_bucket, lang_id, has_speaker, i_bucket,
+        bidx, n_iterations, slots, spf,
+    ):
+        """Sequential continuation after the adaptive-spec fallback: convert
+        the SpecState (one talker step consuming the pending input), then run
+        the plain chunked loop to completion."""
+        from ..runtime.speculative import spec_to_seq
+
+        ckey = ("spec2seq", self.kv_ladder[bidx])
+        if ckey not in self._fns_cache:
+            cfg = self.cfg
+            self._fns_cache[ckey] = jax.jit(
+                lambda p, s, tr, tl, pad: spec_to_seq(cfg, p, s, tr, tl, pad)
+            )
+        state = self._fns_cache[ckey](
+            self.params, spec_state, bundle.trailing, bundle.trailing_len,
+            bundle.tts_pad_embed,
+        )
+        pos = int(np.asarray(state.pos)[0])
+        while len(committed) < max_tokens:
+            cur_chunk = self.chunk_len
+            while (
+                pos + cur_chunk + 1 > self.kv_ladder[bidx]
+                and bidx + 1 < len(self.kv_ladder)
+            ):
+                bidx += 1
+                state = self._grow_state(state, self.kv_ladder[bidx])
+            if pos + cur_chunk + 1 > self.kv_ladder[bidx]:
+                break
+            fns = self._get_fns(
+                1, t_bucket, lang_id, has_speaker, self.kv_ladder[bidx],
+                i_bucket, cur_chunk,
+            )
+            with timer.stage("decode"):
+                state, frames, valid = fns.decode(
+                    self.params, state, bundle.trailing, bundle.trailing_len,
+                    bundle.tts_pad_embed, sp,
+                )
+                frames_np = np.asarray(frames)[0]
+            valid_np = np.asarray(valid)[0]
+            committed.extend(frames_np[valid_np])
+            pos += cur_chunk
+            while (
+                len(committed) - emitted >= self.chunk_len
+                and emitted < max_tokens
+            ):
+                n = min(self.chunk_len, max_tokens - emitted)
+                with timer.stage("vocode"):
+                    audio = vocode(
+                        np.stack(committed[emitted : emitted + n], axis=0)
+                    )
+                audio_chunks.append(audio)
+                emitted += n
+                timer.mark_first_audio()
+                yield audio
+            if bool(np.asarray(state.done).all()):
+                break
+
+        if emitted < min(len(committed), max_tokens):
+            n = min(len(committed), max_tokens) - emitted
+            with timer.stage("vocode"):
+                audio = vocode(np.stack(committed[emitted : emitted + n], axis=0))
+            audio_chunks.append(audio)
+            emitted += n
+            timer.mark_first_audio()
+            yield audio
+
+        codes = (
+            np.stack(committed[:emitted], axis=0)
+            if emitted
+            else np.zeros((0, 16), np.int32)
+        )
+        full_audio = (
+            np.concatenate(audio_chunks)
+            if audio_chunks
+            else np.zeros((0,), np.float32)
+        )
+        metrics = timer.finish()
+        metrics.frames = emitted
+        metrics.audio_seconds = emitted * spf / SAMPLE_RATE
+        metrics.spec_iterations = n_iterations
+        metrics.spec_accepted = max(0, (slots - 1) - n_iterations)
+        metrics.spec_fallback = True
         yield SynthesisResult(audio=full_audio, codes=codes, metrics=metrics)
 
     def _spec_stream_batched(

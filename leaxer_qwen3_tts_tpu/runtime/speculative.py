@@ -438,6 +438,60 @@ def decode_frames_spec(
     return state, frames, valid
 
 
+def spec_to_seq(
+    cfg: TTSModelConfig,
+    params: dict,
+    state: SpecState,
+    trailing: jax.Array,
+    trailing_len: jax.Array,
+    tts_pad_embed: jax.Array,
+    uniform_fill: bool = True,
+):
+    """Convert a SpecState into a sequential GenerateState (adaptive-spec
+    fallback: when trailing acceptance is too low, speculative decode costs
+    more than it commits — consume the pending frame's talker input with ONE
+    decode step, after which the plain loop continues exactly as if it had
+    produced every committed frame itself).
+
+    The spec invariant says ``pending``'s input embed (pending_nodrip + its
+    text drip at index step-1) has not been consumed; after this step the
+    returned state's last_logits sample the next frame, matching
+    generate._frame_step's contract (greedy continuation is identical to a
+    from-scratch sequential decode of the same committed prefix)."""
+    from ..models.talker import talker_decode_step
+    from .generate import GenerateState
+
+    t = cfg.talker.transformer
+    B = state.pending_nodrip.shape[0]
+    Ttr = trailing.shape[1]
+    drip_idx = jnp.minimum(state.step - 1, Ttr - 1)  # [B]
+    oh = (
+        drip_idx[:, None] == jnp.arange(Ttr, dtype=jnp.int32)[None, :]
+    ).astype(trailing.dtype)
+    drip = jnp.einsum(
+        "bt,bth->bh", oh, trailing, preferred_element_type=jnp.float32
+    ).astype(trailing.dtype)
+    use_text = (state.step - 1) < trailing_len
+    drip = jnp.where(
+        use_text[:, None], drip, tts_pad_embed[None, :].astype(drip.dtype)
+    )
+    embed = (state.pending_nodrip + drip).astype(t.jnp_dtype)
+    logits, hidden, cache, valid_mask = talker_decode_step(
+        cfg.talker, params["talker"], embed, state.rope_pos, state.cache,
+        state.valid_mask, uniform_fill=uniform_fill,
+    )
+    return GenerateState(
+        cache=cache,
+        valid_mask=valid_mask,
+        last_logits=logits,
+        last_hidden=hidden,
+        pos=state.rope_pos + 1,
+        step=state.step,
+        done=state.done,
+        key=state.key,
+    )
+
+
 class SpecGenerateFns(NamedTuple):
     prefill: callable  # (params, ids, lens, key, ...) -> (state, bundle, frame0, valid0)
     decode: callable  # (params, state, trailing, trailing_len, pad, sp) -> (state, frames, valid)

@@ -186,6 +186,15 @@ class ContinuousBatcher:
         self._requests_done = 0
         self._chunks_run = 0
         self._admits = 0  # per-request PRNG derivation counter
+        # adaptive spec (aggregate): per-stream spec modes are not
+        # SPMD-expressible (one decode program covers every slot), so the
+        # pool tracks POOL-WIDE trailing acceptance and, when it stays below
+        # the engine's spec_accept_floor, converts the whole state to
+        # sequential (runtime/speculative.spec_to_seq batched) — after which
+        # spec can never underperform the plain pool
+        self._acc_slots = 0
+        self._acc_iters = 0
+        self._spec_fallback = False
         # retirement vocoding runs off the decode loop (see _retire)
         self._finisher = ThreadPoolExecutor(
             max_workers=1, thread_name_prefix="pool-retire"
@@ -221,6 +230,7 @@ class ContinuousBatcher:
             "requests": self._requests_done,
             "queued": self._queue.qsize(),
             "active": sum(s is not None for s in self._slots),
+            "spec_fallback": self._spec_fallback,
         }
 
     def shutdown(self, wait: bool = True) -> None:
@@ -572,6 +582,32 @@ class ContinuousBatcher:
                 if not req.future.done():
                     req.future.set_exception(e)
 
+    def _switch_to_sequential(self) -> None:
+        """Adaptive-spec fallback: convert every slot's SpecState row into a
+        sequential GenerateState (one talker step consuming each pending
+        input) and swap the decode program.  Idle slots convert harmlessly
+        (their rows are overwritten at the next admission splice)."""
+        from ..runtime.generate import make_generate_fns
+        from ..runtime.speculative import spec_to_seq
+
+        cfg = self.cfg
+        conv = jax.jit(
+            lambda p, s, tr, tl, pad: spec_to_seq(
+                cfg, p, s, tr, tl, pad, uniform_fill=False
+            )
+        )
+        self._state = conv(
+            self.engine.params, self._state, self._trailing,
+            self._trailing_len, self._tts_pad,
+        )
+        self.spec_k = None
+        self._fns = make_generate_fns(
+            cfg, batch=self.pool_size, max_len=self.kv_bucket,
+            chunk_len=self.chunk_len, uniform_fill=False,
+        )
+        self._decode = self._fns.decode
+        self._spec_fallback = True
+
     def _loop(self) -> None:
         params = self.engine.params
         while not self._stop.is_set():
@@ -603,6 +639,29 @@ class ContinuousBatcher:
                 self._state = self._make_idle_state()
                 continue
             self._chunks_run += 1
+            if self.spec_k and self.engine.spec_accept_floor > 0:
+                live = [
+                    i for i in range(self.pool_size)
+                    if self._slots[i] is not None and not bool(done_np[i])
+                ]
+                if live:
+                    self._acc_iters += self.spec_iters * len(live)
+                    self._acc_slots += int(valid_np[live].sum())
+                if self._acc_iters >= max(self.engine.spec_adapt_window,
+                                          2 * self.spec_iters):
+                    accept = max(0, self._acc_slots - self._acc_iters) / max(
+                        self._acc_iters * (self.spec_k - 1), 1
+                    )
+                    if accept < self.engine.spec_accept_floor:
+                        log.info(
+                            "pool spec acceptance %.2f < floor %.2f; "
+                            "switching the pool to sequential decode", accept,
+                            self.engine.spec_accept_floor,
+                        )
+                        self._switch_to_sequential()
+                    else:
+                        self._acc_slots = 0  # rolling window
+                        self._acc_iters = 0
             for slot, active in enumerate(self._slots):
                 if active is None:
                     continue

@@ -28,6 +28,9 @@ class SynthesisMetrics:
     # derived acceptance rate is a mild UNDERestimate for short utterances.
     spec_iterations: int = 0
     spec_accepted: int = 0
+    # adaptive spec: True when trailing acceptance fell below the engine's
+    # spec_accept_floor and the request reverted to sequential decode
+    spec_fallback: bool = False
 
     @property
     def rtf(self) -> float:

@@ -242,3 +242,33 @@ def test_pool_spec_on_mesh(tiny_model, tiny_vocab_files):
         finally:
             mpool.shutdown()
     np.testing.assert_array_equal(np.asarray(base.codes), np.asarray(got.codes))
+
+
+def test_pool_adaptive_spec_fallback(tiny_model, tiny_vocab_files):
+    """A spec pool whose acceptance stays below the (forced) floor switches
+    itself to sequential decode mid-flight; requests before and after the
+    switch complete with the same greedy codes as a plain pool."""
+    cfg, params = tiny_model
+    vocab_path, merges_path, _ = tiny_vocab_files
+    tok = Tokenizer(vocab_path, merges_path)
+    kw = dict(config=cfg, params=params, tokenizer=tok, max_frames=10,
+              chunk_len=2)
+    pool_kw = dict(pool_size=2, chunk_len=2, kv_bucket=64, text_bucket_max=16)
+
+    plain = ContinuousBatcher(TTSEngine(**kw), **pool_kw)
+    try:
+        want = plain.synthesize("hello world", temperature=0.0, max_tokens=8)
+    finally:
+        plain.shutdown()
+
+    eng = TTSEngine(**kw, spec_accept_floor=1.01, spec_adapt_window=1)
+    pool = ContinuousBatcher(eng, **pool_kw, spec_k=3, spec_iters=1)
+    try:
+        r1 = pool.synthesize("hello world", temperature=0.0, max_tokens=8)
+        assert pool.stats["spec_fallback"], pool.stats
+        # post-switch admissions go through the sequential prefill/splice
+        r2 = pool.synthesize("hello world", temperature=0.0, max_tokens=8)
+    finally:
+        pool.shutdown()
+    np.testing.assert_array_equal(np.asarray(r1.codes), np.asarray(want.codes))
+    np.testing.assert_array_equal(np.asarray(r2.codes), np.asarray(want.codes))

@@ -391,3 +391,78 @@ def test_spec_kv_bucket_growth_matches_single_bucket(tiny_model):
     n = min(len(ref), len(got))
     assert n >= 12
     np.testing.assert_array_equal(got[:n], ref[:n])
+
+
+def test_spec_to_seq_continuation_matches_sequential(tiny_model):
+    """Run spec iterations, convert with spec_to_seq, continue sequentially:
+    greedy codes equal a pure sequential decode of the same request."""
+    from leaxer_qwen3_tts_tpu.runtime.generate import make_generate_fns
+    from leaxer_qwen3_tts_tpu.runtime.speculative import (
+        make_spec_generate_fns,
+        spec_to_seq,
+    )
+
+    cfg, params = tiny_model
+    sp = SamplingParams.create(temperature=0.0, forbid_eos=True)
+    key = jax.random.PRNGKey(2)
+    ids = jnp.asarray([[5, 6, 7]], jnp.int32)
+    lens = jnp.asarray([3], jnp.int32)
+
+    # pure sequential reference: 2 + 4 frames
+    fns = make_generate_fns(cfg, batch=1, max_len=64, chunk_len=6)
+    st0, bd = fns.prefill(params, ids, lens, key)
+    st0, fr_ref, vd_ref = fns.decode(
+        params, st0, bd.trailing, bd.trailing_len, bd.tts_pad_embed, sp
+    )
+    ref = np.asarray(fr_ref)[0][np.asarray(vd_ref)[0]]
+
+    # spec for 1 dispatch (k=3 x 1 iter), then convert + sequential continue
+    sfns = make_spec_generate_fns(cfg, max_len=64, k=3, num_iters=1,
+                                  donate=False)
+    st, bd2, f0, v0 = sfns.prefill(params, ids, lens, key, sp)
+    committed = [np.asarray(f0)[0]] if bool(np.asarray(v0)[0]) else []
+    st, fr, vd = sfns.decode(params, st, bd2.trailing, bd2.trailing_len,
+                             bd2.tts_pad_embed, sp)
+    committed.extend(np.asarray(fr)[0][np.asarray(vd)[0]])
+
+    seq_state = jax.jit(
+        lambda p, s, tr, tl, pad: spec_to_seq(cfg, p, s, tr, tl, pad)
+    )(params, st, bd2.trailing, bd2.trailing_len, bd2.tts_pad_embed)
+    n_more = 6 - len(committed)
+    fns2 = make_generate_fns(cfg, batch=1, max_len=64, chunk_len=n_more,
+                             donate=False)
+    seq_state, fr2, vd2 = fns2.decode(
+        params, seq_state, bd2.trailing, bd2.trailing_len, bd2.tts_pad_embed,
+        sp,
+    )
+    committed.extend(np.asarray(fr2)[0][np.asarray(vd2)[0]])
+
+    n = min(len(ref), len(committed))
+    assert n >= 4
+    np.testing.assert_array_equal(np.stack(committed[:n]), ref[:n])
+
+
+def test_engine_spec_fallback_matches_sequential(tiny_model, tiny_vocab_files):
+    """spec_accept_floor > 1 forces the adaptive fallback; greedy output
+    still equals the sequential engine and the metrics record the revert."""
+    from leaxer_qwen3_tts_tpu.api.engine import TTSEngine
+    from leaxer_qwen3_tts_tpu.frontend import Tokenizer
+
+    cfg, params = tiny_model
+    vocab_path, merges_path, _ = tiny_vocab_files
+    tok = Tokenizer(vocab_path, merges_path)
+    kw = dict(config=cfg, params=params, tokenizer=tok, max_frames=12,
+              chunk_len=4, first_chunk_len=2)
+    seq = TTSEngine(**kw)
+    spec = TTSEngine(**kw, spec_k=3, spec_iters=1, spec_accept_floor=1.01,
+                     spec_adapt_window=1)
+    a = seq.synthesize("hello world", temperature=0.0, seed=5)
+    b = spec.synthesize("hello world", temperature=0.0, seed=5)
+    np.testing.assert_array_equal(np.asarray(b.codes), np.asarray(a.codes))
+    np.testing.assert_allclose(np.asarray(b.audio), np.asarray(a.audio),
+                               atol=1e-5)
+    assert b.metrics.spec_fallback
+    # default floor keeps spec active on accepting streams
+    ok = TTSEngine(**kw, spec_k=3, spec_iters=1)
+    c = ok.synthesize("hello world", temperature=0.0, seed=5)
+    np.testing.assert_array_equal(np.asarray(c.codes), np.asarray(a.codes))
