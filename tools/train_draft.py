@@ -46,8 +46,18 @@ def main(argv=None) -> int:
                    help="rollout frames per text")
     p.add_argument("--d-model", type=int, default=512)
     p.add_argument("--lr", type=float, default=3e-3)
-    p.add_argument("--temperature", type=float, default=0.0,
-                   help="rollout sampling temperature (0 = greedy)")
+    p.add_argument("--temperature", type=float, default=None,
+                   help="single rollout temperature (overrides --temperatures)")
+    p.add_argument("--temperatures", default="0.0,0.7,1.0",
+                   help="comma-separated rollout temperatures: diverse "
+                        "sampling covers the code distribution the draft "
+                        "will see at serving temperatures, not just the "
+                        "greedy mode")
+    p.add_argument("--sustained", type=int, default=2,
+                   help="synthetic sustained-frame sequences per text "
+                        "(repeat-a-frame stretches: silence / held phonemes "
+                        "are where the repeat draft wins and the trained "
+                        "draft must at least match it)")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
@@ -77,16 +87,35 @@ def main(argv=None) -> int:
     cfg = eng.cfg
 
     # --- 1. self-rollouts (the training targets) --------------------------
+    # Structured coverage: every text rolls out at EVERY temperature (the
+    # serving distribution is sampled, not greedy), plus synthetic sustained
+    # stretches (a frame held for many steps — the regime where the repeat
+    # draft accepts and a trained draft must not regress).
+    if args.temperature is not None:
+        temps = [args.temperature]
+    else:
+        temps = [float(x) for x in args.temperatures.split(",") if x.strip()]
     rollouts = []  # (text_ids, codes)
+    rng = np.random.default_rng(args.seed)
     for i, text in enumerate(texts):
-        r = eng.synthesize(
-            text, temperature=args.temperature, seed=args.seed + i,
-            max_tokens=args.frames,
-        )
-        if len(r.codes) < 4:
-            continue
-        ids = wrap_text_ids(eng.tokenizer.encode(text))
-        rollouts.append((np.asarray(ids, np.int32), np.asarray(r.codes)))
+        ids = None
+        for j, temp in enumerate(temps):
+            r = eng.synthesize(
+                text, temperature=temp, seed=args.seed + i * 131 + j,
+                max_tokens=args.frames,
+            )
+            if len(r.codes) < 4:
+                continue
+            if ids is None:
+                ids = np.asarray(wrap_text_ids(eng.tokenizer.encode(text)),
+                                 np.int32)
+            rollouts.append((ids, np.asarray(r.codes)))
+            for _ in range(args.sustained if j == 0 else 0):
+                # hold one frame of this rollout for a sustained stretch
+                f = r.codes[rng.integers(0, len(r.codes))]
+                hold = int(rng.integers(6, max(len(r.codes), 8)))
+                sus = np.tile(np.asarray(f)[None, :], (hold, 1))
+                rollouts.append((ids, sus))
     if not rollouts:
         print("no usable rollouts (all too short)", file=sys.stderr)
         return 1
