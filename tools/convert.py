@@ -370,6 +370,11 @@ def assemble(staged: Dict[str, Dict[int, np.ndarray]]) -> Dict[str, np.ndarray]:
             idxs = sorted(by_idx)
             if idxs != list(range(len(idxs))):
                 raise ValueError(f"{key}: non-contiguous indices {idxs}")
+            shapes = {by_idx[i].shape for i in idxs}
+            if len(shapes) != 1:
+                raise ValueError(
+                    f"{key}: inconsistent per-index shapes {sorted(shapes)}"
+                )
             flat[key] = np.stack([by_idx[i] for i in idxs])
     return flat
 
@@ -459,17 +464,132 @@ def dump(kind: str, src: str) -> int:
     return 0
 
 
+def _ref_shapes(config_name: str, with_speaker: bool) -> Dict[str, tuple]:
+    """Expected flat target keys -> shapes, via eval_shape (no allocation)."""
+    import jax
+
+    from leaxer_qwen3_tts_tpu.config import PRESETS, TTSModelConfig
+    from leaxer_qwen3_tts_tpu.runtime.weights import init_params
+
+    if config_name.endswith(".json") or os.path.sep in config_name:
+        with open(config_name) as f:
+            cfg = TTSModelConfig.from_json(f.read())
+    else:
+        cfg = PRESETS[config_name]
+    shapes = jax.eval_shape(
+        lambda k: init_params(cfg, k, with_speaker_encoder=with_speaker),
+        jax.random.PRNGKey(0),
+    )
+
+    out: Dict[str, tuple] = {}
+
+    def walk(node, prefix=""):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(v, f"{prefix}{k}/")
+        elif isinstance(node, (list, tuple)):
+            for i, v in enumerate(node):
+                walk(v, f"{prefix}{i}/")
+        else:
+            out[prefix[:-1]] = tuple(node.shape)
+
+    walk(shapes)
+    return out
+
+
+def dry_run(manifest_path: str, config_name: str,
+            remap_path: Optional[str], expect_full: bool) -> int:
+    """Diff a NAME MANIFEST (JSON {source_tensor_name: shape}) against the
+    mapping rules and the model's expected parameters — without any real
+    weights.  This enumerates conversion failure modes in advance of real
+    assets (round-3 readiness pack): every unmapped name, shape mismatch, or
+    missing target the real export would hit prints here first.
+
+    Green = every manifest tensor maps, every mapped shape matches, no
+    unknown targets; with --expect-full additionally no model parameter is
+    left uncovered (the 8-graph ONNX manifest); without it, wholesale-absent
+    optional modules (speaker encoder; vocoder for HF LM-only checkpoints)
+    are reported but tolerated."""
+    with open(manifest_path) as f:
+        man = json.load(f)
+    remap = None
+    if remap_path:
+        with open(remap_path) as f:
+            remap = json.load(f)
+    zero = np.zeros((), np.float16)
+    tensors = {
+        name: np.broadcast_to(
+            zero, tuple(spec["shape"] if isinstance(spec, dict) else spec)
+        )
+        for name, spec in man.items()
+    }
+    staged, unmapped, conflicts = map_tensors(tensors, remap)
+    try:
+        converted = assemble(staged)
+    except ValueError as e:
+        conflicts = conflicts + [f"assemble: {e}"]
+        converted = {}
+    has_spk = any(k.startswith("speaker_encoder/") for k in converted)
+    ref = _ref_shapes(config_name, with_speaker=has_spk)
+    missing = [k for k in ref if k not in converted]
+    bad_shape = [
+        f"{k}: manifest maps to {tuple(converted[k].shape)}, model wants {ref[k]}"
+        for k in ref
+        if k in converted and tuple(converted[k].shape) != ref[k]
+    ]
+    extra = [k for k in converted if k not in ref]
+    # absent-module tolerance: modules with NO mapped tensor at all
+    covered_modules = {k.split("/", 1)[0] for k in converted}
+    tolerated = sorted(
+        {k.split("/", 1)[0] for k in missing} - covered_modules
+    )
+    hard_missing = [
+        k for k in missing if k.split("/", 1)[0] in covered_modules
+    ]
+
+    report = {
+        "manifest": os.path.basename(manifest_path),
+        "source_tensors": len(tensors),
+        "mapped_targets": len(converted),
+        "model_params": len(ref),
+        "unmapped": sorted(unmapped),
+        "shape_mismatches": bad_shape,
+        "unknown_targets": sorted(extra),
+        "conflicts": conflicts,
+        "missing_in_covered_modules": sorted(hard_missing),
+        "absent_modules_tolerated": tolerated if not expect_full else [],
+        "missing": sorted(missing) if expect_full else [],
+    }
+    fail = bool(
+        unmapped or conflicts or bad_shape or extra or hard_missing
+        or (expect_full and missing)
+    )
+    report["ok"] = not fail
+    print(json.dumps(report, indent=1))
+    return 1 if fail else 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="tools.convert", description=__doc__)
-    p.add_argument("mode", choices=["onnx", "hf", "dump"])
-    p.add_argument("--src", required=True, help="source file or directory")
+    p.add_argument("mode", choices=["onnx", "hf", "dump", "dry-run"])
+    p.add_argument("--src", help="source file or directory")
     p.add_argument("--out", help="output checkpoint dir")
     p.add_argument("--config", default="qwen3-tts-12hz-0.6b-base")
     p.add_argument("--remap", help="JSON {source_name: target_key} overrides")
     p.add_argument("--strict", action="store_true")
     p.add_argument("--kind", default="onnx", help="for dump mode: onnx|hf")
+    p.add_argument("--manifest", help="dry-run: JSON {tensor_name: shape}")
+    p.add_argument("--expect-full", action="store_true",
+                   help="dry-run: fail on ANY uncovered model parameter")
     args = p.parse_args(argv)
 
+    if args.mode == "dry-run":
+        if not args.manifest:
+            p.error("--manifest is required for dry-run")
+        return dry_run(args.manifest, args.config, args.remap,
+                       args.expect_full)
+    if not args.src:
+        p.error("--src is required")
     if args.mode == "dump":
         kind = "hf" if args.src.endswith(".safetensors") else args.kind
         return dump(kind, args.src)
