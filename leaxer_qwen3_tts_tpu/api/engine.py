@@ -224,7 +224,28 @@ class TTSEngine:
                 # GSPMD propagates KV-cache/activation shardings from these
                 from ..parallel import shard_params as _shard_params
 
+                tp_pack = None
+                tp = mesh.shape.get("model", 1)
+                if (
+                    tp > 1
+                    and self.cfg.talker.decode_impl == "fused"
+                ):
+                    from ..ops.fused_tp import pack_fused_tp, supports_tp
+
+                    tr = self.cfg.talker.transformer
+                    if supports_tp(tr, tp) and not tr.kv_cache_quant:
+                        # per-shard int8 packs for the shard_map'd per-layer
+                        # fused decode kernels (ops/fused_tp.py); built from
+                        # the RAW layers before sharding, attached after (the
+                        # shard rules don't walk NamedTuples).  Prefill stays
+                        # on the bf16 XLA path (see fused_tp.py docstring).
+                        tp_pack = pack_fused_tp(
+                            tr, self.params["talker"]["transformer"]["layers"],
+                            tp, mesh=mesh,
+                        )
                 self.params = _shard_params(mesh, self.params)
+                if tp_pack is not None:
+                    self.params["talker"]["fused_tp"] = tp_pack
             self._ready = True
         except Exception as e:  # record, don't raise (reference ctor contract)
             self._error = str(e)
@@ -480,6 +501,7 @@ class TTSEngine:
                 lang_id=lang_id,
                 has_speaker=has_speaker,
                 has_instruct=i_bucket > 0,
+                mesh=self.mesh,
             )
         return self._fns_cache[key]
 

@@ -118,13 +118,43 @@ def talker_decode_step(
     cache: KVCache,
     valid_mask: jax.Array,  # [B, T] bool
     uniform_fill: bool = True,
+    mesh=None,
 ) -> Tuple[jax.Array, jax.Array, KVCache, jax.Array]:
     """One decode step.  Returns (logits [B, V] f32, hidden [B, H], cache, valid_mask).
 
     ``uniform_fill=False`` (continuous serving pool) switches the cache write
-    to per-sequence offsets; the default keeps the cheap lockstep path."""
+    to per-sequence offsets; the default keeps the cheap lockstep path.
+    ``mesh``: when given and a TP pack is attached (engine mesh path), the
+    B=1 step runs the shard_map'd per-layer fused kernels
+    (ops/fused_tp.py)."""
     B, H = embed.shape
     t = cfg.transformer
+    if (
+        cfg.decode_impl == "fused"
+        and "fused_tp" in params
+        and B == 1
+        and mesh is not None
+        and uniform_fill
+        and not cache.quantized
+    ):
+        import jax as _jax
+
+        from ..models.layers import rms_norm
+        from ..ops.fused_tp import fused_decode_step_tp
+
+        x_out, kc, vc = fused_decode_step_tp(
+            t, params["fused_tp"], embed, position[0], cache.k, cache.v,
+            mesh, interpret=_jax.default_backend() != "tpu",
+        )
+        hidden = rms_norm(
+            x_out, params["transformer"]["final_norm"], t.rms_norm_eps
+        ).astype(embed.dtype)
+        logits = dense(hidden, params["lm_head"])
+        new_valid = jax.lax.dynamic_update_slice(
+            valid_mask, jnp.ones((1, 1), bool), (0, position[0])
+        )
+        new_cache = KVCache(k=kc, v=vc, length=cache.length + 1)
+        return logits, hidden, new_cache, new_valid
     # fused eligibility: small buckets always; big buckets via the windowed
     # (online-softmax) kernel, which needs the bucket to be WINDOW-aligned
     # (the engine rounds its ladder top accordingly)

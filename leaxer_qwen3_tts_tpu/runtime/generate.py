@@ -80,6 +80,7 @@ def _frame_step(
     sp: SamplingParams,
     state: GenerateState,
     uniform_fill: bool = True,
+    mesh=None,
 ) -> Tuple[GenerateState, Tuple[jax.Array, jax.Array]]:
     """One 12 Hz frame.  Returns (state', (frame_codes [B,16], frame_valid [B]))."""
     emb = params["embeddings"]
@@ -128,7 +129,7 @@ def _frame_step(
     # --- talker decode step ---
     logits2, hidden2, cache, valid_mask = talker_decode_step(
         cfg.talker, params["talker"], next_embed, state.pos, state.cache,
-        state.valid_mask, uniform_fill=uniform_fill,
+        state.valid_mask, uniform_fill=uniform_fill, mesh=mesh,
     )
 
     new_state = GenerateState(
@@ -154,6 +155,7 @@ def decode_frames(
     sp: SamplingParams,
     num_frames: int,
     uniform_fill: bool = True,
+    mesh=None,
 ) -> Tuple[GenerateState, jax.Array, jax.Array]:
     """Run ``num_frames`` frames (static) via lax.scan.
 
@@ -162,7 +164,7 @@ def decode_frames(
     suppress = make_codec_suppress_mask(cfg.talker.codec_vocab_size)
     step = functools.partial(
         _frame_step, cfg, params, suppress, trailing, trailing_len,
-        tts_pad_embed, sp, uniform_fill=uniform_fill,
+        tts_pad_embed, sp, uniform_fill=uniform_fill, mesh=mesh,
     )
     state, (frames, valid) = lax.scan(lambda s, _: step(s), state, None, length=num_frames)
     frames = jnp.moveaxis(frames, 0, 1)  # [B, F, 16]
@@ -187,6 +189,7 @@ def make_generate_fns(
     has_instruct: bool = False,
     donate: bool = True,
     uniform_fill: bool = True,
+    mesh=None,
 ) -> GenerateFns:
     """Build jitted prefill / decode-chunk functions.
 
@@ -213,7 +216,7 @@ def make_generate_fns(
     def decode_impl(params, state, trailing, trailing_len, tts_pad_embed, sp):
         return decode_frames(
             cfg, params, state, trailing, trailing_len, tts_pad_embed, sp,
-            chunk_len, uniform_fill=uniform_fill,
+            chunk_len, uniform_fill=uniform_fill, mesh=mesh,
         )
 
     prefill = jax.jit(prefill_impl)
