@@ -942,6 +942,13 @@ def _fused_decode_step_jit(
     ]
     if kvq:
         args += [ks, vs]
+    compiler_params = None
+    if not interpret and pltpu is not None:
+        # H=2048 (1.7B) + int8-KV scale windows overflow the default 16 MB
+        # scoped-vmem cap by ~100 KB; raise it like the batched variant
+        compiler_params = pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        )
     outs = pl.pallas_call(
         kernel,
         grid=(L, U),
@@ -951,6 +958,7 @@ def _fused_decode_step_jit(
         scratch_shapes=scratch,
         input_output_aliases=aliases,
         interpret=interpret,
+        compiler_params=compiler_params,
     )(*args)
     x_out, kc_out, vc_out = outs[:3]
     kc_out = kc_out.reshape(L, 1, nk, T, d)

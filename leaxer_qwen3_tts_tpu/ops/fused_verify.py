@@ -601,6 +601,13 @@ def _fused_verify_step_jit(cfg, fw, x, pos, k_cache, v_cache, k_scale,
     ]
     if kvq:
         args += [ks, vs]
+    compiler_params = None
+    if not interpret and pltpu is not None:
+        # S>1 activations + H=2048 shapes can exceed the 16 MB scoped-vmem
+        # default; raise like ops/fused_step.py
+        compiler_params = pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        )
     outs = pl.pallas_call(
         kernel,
         grid=(L, U),
@@ -610,6 +617,7 @@ def _fused_verify_step_jit(cfg, fw, x, pos, k_cache, v_cache, k_scale,
         scratch_shapes=scratch,
         input_output_aliases=aliases,
         interpret=interpret,
+        compiler_params=compiler_params,
     )(*args)
     x_out, kc_out, vc_out = outs[:3]
     kc_out = kc_out.reshape(L, 1, nk, T, d)

@@ -24,6 +24,11 @@ def main(argv=None) -> int:
     p.add_argument("--max-streams", type=int, default=4,
                    help="concurrent /synthesize_stream decodes")
     p.add_argument("--quantize", choices=["int8", "int4"])
+    p.add_argument("--kv-quant", action="store_true",
+                   help="int8 KV cache (halves cache bandwidth at B>=8)")
+    p.add_argument("--spec-accept-floor", type=float, default=0.3,
+                   help="adaptive spec: revert to sequential decode when "
+                        "trailing acceptance stays below this (0 disables)")
     p.add_argument(
         "--spec-k", type=int, choices=range(2, 9), metavar="K",
         help="speculative decoding: the continuous pool verifies K drafted "
@@ -38,7 +43,8 @@ def main(argv=None) -> int:
 
     engine = TTSEngine(
         args.model, max_frames=args.max_tokens, quantize=args.quantize,
-        spec_k=args.spec_k,
+        spec_k=args.spec_k, kv_quant=args.kv_quant,
+        spec_accept_floor=args.spec_accept_floor,
     )
     if not engine.is_ready():
         print(f"Error: {engine.get_error()}", file=sys.stderr)
