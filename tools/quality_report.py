@@ -132,6 +132,10 @@ def main(argv=None) -> int:
     p.add_argument("--max-frames", type=int, default=48)
     p.add_argument("--quantize", default="int8", choices=["int8", "int4"],
                    help="quantized configuration to compare against bf16")
+    p.add_argument("--kv-quant", action="store_true",
+                   help="compare the int8 KV CACHE against the bf16 cache "
+                        "with UNquantized weights (isolates cache fidelity "
+                        "from weight quantization)")
     args = p.parse_args(argv)
     if not args.model and not args.random_preset:
         p.error("need --model or --random-preset")
@@ -144,13 +148,19 @@ def main(argv=None) -> int:
         cfg, params = _random_engine_inputs(args.random_preset)
         tok = _tiny_tokenizer()
 
+    if args.kv_quant:
+        # isolate the CACHE: both engines keep full-precision weights
+        variants = (("cache_bf16", dict()), ("cache_int8", dict(kv_quant=True)))
+        base, other = "cache_bf16", "cache_int8"
+    else:
+        variants = (("bf16", dict()), (args.quantize, dict(quantize=args.quantize)))
+        base, other = "bf16", args.quantize
     results = {}
-    for name, quantize in (("bf16", None), (args.quantize, args.quantize)):
+    for name, kw in variants:
         if args.random_preset:
-            eng = TTSEngine(config=cfg, params=params, quantize=quantize,
-                            tokenizer=tok)
+            eng = TTSEngine(config=cfg, params=params, tokenizer=tok, **kw)
         else:
-            eng = TTSEngine(args.model, quantize=quantize)
+            eng = TTSEngine(args.model, **kw)
         if not eng.is_ready():
             print(f"engine ({name}) not ready: {eng.get_error()}", file=sys.stderr)
             return 1
@@ -159,10 +169,10 @@ def main(argv=None) -> int:
         )
         del eng
 
-    report = compare(results["bf16"], results[args.quantize])
+    report = compare(results[base], results[other])
     report["text"] = args.text
     report["max_frames"] = args.max_frames
-    report["quantize"] = args.quantize
+    report["quantize"] = "kv_int8" if args.kv_quant else args.quantize
     print(json.dumps(report))
     return 0
 
