@@ -73,6 +73,17 @@ def main() -> None:
         )
     else:
         mtp_impl = cfg.code_predictor.impl
+    # First device contact per process pays a tunnel/session init whose
+    # latency is wildly variable (measured 5 s ... 788 s for a 1 MB put —
+    # THE root cause of every "init regression" reading; transfers and
+    # compiles are fast once connected).  Pay and report it separately so
+    # init/fill numbers describe the model, not the tunnel.
+    import numpy as _np0
+
+    t0 = time.perf_counter()
+    sync(jax.device_put(_np0.zeros(8, _np0.float32)))
+    connect_s = time.perf_counter() - t0
+    log(f"tunnel connect (first device contact): {connect_s:.1f}s")
     t0 = time.perf_counter()
     # benchmark timing is weight-value independent; fill with a cheap
     # deterministic pattern instead of threefry normals (which cost minutes of
@@ -82,24 +93,34 @@ def main() -> None:
         jax.random.PRNGKey(0),
     )
 
+    # HOST-side fill + ONE batched device_put: ANY on-device fill program
+    # pays the axon remote-compile service, whose latency is wildly variable
+    # (5 s to 500+ s for the SAME program across runs — the root cause of the
+    # round-2 "init regression").  Transfers must batch too: measured ~2.5 s
+    # of tunnel overhead PER device_put call (100 separate 1 MB puts = 247 s,
+    # one batched call = 0.5 s).
+    import numpy as _np
+
     def fast_fill(shapes):
+        import ml_dtypes
+
+        np_dt = {"bfloat16": ml_dtypes.bfloat16}
         leaves, treedef = jax.tree_util.tree_flatten(shapes)
-        out = []
+        host = []
         for i, sd in enumerate(leaves):
             n = 1
-            for d in sd.shape:
-                n *= d
-            v = (jnp.arange(n, dtype=jnp.float32) * 16807.0 + i * 131.0) % 199.0
-            out.append(((v / 199.0 - 0.5) * 0.04).reshape(sd.shape).astype(sd.dtype))
-        return jax.tree_util.tree_unflatten(treedef, out)
+            for dd in sd.shape:
+                n *= dd
+            v = (_np.arange(n, dtype=_np.float32) * 16807.0 + i * 131.0) % 199.0
+            arr = ((v / 199.0 - 0.5) * 0.04).reshape(sd.shape)
+            host.append(arr.astype(np_dt.get(str(sd.dtype), sd.dtype)))
+        return jax.tree_util.tree_unflatten(treedef, jax.device_put(host))
 
-    # per-stage init timing: the r2 driver run reported a one-off 325 s init
-    # (45 s in r1, ~27 s cold-cache when re-measured) that could not be
-    # attributed; stage stamps make any recurrence diagnosable from the log
+    # per-stage init timing keeps any recurrence diagnosable from the log
     def stamp(name):
         log(f"  init/{name}: +{time.perf_counter() - t0:.1f}s")
 
-    params = jax.jit(lambda: fast_fill(shapes))()
+    params = fast_fill(shapes)
     sync(params["talker"]["lm_head"])
     stamp("fill")
     if os.environ.get("BENCH_NO_FUSE") != "1":
@@ -534,6 +555,7 @@ def main() -> None:
         "vocode_s": round(vocode_s, 3),
         "ttfa_ms": round(ttfa_s * 1e3, 1),
         "host_rpc_ms": round(rpc_ms, 1),
+        "tunnel_connect_s": round(connect_s, 1),
         "frames_per_s": round(frames * batch / total_s, 1),
     }
     result["mtp_impl"] = cfg.code_predictor.impl
