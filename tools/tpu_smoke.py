@@ -1,0 +1,72 @@
+"""Engine-level TPU smoke: the flagship serving configs end-to-end.
+
+Drives the FULL TTSEngine (ctor transforms: fuse -> quantize -> fused packs,
+incl. int8 KV cache and speculative decoding with the adaptive fallback) on
+the real chip with deterministic-filled 0.6B params — the complement to
+bench.py, which drives the runtime fns directly.  Wall-clock RTF printed
+here is TUNNEL-RPC-BOUND (each streamed chunk pays a ~35-60 ms round trip
+plus audio transfer at tunnel bandwidth); production hosts attached to the
+chip see the bench numbers.  What this validates: every engine code path
+compiles and runs on hardware, outputs are finite, and the adaptive spec
+policy behaves (on fill weights the repeat draft's greedy acceptance is
+data-dependent — a spec_fallback=True run demonstrates the revert live).
+
+Usage:  PYTHONPATH=.:/root/.axon_site python -m tools.tpu_smoke
+"""
+import time, json, os, tempfile, jax, numpy as np
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+
+def sync(x):
+    np.asarray(jax.device_get(jax.tree_util.tree_leaves(x)[0].ravel()[0]))
+
+sync(jax.device_put(np.zeros(8, np.float32)))
+print("connected", flush=True)
+
+import importlib.util
+spec = importlib.util.spec_from_file_location(
+    "ge", os.path.join(os.path.dirname(__file__), "..", "__graft_entry__.py"))
+ge = importlib.util.module_from_spec(spec); spec.loader.exec_module(ge)
+from leaxer_qwen3_tts_tpu.config import QWEN3_TTS_06B
+from leaxer_qwen3_tts_tpu.runtime.weights import init_params
+from leaxer_qwen3_tts_tpu.frontend._bpe_py import byte_to_proxy
+from leaxer_qwen3_tts_tpu.frontend import Tokenizer
+from leaxer_qwen3_tts_tpu.api.engine import TTSEngine
+
+shapes = jax.eval_shape(lambda k: init_params(QWEN3_TTS_06B, k, with_speaker_encoder=False), jax.random.PRNGKey(0))
+t0 = time.perf_counter()
+params = ge._fast_fill(shapes)
+sync(params["talker"]["lm_head"])
+print(f"params: {time.perf_counter()-t0:.1f}s", flush=True)
+
+proxy = byte_to_proxy()
+tokens = [proxy[b] for b in range(256)]
+merges = []
+for a, b in [("h","e"),("l","l"),("he","ll"),("hell","o"),("Ġ","w"),("o","r"),("Ġw","or"),("l","d"),("Ġwor","ld")]:
+    merges.append((a,b))
+    if a+b not in tokens: tokens.append(a+b)
+d = tempfile.mkdtemp()
+json.dump({t:i for i,t in enumerate(tokens)}, open(os.path.join(d,"vocab.json"),"w"))
+open(os.path.join(d,"merges.txt"),"w").write("#version: 0.2\n" + "".join(f"{a} {b}\n" for a,b in merges))
+tok = Tokenizer(os.path.join(d,"vocab.json"), os.path.join(d,"merges.txt"))
+
+for name, kw in (
+    ("int8+kvq", dict(quantize="int8", kv_quant=True)),
+    ("int8+kvq+spec4", dict(quantize="int8", kv_quant=True, spec_k=4, spec_iters=8)),
+):
+    t0 = time.perf_counter()
+    eng = TTSEngine(config=QWEN3_TTS_06B, params=params, tokenizer=tok,
+                    max_frames=96, chunk_len=32, first_chunk_len=8, **kw)
+    assert eng.is_ready(), eng.get_error()
+    r = eng.synthesize("hello world", temperature=0.0, seed=1)
+    dt = time.perf_counter() - t0
+    rtf = r.metrics.rtf
+    print(f"{name}: {r.metrics.frames} frames, rtf {rtf:.1f}x "
+          f"(incl. compile, total {dt:.1f}s), finite={bool(np.isfinite(r.audio).all())}, "
+          f"spec_fallback={r.metrics.spec_fallback}", flush=True)
+    # warm second request = the serving-steady-state number
+    t0 = time.perf_counter()
+    r2 = eng.synthesize("hello world hello world", temperature=0.8, seed=2)
+    print(f"{name} warm: {r2.metrics.frames} frames, rtf {r2.metrics.rtf:.1f}x, "
+          f"ttfa {r2.metrics.ttfa_seconds*1e3:.0f}ms", flush=True)
+    del eng
+print("ENGINE TPU SMOKE OK", flush=True)
