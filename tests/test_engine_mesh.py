@@ -71,3 +71,24 @@ def test_17b_preset_traces_under_tp():
     state_shape = out_shapes[0]
     assert state_shape.last_logits.shape == (1, 3072)
     assert state_shape.cache.k.shape == (28, 1, 8, 64, 128)  # head-major
+
+def test_engine_sharded_kv_quant_matches_single(tiny_model, tiny_vocab_files):
+    """int8 KV cache under a TP x DP mesh: GSPMD shards the int8 cache and
+    scale arrays; greedy output identical to the single-device kv_quant
+    engine."""
+    cfg, params = tiny_model
+    vocab_path, merges_path, _ = tiny_vocab_files
+    tok = Tokenizer(vocab_path, merges_path)
+    kw = dict(config=cfg, params=params, tokenizer=tok, max_frames=4,
+              chunk_len=2, kv_quant=True)
+
+    plain = TTSEngine(**kw)
+    r0 = plain.synthesize_batch(["hello world", "hello"], temperature=0.0)
+
+    mesh = make_mesh(2, 4)
+    with jax.set_mesh(mesh):
+        sharded = TTSEngine(**kw, mesh=mesh)
+        assert sharded.is_ready(), sharded.get_error()
+        r1 = sharded.synthesize_batch(["hello world", "hello"], temperature=0.0)
+    for a, b in zip(r0, r1):
+        np.testing.assert_array_equal(a.codes, b.codes)

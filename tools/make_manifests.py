@@ -124,8 +124,7 @@ def onnx_manifest(flat):
         )
     # talker_prefill.onnx + talker_decode.onnx (:615-732): duplicated
     _transformer_entries(
-        man_flat := flat, man, "talker",
-        ("talker_prefill", "talker_decode"), "model.",
+        flat, man, "talker", ("talker_prefill", "talker_decode"), "model.",
     )
     for g in ("talker_prefill", "talker_decode"):
         man[f"{g}::lm_head.weight"] = _inv_lin(flat["talker/lm_head"])
