@@ -312,7 +312,12 @@ class ContinuousBatcher:
             cache=cache,
             valid_mask=jnp.zeros((B, T), bool),
             last_logits=jnp.zeros((B, V), jnp.float32),
-            last_hidden=jnp.zeros((B, H), jnp.float32),
+            # MODEL dtype, not f32: the decode scan carries last_hidden and
+            # the talker emits it in the transformer dtype — a f32 idle state
+            # type-mismatched the scan on bf16 checkpoints (caught by
+            # tools/tpu_smoke.py on the flagship preset; the f32 tiny test
+            # model could never see it)
+            last_hidden=jnp.zeros((B, H), dt),
             pos=jnp.zeros((B,), jnp.int32),
             step=jnp.zeros((B,), jnp.int32),
             done=jnp.ones((B,), bool),  # empty slots idle as "done"

@@ -272,3 +272,42 @@ def test_pool_adaptive_spec_fallback(tiny_model, tiny_vocab_files):
         pool.shutdown()
     np.testing.assert_array_equal(np.asarray(r1.codes), np.asarray(want.codes))
     np.testing.assert_array_equal(np.asarray(r2.codes), np.asarray(want.codes))
+
+
+def test_pool_bf16_model(tiny_model, tiny_vocab_files):
+    """bf16-dtype checkpoint in the pool: the idle state's carry dtypes must
+    match what the decode step emits (a f32 last_hidden type-mismatched the
+    scan on the bf16 flagship — caught on hardware, pinned here)."""
+    import dataclasses
+
+    cfg, _ = tiny_model
+    bf = dataclasses.replace(
+        cfg,
+        talker=dataclasses.replace(
+            cfg.talker,
+            transformer=dataclasses.replace(
+                cfg.talker.transformer, dtype="bfloat16"
+            ),
+        ),
+        code_predictor=dataclasses.replace(
+            cfg.code_predictor,
+            transformer=dataclasses.replace(
+                cfg.code_predictor.transformer, dtype="bfloat16"
+            ),
+        ),
+    )
+    from leaxer_qwen3_tts_tpu.runtime.weights import init_params
+
+    params = init_params(bf, jax.random.PRNGKey(0))
+    vocab_path, merges_path, _ = tiny_vocab_files
+    tok = Tokenizer(vocab_path, merges_path)
+    eng = TTSEngine(config=bf, params=params, tokenizer=tok, max_frames=8,
+                    chunk_len=2)
+    assert eng.is_ready(), eng.get_error()
+    pool = ContinuousBatcher(eng, pool_size=2, chunk_len=2, kv_bucket=64,
+                             text_bucket_max=16)
+    try:
+        r = pool.synthesize("hello world", temperature=0.0, max_tokens=4)
+        assert len(r.codes) > 0 and np.isfinite(r.audio).all()
+    finally:
+        pool.shutdown()

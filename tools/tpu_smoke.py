@@ -69,4 +69,25 @@ for name, kw in (
     print(f"{name} warm: {r2.metrics.frames} frames, rtf {r2.metrics.rtf:.1f}x, "
           f"ttfa {r2.metrics.ttfa_seconds*1e3:.0f}ms", flush=True)
     del eng
+# --- continuous pool (production serving) on hardware -------------------
+from leaxer_qwen3_tts_tpu.serve.pool import ContinuousBatcher
+
+eng = TTSEngine(config=QWEN3_TTS_06B, params=params, tokenizer=tok,
+                max_frames=96, chunk_len=32, quantize="int8", kv_quant=True)
+assert eng.is_ready(), eng.get_error()
+pool = ContinuousBatcher(eng, pool_size=4, chunk_len=32, kv_bucket=256,
+                         text_bucket_max=32)
+try:
+    t0 = time.perf_counter()
+    futs = [pool.submit(f"hello world {i}", temperature=0.8, max_tokens=48)
+            for i in range(8)]
+    results = [f.result(timeout=1200) for f in futs]
+    dt = time.perf_counter() - t0
+    frames = sum(r.metrics.frames for r in results)
+    print(f"pool: 8 requests over 4 slots, {frames} frames in {dt:.1f}s "
+          f"(incl. compile), all finite="
+          f"{all(bool(np.isfinite(r.audio).all()) for r in results)}, "
+          f"stats={pool.stats}", flush=True)
+finally:
+    pool.shutdown()
 print("ENGINE TPU SMOKE OK", flush=True)
