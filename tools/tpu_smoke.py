@@ -90,4 +90,50 @@ try:
           f"stats={pool.stats}", flush=True)
 finally:
     pool.shutdown()
+if os.environ.get("SMOKE_TRAIN") == "1":
+    # --- training step on hardware (bf16, single chip) ------------------
+
+    from leaxer_qwen3_tts_tpu.config import (
+        CodePredictorConfig, TalkerConfig, TransformerConfig, TTSModelConfig, VocoderConfig)
+    from leaxer_qwen3_tts_tpu.runtime.weights import init_params
+    from leaxer_qwen3_tts_tpu.training import init_train_state, make_optimizer, make_train_step
+
+    tr = dict(num_layers=4, num_heads=16, num_kv_heads=8, head_dim=128,
+              intermediate_size=3072, dtype="bfloat16")
+    cfg = TTSModelConfig(
+        name="train-smoke",
+        talker=TalkerConfig(transformer=TransformerConfig(hidden_size=1024, **tr),
+                            text_vocab_size=152000, text_embed_dim=1024),
+        code_predictor=CodePredictorConfig(
+            transformer=TransformerConfig(hidden_size=1024, **tr)),
+        vocoder=VocoderConfig(d_model=32, num_prenet_blocks=1,
+                              upsample_channels=(16, 16, 8, 8), dtype="float32"),
+        speaker_encoder=None,
+    )
+    params = init_params(cfg, jax.random.PRNGKey(0), with_speaker_encoder=False)
+    tx = make_optimizer(learning_rate=1e-3)
+    state = init_train_state(params, tx)
+    step = make_train_step(cfg, tx, donate=True)
+    rng = np.random.default_rng(0)
+    batch = {
+        "text_ids": jnp.asarray(rng.integers(0, 1000, (4, 16)), jnp.int32),
+        "text_len": jnp.asarray(rng.integers(4, 17, (4,)), jnp.int32),
+        "codes": jnp.asarray(rng.integers(0, 2048, (4, 24, 16)), jnp.int32),
+        "num_frames": jnp.asarray(rng.integers(8, 25, (4,)), jnp.int32),
+    }
+    t0 = time.perf_counter()
+    state, m = step(state, batch)
+    l0 = float(jax.device_get(m.loss))
+    print(f"step 1 (compile): loss {l0:.3f} in {time.perf_counter()-t0:.1f}s", flush=True)
+    losses = [l0]
+    t0 = time.perf_counter()
+    for _ in range(30):
+        state, m = step(state, batch)
+        losses.append(float(jax.device_get(m.loss)))
+    print(f"30 steps: {(time.perf_counter()-t0)/30*1e3:.0f} ms/step, "
+          f"loss {losses[0]:.3f} -> {losses[-1]:.3f} "
+          f"(start near ln-vocab sum ~16: {abs(losses[0]-16)<4})", flush=True)
+    assert losses[-1] < losses[0], "loss did not decrease"
+    print("TRAIN TPU SMOKE OK", flush=True)
+
 print("ENGINE TPU SMOKE OK", flush=True)
