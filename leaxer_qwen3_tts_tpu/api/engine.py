@@ -435,6 +435,33 @@ class TTSEngine:
                 result = item
         return result
 
+    def warmup(self, language: str = "auto") -> float:
+        """Pre-compile the programs a serving deployment will hit, so first
+        requests don't pay compile cliffs (measured 40-100 s first-request
+        wall on v5e vs ~60 ms TTFA warm).
+
+        Runs one full-length synthesis (covers prefill, the TTFA first
+        chunk, steady-state chunks, EVERY KV-ladder rung the budget reaches,
+        and the streaming-vocode window shapes — exactly the request path,
+        spec or sequential) plus one short synthesis (the early-EOS partial
+        window).  Covers the FIRST text bucket; texts longer than
+        ``text_bucket`` tokens still pay a one-time per-bucket compile.
+        Returns the wall-clock seconds spent."""
+        self._require_ready()
+        import time as _time
+
+        t0 = _time.perf_counter()
+        ids = [[5] * 8]
+        long_frames = min(self.max_frames, self.kv_ladder[-1])
+        for mt in (long_frames, self.first_chunk_len):
+            for _ in self._synthesize_ids_stream(
+                ids, language, None, 0.0, 50, 0.95, mt, 0
+            ):
+                pass
+        dt = _time.perf_counter() - t0
+        log.info("engine warmup done in %.1fs", dt)
+        return dt
+
     def extract_speaker_embedding(self, wav_path: str) -> np.ndarray:
         """Reference WAV -> 1024-dim speaker embedding (reference
         extract_speaker_embedding, tts_onnx.cpp:331-365: read -> resample 24k

@@ -35,6 +35,9 @@ def main(argv=None) -> int:
              "frames per slot per talker pass; the static batcher and "
              "/synthesize_stream use the engine's spec paths",
     )
+    p.add_argument("--no-warmup", action="store_true",
+                   help="skip the pre-compile warmup pass (first requests "
+                        "then pay the compile cliffs)")
     args = p.parse_args(argv)
 
     from ..api.engine import TTSEngine
@@ -49,6 +52,10 @@ def main(argv=None) -> int:
     if not engine.is_ready():
         print(f"Error: {engine.get_error()}", file=sys.stderr)
         return 1
+    if not args.no_warmup and engine.tokenizer is not None:
+        print("warming up (pre-compiling the serving programs)...")
+        dt = engine.warmup()
+        print(f"warmup done in {dt:.1f}s")
     if args.batcher == "continuous":
         server = ContinuousBatcher(
             engine, pool_size=args.pool_size, kv_bucket=args.kv_bucket,

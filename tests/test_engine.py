@@ -425,3 +425,26 @@ def test_cli_stream_writes_incremental_wav(tiny_model, tiny_vocab_files, tmp_pat
                                atol=1e-4)
     # any extra streamed tail is post-EOS silence
     assert np.abs(np.asarray(a2)[n:]).max(initial=0.0) == 0.0
+
+
+def test_engine_warmup(tiny_model, tiny_vocab_files):
+    """warmup() pre-compiles the request path (incl. ladder rungs) and a
+    subsequent synthesize reuses the cached fns (no new cache entries)."""
+    from leaxer_qwen3_tts_tpu.api.engine import TTSEngine
+    from leaxer_qwen3_tts_tpu.frontend import Tokenizer
+
+    cfg, params = tiny_model
+    vocab_path, merges_path, _ = tiny_vocab_files
+    eng = TTSEngine(config=cfg, params=params,
+                    tokenizer=Tokenizer(vocab_path, merges_path),
+                    max_frames=24, chunk_len=4, first_chunk_len=2,
+                    kv_buckets=(16, 32))
+    assert eng.is_ready(), eng.get_error()
+    dt = eng.warmup()
+    assert dt > 0
+    n_fns = len(eng._fns_cache)
+    n_voc = len(eng._vocode_cache)
+    r = eng.synthesize("hello world", temperature=0.0, max_tokens=24)
+    assert r.metrics.frames > 0
+    assert len(eng._fns_cache) == n_fns, "synthesize compiled NEW decode fns"
+    assert len(eng._vocode_cache) == n_voc, "synthesize compiled NEW vocoders"
