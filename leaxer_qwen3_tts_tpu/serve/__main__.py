@@ -52,10 +52,7 @@ def main(argv=None) -> int:
     if not engine.is_ready():
         print(f"Error: {engine.get_error()}", file=sys.stderr)
         return 1
-    if not args.no_warmup and engine.tokenizer is not None:
-        print("warming up (pre-compiling the serving programs)...")
-        dt = engine.warmup()
-        print(f"warmup done in {dt:.1f}s")
+    warm_engine = not args.no_warmup and engine.tokenizer is not None
     if args.batcher == "continuous":
         server = ContinuousBatcher(
             engine, pool_size=args.pool_size, kv_bucket=args.kv_bucket,
@@ -65,6 +62,12 @@ def main(argv=None) -> int:
         server = BatchingServer(
             engine, max_batch=args.max_batch, max_wait_ms=args.max_wait_ms
         )
+    if warm_engine:
+        print("warming up (pre-compiling the serving programs)...")
+        dt = engine.warmup()  # /synthesize_stream + static-batcher paths
+        if args.batcher == "continuous":
+            dt += server.warmup()  # the pool's own decode/splice programs
+        print(f"warmup done in {dt:.1f}s")
     httpd = make_http_server(server, args.host, args.port,
                              max_streams=args.max_streams)
     print(f"serving on http://{args.host}:{args.port} (POST /synthesize; "

@@ -208,6 +208,19 @@ class ContinuousBatcher:
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
+    def warmup(self) -> float:
+        """Pre-compile the pool's programs (prefill, splice, the persistent
+        decode dispatch, retirement vocode) by running one tiny request
+        through the live pool — first real requests then skip the compile
+        cliffs.  Requires a tokenizer; returns wall-clock seconds."""
+        import time as _time
+
+        t0 = _time.perf_counter()
+        self.submit("a", temperature=0.0, max_tokens=self.chunk_len).result()
+        dt = _time.perf_counter() - t0
+        log.info("pool warmup done in %.1fs", dt)
+        return dt
+
     # ------------------------------------------------------------------
     def submit(
         self,

@@ -311,3 +311,10 @@ def test_pool_bf16_model(tiny_model, tiny_vocab_files):
         assert len(r.codes) > 0 and np.isfinite(r.audio).all()
     finally:
         pool.shutdown()
+
+
+def test_pool_warmup(pool):
+    dt = pool.warmup()
+    assert dt > 0
+    r = pool.synthesize("hello world", temperature=0.0, max_tokens=4)
+    assert len(r.codes) > 0
