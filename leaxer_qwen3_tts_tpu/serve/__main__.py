@@ -81,4 +81,5 @@ def main(argv=None) -> int:
     return 0
 
 
-sys.exit(main())
+if __name__ == "__main__":
+    sys.exit(main())
