@@ -416,11 +416,35 @@ def main() -> None:
     # Drafted frames verify in one S=K talker pass; committed codes are exact.
     # "floor" uses an always-wrong draft (acceptance 0: every iteration
     # commits exactly ITERS frames — deterministic, so dispatches chain with
-    # ONE final sync); "ceil" uses the repeat draft under greedy, which on
-    # the synthetic weights accepts ~everything (greedy output repeats) and
-    # so measures the full-acceptance ceiling.  Real-speech acceptance lands
-    # between; the floor already beats sequential decode.
+    # ONE final sync); "ceil" is STRUCTURAL: make_spec_generate_fns(
+    # force_accept=True) runs the identical verify+MTP+cache compute but
+    # replaces the draft-match comparison with all-true, so acceptance is
+    # 1.0 BY CONSTRUCTION for any weights.  (The round-3 artifact
+    # regression: the old repeat-draft "ceiling" relied on greedy output
+    # repeating on the synthetic weight fill — a weight-behavior bet that
+    # silently degenerated to the floor.  A replayed-greedy-trajectory
+    # oracle — runtime/speculative.make_replay_draft, the REAL-weight
+    # oracle, tested in tests/test_speculative.py — also degenerates on
+    # THIS fill: the mod-199 pattern yields tied logits whose argmax breaks
+    # differently between the S=1 and S=K programs.)  Each probe ASSERTS
+    # its expected acceptance regime and reports spec_probe_ok=false loudly
+    # instead of mislabeling a floor as a ceiling.  Real-speech acceptance
+    # lands between floor and ceiling.
     spec_results = {}
+    spec_regime_ok = True
+
+    def check_regime(name, accept):
+        lo, hi = (0.9, 1.01) if "ceil" in name else (-0.01, 0.35)
+        if lo <= accept <= hi:
+            return True
+        log(
+            f"ERROR: {name} acceptance {accept:.2f} outside expected "
+            f"regime [{max(lo, 0):.2f}, {min(hi, 1):.2f}] — this probe is "
+            f"NOT measuring a {'ceiling' if 'ceil' in name else 'floor'}; "
+            f"treat its ms/frame as invalid"
+        )
+        return False
+
     if batch == 1 and os.environ.get("BENCH_SKIP_SPEC") != "1":
         from leaxer_qwen3_tts_tpu.runtime.speculative import (
             make_spec_generate_fns,
@@ -429,6 +453,13 @@ def main() -> None:
 
         SPEC_K, SPEC_ITERS = 4, 8
         sp_greedy = SamplingParams.create(temperature=0.0, forbid_eos=True)
+        n_disp = max(2, frames // (SPEC_K * SPEC_ITERS))
+        # bucket sized for the SLOTS the probe consumes (prompt + bootstrap +
+        # n_disp*ITERS*K at full acceptance), not just `frames` — at small
+        # BENCH_FRAMES the old frames+32 bucket silently overflowed
+        spec_len = max(frames, n_disp * SPEC_K * SPEC_ITERS) + 32
+
+        import numpy as _np
 
         def wrong_draft(state, kk):
             return (
@@ -438,17 +469,17 @@ def main() -> None:
                 None,
             )
 
-        for name, draft, pp in (
-            ("spec_floor", wrong_draft, params),
-            ("spec_ceil", repeat_draft, params),
-            ("bf16_spec_ceil", repeat_draft, bf16_params),
+        for name, draft, force, pp in (
+            ("spec_floor", wrong_draft, False, params),
+            ("spec_ceil", repeat_draft, True, params),
+            ("bf16_spec_ceil", repeat_draft, True, bf16_params),
         ):
             if name.startswith("bf16") and quant != "int8":
                 continue
             try:
                 sfns = make_spec_generate_fns(
-                    cfg, max_len=frames + 32, k=SPEC_K, num_iters=SPEC_ITERS,
-                    draft_fn=draft,
+                    cfg, max_len=spec_len, k=SPEC_K, num_iters=SPEC_ITERS,
+                    draft_fn=draft, force_accept=force,
                 )
                 st, bd, f0, v0 = sfns.prefill(pp, ids, lens, key, sp_greedy)
                 st, fr, vd = sfns.decode(
@@ -457,7 +488,6 @@ def main() -> None:
                 )
                 sync(fr)  # compile
                 st, bd, f0, v0 = sfns.prefill(pp, ids, lens, key, sp_greedy)
-                n_disp = max(2, frames // (SPEC_K * SPEC_ITERS))
                 valids = []
                 t0 = time.perf_counter()
                 for _ in range(n_disp):
@@ -468,29 +498,38 @@ def main() -> None:
                     valids.append(vd)
                 sync(fr)  # chained: last-dispatch completion implies all
                 wall = time.perf_counter() - t0
-                import numpy as _np
-
                 committed = int(sum(_np.asarray(v).sum() for v in valids))
                 accept = committed / (n_disp * SPEC_ITERS * SPEC_K)
                 ms = wall / max(committed, 1) * 1e3
                 spec_results[name + "_ms_per_frame"] = round(ms, 2)
                 spec_results[name + "_accept"] = round(accept, 2)
+                spec_regime_ok = check_regime(name, accept) and spec_regime_ok
                 log(f"{name}: {ms:.2f} ms/frame (accept {accept*100:.0f}%)")
             except Exception as e:
                 log(f"spec probe {name} failed: {e}")
+                spec_regime_ok = False
 
     # --- batched speculative serving probe (B=8): one S=K verify pass covers
-    # B*K frame slots with per-stream acceptance — the serving multiplier
+    # B*K frame slots with per-stream acceptance — the serving multiplier.
+    # Same structural force_accept ceiling (per-stream acceptance is 1.0 by
+    # construction); floor uses per-stream always-wrong drafts.
     if batch == 1 and os.environ.get("BENCH_SKIP_SPEC") != "1":
+        import numpy as _np
+
         from leaxer_qwen3_tts_tpu.runtime.speculative import (
             make_spec_generate_fns as _msgf,
             repeat_draft as _rd,
         )
 
         Bs = 8
-        for name, draft in (("serving_spec_ceil", _rd),
-                            ("serving_spec_floor", None)):
-            if draft is None:
+        SPEC_K, SPEC_ITERS = 4, 8
+        n_disp = max(2, frames // (SPEC_K * SPEC_ITERS))
+        spec_len = max(frames, n_disp * SPEC_K * SPEC_ITERS) + 32
+        for name, draft, force in (
+            ("serving_spec_ceil", _rd, True),
+            ("serving_spec_floor", "wrong", False),
+        ):
+            if draft == "wrong":
                 def draft(state, kk):
                     return (
                         jnp.broadcast_to(
@@ -500,8 +539,9 @@ def main() -> None:
                         None,
                     )
             try:
-                sfns = _msgf(cfg, max_len=frames + 32, k=4, num_iters=8,
-                             batch=Bs, draft_fn=draft)
+                sfns = _msgf(cfg, max_len=spec_len, k=SPEC_K,
+                             num_iters=SPEC_ITERS, batch=Bs, draft_fn=draft,
+                             force_accept=force)
                 idsb = jnp.full((Bs, T), 100, jnp.int32)
                 lensb = jnp.full((Bs,), T, jnp.int32)
                 spg = SamplingParams.create(temperature=0.0, forbid_eos=True)
@@ -512,7 +552,6 @@ def main() -> None:
                 )
                 sync(fr)  # compile
                 st, bd, f0, v0 = sfns.prefill(params, idsb, lensb, key, spg)
-                n_disp = max(2, frames // (4 * 8))
                 valids = []
                 t0 = time.perf_counter()
                 for _ in range(n_disp):
@@ -523,15 +562,19 @@ def main() -> None:
                     valids.append(vd)
                 sync(fr)
                 wall = time.perf_counter() - t0
-                import numpy as _np
-
                 committed = int(sum(_np.asarray(v).sum() for v in valids))
+                accept = committed / (n_disp * SPEC_ITERS * SPEC_K * Bs)
                 agg_rtf = (committed / FRAME_RATE) / wall
                 spec_results[name + "_rtf"] = round(agg_rtf, 1)
+                spec_results[name + "_accept"] = round(accept, 2)
+                spec_regime_ok = check_regime(name, accept) and spec_regime_ok
                 log(f"{name} (B={Bs}): {agg_rtf:.1f}x aggregate RTF "
-                    f"({committed} frames in {wall*1e3:.0f} ms)")
+                    f"({committed} frames in {wall*1e3:.0f} ms, "
+                    f"accept {accept*100:.0f}%)")
             except Exception as e:
                 log(f"{name} probe failed: {e}")
+                spec_regime_ok = False
+        spec_results["spec_probe_ok"] = bool(spec_regime_ok)
 
     # diagnostic: host<->device round-trip latency (tunnel overhead)
     fid = jax.jit(lambda x: x + 1.0)

@@ -386,11 +386,16 @@ class TTSEngine:
         top_k: int = 50,
         top_p: float = 0.95,
         max_tokens: Optional[int] = None,
-        seed: int = 0,
+        seed=0,
     ) -> List[SynthesisResult]:
         """Batched multi-stream synthesis: all utterances decode in one SPMD
         batch; streams finish independently (EOS latching).  The reference is
-        strictly batch-1 (SURVEY §2.3)."""
+        strictly batch-1 (SURVEY §2.3).
+
+        ``seed`` may be an int (one shared PRNG chain, the historical
+        behavior) or a length-B sequence of per-stream seeds: each stream
+        then samples from its own chain, reproducible independent of its
+        batch-mates."""
         items = list(
             self._synthesize_stream(
                 list(texts), language, None, temperature, top_k, top_p, max_tokens, seed
@@ -1067,7 +1072,16 @@ class TTSEngine:
             len(self.kv_ladder) - 1,
         )
         sp = SamplingParams.create(temperature, top_k, top_p)
-        key = jax.random.PRNGKey(seed)
+        if isinstance(seed, (list, tuple, np.ndarray)):
+            # per-stream seeds: [B, 2] per-row PRNG chains (each stream's
+            # draws depend only on its own seed — runtime/sampling.split_keys)
+            if len(seed) != B:
+                raise EngineError(
+                    f"seed sequence length {len(seed)} != batch {B}"
+                )
+            key = jnp.stack([jax.random.PRNGKey(int(s)) for s in seed])
+        else:
+            key = jax.random.PRNGKey(seed)
 
         # Batched spec decode yields no incremental audio (frames compact per
         # stream; one final vocode) — a STREAMING caller at B > 1 keeps the

@@ -24,6 +24,7 @@ from jax import lax
 
 from ..config import CodePredictorConfig
 from ..ops.quant import dense, index_weight
+from ..runtime.sampling import split_keys
 from .layers import (
     KVCache,
     init_kv_cache,
@@ -95,7 +96,7 @@ def predict_subcodes(
 
     def step(carry, j):
         h_prev, cache, valid, key = carry
-        key, sub = jax.random.split(key)
+        key, sub = split_keys(key, 2)
         logits_j = head_logits(h_prev, j)
         subcode_j = sample_fn(sub, logits_j)  # [B]
         table = lax.dynamic_index_in_dim(pred_embed_tables, j, axis=0, keepdims=False)
@@ -113,7 +114,7 @@ def predict_subcodes(
     (h_last, cache, valid, key), (subcodes, embs) = lax.scan(
         step, (h_last, cache, valid, key), jnp.arange(n - 1, dtype=jnp.int32)
     )
-    key, sub = jax.random.split(key)
+    key, sub = split_keys(key, 2)
     logits_last = head_logits(h_last, n - 1)
     subcode_last = sample_fn(sub, logits_last)
     emb_last = jnp.take(pred_embed_tables[n - 1], subcode_last, axis=0)
@@ -159,7 +160,7 @@ def predict_subcodes_dense(
 
     def step(carry, j):
         seq, key = carry
-        key, sub = jax.random.split(key)
+        key, sub = split_keys(key, 2)
         valid = jnp.broadcast_to(pos_ids[None, :] < 2 + j, (B, S))
         hidden = transformer_forward_nocache(
             t, params["transformer"], seq, valid=valid
@@ -239,7 +240,7 @@ def predict_subcodes_fused(
 
     def step(carry, j):
         h_prev, kc, vc, key = carry
-        key, sub = jax.random.split(key)
+        key, sub = split_keys(key, 2)
         logits_j = head_logits(h_prev, j)
         subcode_j = sample_fn(sub, logits_j)
         table = lax.dynamic_index_in_dim(pred_embed_tables, j, axis=0, keepdims=False)
@@ -255,7 +256,7 @@ def predict_subcodes_fused(
     (h_last, kc, vc, key), (subcodes, embs) = lax.scan(
         step, (h_last, cache.k, cache.v, key), jnp.arange(n - 1, dtype=jnp.int32)
     )
-    key, sub = jax.random.split(key)
+    key, sub = split_keys(key, 2)
     logits_last = head_logits(h_last, n - 1)
     subcode_last = sample_fn(sub, logits_last)
     emb_last = jnp.take(pred_embed_tables[n - 1], subcode_last, axis=0)
@@ -306,7 +307,7 @@ def predict_subcodes_fused_batched(
 
     def step(carry, j):
         h_prev, kc, vc, key = carry
-        key, sub = jax.random.split(key)
+        key, sub = split_keys(key, 2)
         logits_j = head_logits(h_prev, j)
         subcode_j = sample_fn(sub, logits_j)  # [B]
         table = lax.dynamic_index_in_dim(pred_embed_tables, j, axis=0, keepdims=False)
@@ -322,7 +323,7 @@ def predict_subcodes_fused_batched(
     (h_last, kc, vc, key), (subcodes, embs) = lax.scan(
         step, (h_last, cache.k, cache.v, key), jnp.arange(n - 1, dtype=jnp.int32)
     )
-    key, sub = jax.random.split(key)
+    key, sub = split_keys(key, 2)
     logits_last = head_logits(h_last, n - 1)
     subcode_last = sample_fn(sub, logits_last)
     emb_last = jnp.take(pred_embed_tables[n - 1], subcode_last, axis=0)

@@ -31,7 +31,12 @@ from ..models.embeddings import codec_embed
 from ..models.layers import KVCache
 from ..models.talker import talker_decode_step, talker_init_cache, talker_prefill
 from .prompt import PromptBundle, build_prompt
-from .sampling import SamplingParams, make_codec_suppress_mask, sample_token
+from .sampling import (
+    SamplingParams,
+    make_codec_suppress_mask,
+    sample_token,
+    split_keys,
+)
 
 
 class GenerateState(NamedTuple):
@@ -44,7 +49,9 @@ class GenerateState(NamedTuple):
     # (per-stream so continuous serving can admit a new request into a slot
     # mid-flight: its text drip restarts at 0 while batch-mates keep going)
     done: jax.Array  # [B] bool — EOS latched
-    key: jax.Array  # PRNG key
+    key: jax.Array  # PRNG key: [2] (one chain) or [B, 2] (per-stream chains;
+    # the pool carries per-slot keys so a request's samples are
+    # occupancy-invariant — runtime/sampling.split_keys)
 
 
 def init_state_from_prefill(
@@ -84,7 +91,7 @@ def _frame_step(
 ) -> Tuple[GenerateState, Tuple[jax.Array, jax.Array]]:
     """One 12 Hz frame.  Returns (state', (frame_codes [B,16], frame_valid [B]))."""
     emb = params["embeddings"]
-    key, k_code0, k_pred = jax.random.split(state.key, 3)
+    key, k_code0, k_pred = split_keys(state.key, 3)
 
     # --- codebook 0: suppress control tokens except EOS, sample ---
     logits = state.last_logits + suppress[None, :]

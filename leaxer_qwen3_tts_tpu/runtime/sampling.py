@@ -24,6 +24,28 @@ from ..config import CODEC_EOS, DEFAULT_TEMPERATURE, DEFAULT_TOP_K, DEFAULT_TOP_
 NEG_INF = -1e30
 
 
+def split_keys(key: jax.Array, n: int):
+    """Split a scalar PRNG key [2] — or per-row keys [B, 2] — into n keys.
+
+    Returns a tuple of n arrays shaped like ``key``.  Per-row keys give each
+    batch row its OWN threefry chain: a row's draws depend only on its key
+    and its split depth, never on batch-mates — the occupancy-invariance the
+    continuous pool's per-request determinism needs (serve/pool.py)."""
+    if key.ndim == 2:
+        ks = jax.vmap(lambda kk: jax.random.split(kk, n))(key)  # [B, n, 2]
+        return tuple(ks[:, i] for i in range(n))
+    ks = jax.random.split(key, n)
+    return tuple(ks[i] for i in range(n))
+
+
+def _categorical(key: jax.Array, scaled: jax.Array) -> jax.Array:
+    """jax.random.categorical, accepting per-row keys [B, 2] for [B, V]
+    logits (each row draws from its own stream)."""
+    if key.ndim == 2 and scaled.ndim == 2:
+        return jax.vmap(jax.random.categorical)(key, scaled)
+    return jax.random.categorical(key, scaled, axis=-1)
+
+
 class SamplingParams(NamedTuple):
     """Device-side sampling knobs, traced.  Each field is a scalar or a [B]
     vector (per-request knobs inside one serving batch)."""
@@ -93,7 +115,7 @@ def _sample_full(key, logits, params):
     scaled = logits / t
     scaled = jnp.where(_top_k_mask(scaled, _per_row(params.top_k)), scaled, NEG_INF)
     scaled = jnp.where(_top_p_mask(scaled, _per_row(params.top_p)), scaled, NEG_INF)
-    return jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
+    return _categorical(key, scaled).astype(jnp.int32)
 
 
 def _sample_topk_subset(key, logits, params):
@@ -131,7 +153,7 @@ def _sample_topk_subset(key, logits, params):
     keep_p = (cum_excl < _per_row(params.top_p)) | (pos == 0)
     scaled = jnp.where(keep_p, scaled, NEG_INF)
 
-    choice = jax.random.categorical(key, scaled, axis=-1)  # [...]
+    choice = _categorical(key, scaled)  # [...]
     return jnp.take_along_axis(idx, choice[..., None], axis=-1)[..., 0].astype(
         jnp.int32
     )
@@ -142,7 +164,11 @@ def sample_token(
     logits: jax.Array,  # [..., V] float32
     params: SamplingParams,
 ) -> jax.Array:
-    """Sample token ids [...] int32.  temperature == 0 -> greedy argmax."""
+    """Sample token ids [...] int32.  temperature == 0 -> greedy argmax.
+
+    ``key`` may be a scalar key [2] (one stream for the batch — the offline
+    paths) or per-row keys [B, 2] for [B, V] logits (each row samples from
+    its own chain — pool slots / per-request seeds)."""
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
     V = logits.shape[-1]

@@ -58,7 +58,12 @@ from ..models.embeddings import codec_embed
 from ..models.layers import KVCache, transformer_forward
 from ..ops.quant import dense
 from .prompt import PromptBundle, build_prompt
-from .sampling import SamplingParams, make_codec_suppress_mask, sample_token
+from .sampling import (
+    SamplingParams,
+    make_codec_suppress_mask,
+    sample_token,
+    split_keys,
+)
 
 
 class SpecState(NamedTuple):
@@ -81,7 +86,8 @@ class SpecState(NamedTuple):
     rope_pos: jax.Array  # [B] int32 — RoPE position of the pending input
     step: jax.Array  # [B] int32 — frames committed so far (incl. pending)
     done: jax.Array  # [B] bool — EOS latched
-    key: jax.Array
+    key: jax.Array  # [2] (one chain) or [B, 2] (per-stream chains — pool
+    # slots advance independently, so samples are occupancy-invariant)
 
 
 def init_spec_state(
@@ -106,7 +112,7 @@ def init_spec_state(
         cache,
     )
     B = bundle.prompt_embeds.shape[0]
-    key, k_code0, k_pred = jax.random.split(key, 3)
+    key, k_code0, k_pred = split_keys(key, 3)
     logits = last_logits + suppress[None, :]
     logits = logits.at[:, CODEC_EOS].add(jnp.where(sp.forbid_eos, -1e30, 0.0))
     code0 = sample_token(k_code0, logits, sp)  # [B]
@@ -150,6 +156,34 @@ def repeat_draft(
     )
 
 
+def make_replay_draft(traj) -> Callable:
+    """Structural oracle draft: replay a recorded trajectory.
+
+    ``traj`` [F, 16] int32 — frame f of a greedy decode of the same prompt
+    (e.g. recorded from the sequential loop).  The spec invariant puts
+    ``state.pending == traj[state.step - 1]``, and candidate slot j verifies
+    frame ``state.step + j - 1``, so drafting ``traj[state.step + j]`` for
+    slot j+1 makes every draft match its greedy candidate: acceptance is 1.0
+    BY CONSTRUCTION for any weights (greedy committed codes are bit-identical
+    to the sequential loop — see the module docstring).  This is the
+    benchmark/test oracle for the full-acceptance ceiling; a
+    weight-behavior-dependent "hope greedy repeats" probe degenerates to the
+    floor whenever the weight fill lacks a repetition attractor (the round-3
+    BENCH regression).  Works at any B: per-stream steps index independently.
+    """
+    traj = jnp.asarray(traj, jnp.int32)
+    F = traj.shape[0]
+
+    def draft(state: SpecState, k: int):
+        def one(s):
+            start = jnp.clip(s, 0, F - (k - 1))
+            return lax.dynamic_slice(traj, (start, 0), (k - 1, 16))
+
+        return jax.vmap(one)(state.step), None
+
+    return draft
+
+
 def _spec_iteration(
     cfg: TTSModelConfig,
     params: dict,
@@ -162,9 +196,22 @@ def _spec_iteration(
     draft_fn: Callable[[SpecState, int], jax.Array],
     state: SpecState,
     uniform_fill: bool,
+    force_accept: bool = False,
 ) -> Tuple[SpecState, Tuple[jax.Array, jax.Array]]:
     """One verify iteration.  Returns (state', (frames [B, k, 16],
-    valid [B, k])) where uncommitted candidate slots are zeroed/invalid."""
+    valid [B, k])) where uncommitted candidate slots are zeroed/invalid.
+
+    ``force_accept`` is the BENCHMARK-ONLY structural ceiling probe: the
+    draft-match comparison is replaced by all-true, so every iteration
+    commits k frames — the full-acceptance regime by construction, for ANY
+    weights.  All compute (verify pass, MTP chain, cache append, drip,
+    sampling) is identical to a genuine full-acceptance iteration; only the
+    boolean match is overridden, so the measured ms/frame is the true
+    ceiling cost.  (A weight-behavior probe — "hope greedy repeats", or
+    even a replayed greedy trajectory — silently degenerates whenever the
+    weight fill yields tied logits that break differently between the S=1
+    and S=K programs: the round-3 BENCH regression.)  Never used in
+    production paths."""
     emb = params["embeddings"]
     t = cfg.talker.transformer
     B = state.pending.shape[0]
@@ -178,12 +225,13 @@ def _spec_iteration(
     # values aligned with generate._frame_step.
     keys_code0, keys_pred, keys_after = [], [], []
     key = state.key
+    per_row = key.ndim == 2  # per-slot chains (pool determinism)
     for _ in range(k):
-        key, kc, kp = jax.random.split(key, 3)
+        key, kc, kp = split_keys(key, 3)
         keys_code0.append(kc)
         keys_pred.append(kp)
         keys_after.append(key)
-    keys_after = jnp.stack(keys_after)  # [k, 2]
+    keys_after = jnp.stack(keys_after)  # [k, 2] or [k, B, 2]
 
     # --- build the K talker inputs per stream -----------------------------
     drafts, d_nodrip = draft_fn(state, k)  # [B, k-1, 16], [B, k-1, H]|None
@@ -311,9 +359,19 @@ def _spec_iteration(
     )
     sample_fn = lambda kk, lg: sample_token(kk, lg, sp_flat)
     H = c0e.shape[-1]
+    # per-row chains: flattened candidate row (b, j) samples with slot j's
+    # split of STREAM b's chain (keys_pred[j][b]) — matching the flattened
+    # hidden/c0e row order, so a stream's sub-code draws never depend on
+    # batch-mates.  Scalar chain keeps the shared keys_pred[0] (module
+    # docstring: distribution-equal).
+    k_pred_mtp = (
+        jnp.stack(keys_pred, axis=1).reshape(B * k, 2)
+        if per_row
+        else keys_pred[0]
+    )
     subcodes, sub_sums = predict_subcodes(
         cfg.code_predictor, params["code_predictor"], emb["pred_embed"],
-        hidden.reshape(B * k, H), c0e.reshape(B * k, H), keys_pred[0],
+        hidden.reshape(B * k, H), c0e.reshape(B * k, H), k_pred_mtp,
         sample_fn,
     )
     subcodes = subcodes.reshape(B, k, 15)
@@ -322,6 +380,8 @@ def _spec_iteration(
 
     # --- acceptance per stream: longest draft-matching prefix -------------
     match = jnp.all(cand[:, : k - 1] == drafts, axis=-1)  # [B, k-1]
+    if force_accept:  # structural ceiling probe (see docstring) — bench only
+        match = jnp.ones_like(match)
     n_match = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)
     m = n_match + 1  # [B] committed candidates: cand[b, 0..m_b-1]
 
@@ -386,13 +446,24 @@ def _spec_iteration(
         done=done,
         # the chain advances one split per candidate slot; commit depth sets
         # the resume point (matches the B=1 sequential chain exactly).
-        # one-hot select (uint32 mask-sum), not a dynamic gather
-        key=jnp.sum(
-            keys_after
-            * (
-                jnp.arange(k, dtype=jnp.int32) == jnp.max(m) - 1
-            )[:, None].astype(keys_after.dtype),
-            axis=0,
+        # one-hot select (uint32 mask-sum), not a dynamic gather.
+        # Per-row chains resume PER STREAM at that stream's own commit depth.
+        key=(
+            jnp.sum(
+                keys_after
+                * (
+                    jnp.arange(k, dtype=jnp.int32)[:, None] == (m - 1)[None, :]
+                )[..., None].astype(keys_after.dtype),
+                axis=0,
+            )
+            if per_row
+            else jnp.sum(
+                keys_after
+                * (
+                    jnp.arange(k, dtype=jnp.int32) == jnp.max(m) - 1
+                )[:, None].astype(keys_after.dtype),
+                axis=0,
+            )
         ),
     )
     return new_state, (frames_out, valid)
@@ -410,6 +481,7 @@ def decode_frames_spec(
     num_iters: int,
     draft_fn: Callable[[SpecState, int], jax.Array] = repeat_draft,
     uniform_fill: Optional[bool] = None,
+    force_accept: bool = False,
 ) -> Tuple[SpecState, jax.Array, jax.Array]:
     """Run `num_iters` verify iterations via lax.scan.
 
@@ -429,8 +501,10 @@ def decode_frames_spec(
         tts_pad_embed, sp, k, draft_fn,
     )
     state, (frames, valid) = lax.scan(
-        lambda s, _: (step(s, uniform_fill=uniform_fill)), state, None,
-        length=num_iters,
+        lambda s, _: (
+            step(s, uniform_fill=uniform_fill, force_accept=force_accept)
+        ),
+        state, None, length=num_iters,
     )
     # [iters, B, k, ...] -> [B, iters*k, ...] in commit order
     frames = jnp.moveaxis(frames, 0, 1).reshape(B, num_iters * k, 16)
@@ -508,11 +582,14 @@ def make_spec_generate_fns(
     has_instruct: bool = False,
     donate: bool = True,
     draft_fn: Callable[[SpecState, int], jax.Array] = repeat_draft,
+    force_accept: bool = False,
 ) -> SpecGenerateFns:
     """Jitted speculative prefill / decode for `batch` streams.
 
     A decode dispatch runs `num_iters` iterations and commits between
-    `num_iters` and `num_iters * k` frames per stream.
+    `num_iters` and `num_iters * k` frames per stream.  ``force_accept``
+    is the benchmark-only structural full-acceptance probe (see
+    `_spec_iteration`); production callers never set it.
     """
     from ..models.talker import talker_init_cache
 
@@ -533,7 +610,7 @@ def make_spec_generate_fns(
     def decode_impl(params, state, trailing, trailing_len, tts_pad_embed, sp):
         return decode_frames_spec(
             cfg, params, state, trailing, trailing_len, tts_pad_embed, sp,
-            k, num_iters, draft_fn,
+            k, num_iters, draft_fn, force_accept=force_accept,
         )
 
     return SpecGenerateFns(

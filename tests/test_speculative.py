@@ -106,6 +106,101 @@ def test_spec_greedy_oracle_draft_full_acceptance(tiny_model):
     np.testing.assert_array_equal(spec_frames[:n], seq_frames[:n])
 
 
+def test_make_replay_draft_full_acceptance(tiny_model):
+    """The library replay-oracle (bench's structural ceiling probe) forces
+    full acceptance by construction — every iteration commits k frames —
+    and reproduces the sequential greedy trajectory bit-exactly."""
+    from leaxer_qwen3_tts_tpu.runtime.speculative import make_replay_draft
+
+    cfg, params = tiny_model
+    key = jax.random.PRNGKey(3)
+    seq_frames, seq_valid = _sequential_frames(cfg, params, key, n_chunks=4)
+    k, num_iters = 4, 3
+    spec_frames, state = _spec_frames(
+        cfg, params, key, k=k, num_iters=num_iters, n_dispatch=2,
+        draft_fn=make_replay_draft(seq_frames),
+    )
+    assert int(np.asarray(state.step)[0]) == 1 + 2 * num_iters * k
+    n = min(int(seq_valid.sum()), len(spec_frames))
+    assert n >= 12
+    np.testing.assert_array_equal(spec_frames[:n], seq_frames[:n])
+
+
+def test_make_replay_draft_batched(tiny_model):
+    """The replay oracle indexes per-stream steps independently: B identical
+    prompts under greedy all stay pinned to the shared trajectory with full
+    acceptance (the bench serving_spec_ceil shape)."""
+    from leaxer_qwen3_tts_tpu.runtime.speculative import make_replay_draft
+
+    cfg, params = tiny_model
+    key = jax.random.PRNGKey(5)
+    seq_frames, seq_valid = _sequential_frames(cfg, params, key, n_chunks=4)
+    B, k, iters = 2, 3, 2
+    fns = make_spec_generate_fns(
+        cfg, max_len=64, k=k, num_iters=iters, batch=B, lang_id=None,
+        donate=False, draft_fn=make_replay_draft(seq_frames),
+    )
+    ids = jnp.tile(TEXT_IDS, (B, 1))
+    lens = jnp.tile(TEXT_LEN, (B,))
+    state, bundle, frame0, valid0 = fns.prefill(params, ids, lens, key, GREEDY)
+    bufs = [[] for _ in range(B)]
+    f0, v0 = np.asarray(frame0), np.asarray(valid0)
+    for b in range(B):
+        if v0[b]:
+            bufs[b].append(f0[b])
+    n_dispatch = 2
+    for _ in range(n_dispatch):
+        state, fr, vd = fns.decode(
+            params, state, bundle.trailing, bundle.trailing_len,
+            bundle.tts_pad_embed, GREEDY,
+        )
+        fr, vd = np.asarray(fr), np.asarray(vd)
+        for b in range(B):
+            bufs[b].extend(fr[b][vd[b]])
+    steps = np.asarray(state.step)
+    np.testing.assert_array_equal(steps, 1 + n_dispatch * iters * k)
+    for b in range(B):
+        arr = np.stack(bufs[b])
+        n = min(int(seq_valid.sum()), len(arr))
+        assert n >= 8
+        np.testing.assert_array_equal(arr[:n], seq_frames[:n], err_msg=f"stream {b}")
+
+
+def test_force_accept_structural_ceiling(tiny_model):
+    """bench.py's ceiling probe: force_accept=True commits k frames per
+    iteration (acceptance 1.0 by construction) even with an always-WRONG
+    draft — weight-independent, unlike any replay/repeat-draft bet."""
+    cfg, params = tiny_model
+
+    def wrong_draft(state, k):
+        import jax.numpy as jnp
+
+        B = state.pending.shape[0]
+        return (
+            jnp.broadcast_to(
+                (state.pending[:, None, :] + 1) % 2048, (B, k - 1, 16)
+            ),
+            None,
+        )
+
+    k, iters = 4, 2
+    fns = make_spec_generate_fns(
+        cfg, max_len=64, k=k, num_iters=iters, donate=False,
+        draft_fn=wrong_draft, force_accept=True,
+    )
+    state, bundle, frame0, valid0 = fns.prefill(
+        params, TEXT_IDS, TEXT_LEN, jax.random.PRNGKey(0), GREEDY
+    )
+    n_disp = 2
+    for _ in range(n_disp):
+        state, fr, vd = fns.decode(
+            params, state, bundle.trailing, bundle.trailing_len,
+            bundle.tts_pad_embed, GREEDY,
+        )
+        assert int(np.asarray(vd).sum()) == iters * k  # full acceptance
+    assert int(np.asarray(state.step)[0]) == 1 + n_disp * iters * k
+
+
 def test_spec_batched_matches_sequential_per_stream(tiny_model):
     """B=3 streams (different prompt lengths): per-stream compacted spec
     output == the sequential batched loop's, with per-stream commit counts
