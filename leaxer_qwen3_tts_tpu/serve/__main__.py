@@ -21,8 +21,6 @@ def main(argv=None) -> int:
     p.add_argument("--max-batch", type=int, default=8, help="static batcher")
     p.add_argument("--max-wait-ms", type=float, default=30.0, help="static batcher")
     p.add_argument("--max-tokens", type=int, default=2048)
-    p.add_argument("--max-streams", type=int, default=4,
-                   help="concurrent /synthesize_stream decodes")
     p.add_argument("--quantize", choices=["int8", "int4"])
     p.add_argument("--kv-quant", action="store_true",
                    help="int8 KV cache (halves cache bandwidth at B>=8)")
@@ -32,8 +30,8 @@ def main(argv=None) -> int:
     p.add_argument(
         "--spec-k", type=int, choices=range(2, 9), metavar="K",
         help="speculative decoding: the continuous pool verifies K drafted "
-             "frames per slot per talker pass; the static batcher and "
-             "/synthesize_stream use the engine's spec paths",
+             "frames per slot per talker pass (streaming requests included); "
+             "the static batcher uses the engine's spec paths",
     )
     p.add_argument("--no-warmup", action="store_true",
                    help="skip the pre-compile warmup pass (first requests "
@@ -68,8 +66,7 @@ def main(argv=None) -> int:
         if args.batcher == "continuous":
             dt += server.warmup()  # the pool's own decode/splice programs
         print(f"warmup done in {dt:.1f}s")
-    httpd = make_http_server(server, args.host, args.port,
-                             max_streams=args.max_streams)
+    httpd = make_http_server(server, args.host, args.port)
     print(f"serving on http://{args.host}:{args.port} (POST /synthesize; "
           f"{args.batcher} batching)")
     try:

@@ -21,9 +21,12 @@ then SPLICES the resulting single-stream state into slot b of the pool state
 of these as [B] vectors).  Retirement vocodes the stream's own codes (length
 bucketed) and resolves its future.
 
-Determinism note: the pool threads ONE PRNG chain through the shared decode
-program, so a request's sampled output depends on what else is in flight.
-Per-request seeded determinism needs the offline API (engine.synthesize).
+Determinism: the pool state carries PER-SLOT PRNG keys ([B, 2] — see
+runtime/sampling.split_keys), seeded at admission from (pool seed, request
+seed) and advanced one split per frame per slot, so a request's sampled
+output is a pure function of (text, language, knobs, seed) — identical
+regardless of which slot it lands in or what else is in flight.  Requests
+without an explicit seed draw a fresh chain per admission.
 
 The reference has no serving layer at all (SURVEY §2.3: one process, one
 request, batch fixed at 1 — tts_onnx.cpp:547,618,672,760).
@@ -62,6 +65,9 @@ log = get_logger(__name__)
 
 
 
+_STREAM_DONE = object()  # chunk-queue sentinel: no more audio chunks
+
+
 @dataclass
 class _PoolRequest:
     text: str
@@ -71,6 +77,11 @@ class _PoolRequest:
     top_p: float
     max_tokens: Optional[int]
     forbid_eos: bool = False  # benchmarking / length-forcing knob
+    seed: Optional[int] = None  # per-request determinism (occupancy-invariant)
+    # streaming requests receive incremental audio chunks on chunk_q while
+    # still decoding in the SHARED pool batch (per-slot incremental vocode)
+    stream: bool = False
+    chunk_q: Optional["queue.Queue"] = None
     future: Future = field(default_factory=Future)
     enqueued_at: float = field(default_factory=time.perf_counter)
 
@@ -81,6 +92,37 @@ class _Active:
     budget: int
     frames: List[np.ndarray] = field(default_factory=list)  # [16] rows
     admitted_at: float = field(default_factory=time.perf_counter)
+    # --- streaming emitter state (stream=True requests only) ---
+    # committed frames vocode incrementally with a rolling causal left
+    # context (exactly the engine B=1 scheme, api/engine.py streaming loop);
+    # the retired result's audio IS the concatenation of the emitted chunks,
+    # so streamed and final audio are bit-identical by construction.
+    emit_lock: threading.Lock = field(default_factory=threading.Lock)
+    emit_busy: bool = False  # one drain runner per request at a time
+    finish_pending: bool = False  # retired: the drain runner finalizes
+    voc_fed: int = 0  # frames handed to the incremental vocoder so far
+    voc_tail: Optional[np.ndarray] = None  # [ctx, 16] rolling left context
+    audio_parts: List[np.ndarray] = field(default_factory=list)
+    first_audio_at: Optional[float] = None
+
+
+class PoolStream:
+    """Handle for a streaming pool request: iterate to receive np.float32
+    audio chunks (24 kHz) as the request decodes inside the shared pool
+    batch; the final item is the SynthesisResult (same contract as
+    TTSEngine.synthesize_stream).  ``future`` resolves with the result."""
+
+    def __init__(self, req: _PoolRequest):
+        self._req = req
+        self.future: Future = req.future
+
+    def __iter__(self):
+        while True:
+            item = self._req.chunk_q.get()
+            if item is _STREAM_DONE:
+                break
+            yield item
+        yield self.future.result()  # raises if the request failed
 
 
 class ContinuousBatcher:
@@ -231,16 +273,44 @@ class ContinuousBatcher:
         top_p: float = 0.95,
         max_tokens: Optional[int] = None,
         forbid_eos: bool = False,
+        seed: Optional[int] = None,
     ) -> "Future[SynthesisResult]":
         if self._stop.is_set():
             raise RuntimeError("server is shut down")
         req = _PoolRequest(text, language, temperature, top_k, top_p,
-                           max_tokens, forbid_eos)
+                           max_tokens, forbid_eos, seed)
         self._queue.put(req)
         return req.future
 
     def synthesize(self, text: str, **kw) -> SynthesisResult:
         return self.submit(text, **kw).result()
+
+    def submit_stream(
+        self,
+        text: str,
+        language: str = "auto",
+        temperature: float = 0.8,
+        top_k: int = 50,
+        top_p: float = 0.95,
+        max_tokens: Optional[int] = None,
+        seed: Optional[int] = None,
+    ) -> PoolStream:
+        """Streaming synthesis THROUGH the continuous pool: the request
+        decodes in the shared SPMD batch (full batching throughput) while
+        its committed frames vocode incrementally per dispatch — first audio
+        after one decode chunk, not at retirement.  Returns a PoolStream:
+        iterate for audio chunks, final item is the SynthesisResult.
+
+        The reference vocodes once at the end (tts_onnx.cpp:430); the
+        round-3 HTTP streaming path bypassed batching with a private B=1
+        decode — this is the production path that does both."""
+        if self._stop.is_set():
+            raise RuntimeError("server is shut down")
+        req = _PoolRequest(text, language, temperature, top_k, top_p,
+                           max_tokens, seed=seed, stream=True,
+                           chunk_q=queue.Queue())
+        self._queue.put(req)
+        return PoolStream(req)
 
     @property
     def stats(self) -> dict:
@@ -290,7 +360,9 @@ class ContinuousBatcher:
                 v_scale=self._put(state.cache.v_scale, 1),
             )
         rest = {
-            f: self._put(getattr(state, f), None if f == "key" else 0)
+            # key is [B, 2] per-slot chains — sharded over "data" like every
+            # other per-slot field
+            f: self._put(getattr(state, f), 0)
             for f in state._fields
             if f != "cache"
         }
@@ -307,6 +379,9 @@ class ContinuousBatcher:
         H, V = cfg.talker.hidden_size, cfg.talker.codec_vocab_size
         dt = t.jnp_dtype
         cache = talker_init_cache(cfg.talker, B, T)
+        # per-slot PRNG chains; idle rows are placeholders (the admission
+        # splice overwrites slot keys with the request's chain)
+        slot_keys = jnp.broadcast_to(jax.random.PRNGKey(self._seed), (B, 2))
         if self.spec_k:
             from ..runtime.speculative import SpecState
 
@@ -319,7 +394,7 @@ class ContinuousBatcher:
                 rope_pos=jnp.zeros((B,), jnp.int32),
                 step=jnp.ones((B,), jnp.int32),
                 done=jnp.ones((B,), bool),  # empty slots idle as "done"
-                key=jax.random.PRNGKey(self._seed),
+                key=slot_keys,
             ))
         return self._shard_state(GenerateState(
             cache=cache,
@@ -334,7 +409,7 @@ class ContinuousBatcher:
             pos=jnp.zeros((B,), jnp.int32),
             step=jnp.zeros((B,), jnp.int32),
             done=jnp.ones((B,), bool),  # empty slots idle as "done"
-            key=jax.random.PRNGKey(self._seed),
+            key=slot_keys,
         ))
 
     def _get_prefill(self, t_bucket: int, lang_id):
@@ -351,7 +426,8 @@ class ContinuousBatcher:
             TB = self.text_bucket_max
 
             def splice(state, trailing, trailing_len, slot,
-                       cache1, valid1, logits1, hidden1, pos1, t1, t1len):
+                       cache1, valid1, logits1, hidden1, pos1, key1,
+                       t1, t1len):
                 from ..models.layers import splice_kv_cache
 
                 cache = splice_kv_cache(state.cache, cache1, slot)
@@ -372,6 +448,10 @@ class ContinuousBatcher:
                     step=jax.lax.dynamic_update_slice(state.step, z32, (slot,)),
                     done=jax.lax.dynamic_update_slice(
                         state.done, jnp.zeros((1,), bool), (slot,)
+                    ),
+                    # the request's own PRNG chain into its slot row
+                    key=jax.lax.dynamic_update_slice(
+                        state.key, key1[None, :], (slot, 0)
                     ),
                 )
                 row = jnp.zeros((1, TB, trailing.shape[2]), trailing.dtype)
@@ -408,7 +488,7 @@ class ContinuousBatcher:
 
             def splice(state, trailing, trailing_len, slot,
                        cache1, valid1, pend1, nod1, hid1, rope1, done1,
-                       t1, t1len):
+                       key1, t1, t1len):
                 from ..models.layers import splice_kv_cache
 
                 dus = jax.lax.dynamic_update_slice
@@ -430,6 +510,9 @@ class ContinuousBatcher:
                         state.step, jnp.ones((1,), jnp.int32), (slot,)
                     ),
                     done=dus(state.done, done1, (slot,)),
+                    # the request's chain, already advanced past frame 0
+                    # (the spec prefill sampled the bootstrap frame with it)
+                    key=dus(state.key, key1[None, :], (slot, 0)),
                 )
                 row = jnp.zeros((1, TB, trailing.shape[2]), trailing.dtype)
                 row = jax.lax.dynamic_update_slice(row, t1, (0, 0, 0))
@@ -472,6 +555,98 @@ class ContinuousBatcher:
         return np.asarray(audio, np.float32)[0, : F * spf]
 
     # ------------------------------------------------------------------
+    # streaming emitter (per-slot incremental vocode)
+    # ------------------------------------------------------------------
+
+    def _stream_vocode(self, active: _Active, frames_new: np.ndarray) -> np.ndarray:
+        """Vocode ``frames_new`` [n, 16] with the request's rolling left
+        context; returns the n*spf new audio samples.  Exact (== whole
+        utterance vocode) once ctx >= left_context_frames — every vocoder op
+        is causal (models/codec12hz.py).  The frame window right-pads to the
+        pool's per-dispatch size so steady-state uses ONE jit signature
+        (trailing zero frames cannot affect earlier samples: causality)."""
+        voc_cfg = self.cfg.vocoder
+        spf = voc_cfg.samples_per_frame
+        L = voc_cfg.left_context_frames
+        d = self.spec_k * self.spec_iters if self.spec_k else self.chunk_len
+        n = len(frames_new)
+        nb = _round_up(n, d)
+        tail = active.voc_tail
+        ctx = 0 if tail is None else len(tail)
+        window = np.zeros((1, ctx + nb, 16), np.int32)
+        if ctx:
+            window[0, :ctx] = tail
+        window[0, ctx : ctx + n] = frames_new
+        vf = self.engine._get_vocode_fn(ctx + nb, ctx)  # shared compile cache
+        audio = np.asarray(
+            vf(self.engine.params["vocoder"], jnp.asarray(window)), np.float32
+        )[0, : n * spf]
+        allf = frames_new if tail is None else np.concatenate([tail, frames_new])
+        active.voc_tail = allf[max(0, len(allf) - min(L, len(allf))) :]
+        return audio
+
+    def _drain_stream(self, active: _Active) -> None:
+        """Emit audio for every committed-but-unvocoded frame of a streaming
+        request.  Runs on a finisher thread (never the decode loop); the
+        emit_busy flag keeps exactly ONE runner per request so chunks vocode
+        and emit strictly in order.  After retirement (finish_pending) the
+        runner also finalizes the request — retirement never BLOCKS a
+        finisher worker waiting on a queued drain task (with few workers
+        that wait could deadlock the executor)."""
+        while True:
+            with active.emit_lock:
+                total = min(len(active.frames), active.budget)
+                n_new = total - active.voc_fed
+                if n_new <= 0:
+                    if active.finish_pending:
+                        active.finish_pending = False  # sole finalizer
+                    else:
+                        active.emit_busy = False
+                        return
+                    finalize = True
+                else:
+                    frames_new = np.stack(active.frames[active.voc_fed : total])
+                    active.voc_fed = total
+                    finalize = False
+            if finalize:
+                try:
+                    self._finalize_stream(active)
+                finally:
+                    with active.emit_lock:
+                        active.emit_busy = False
+                return
+            audio = self._stream_vocode(active, frames_new)
+            active.audio_parts.append(audio)
+            if active.first_audio_at is None:
+                active.first_audio_at = time.perf_counter()
+            active.req.chunk_q.put(audio)
+
+    def _drain_stream_safe(self, active: _Active) -> None:
+        try:
+            self._drain_stream(active)
+        except Exception as e:  # pragma: no cover
+            log.exception("stream vocode failed")
+            with active.emit_lock:
+                active.emit_busy = False
+            self._fail_request(active.req, e)
+
+    def _kick_stream(self, active: _Active) -> None:
+        """Schedule a drain runner if none is active (called from the decode
+        loop after new frames commit — cheap: a flag check + submit)."""
+        with active.emit_lock:
+            if active.emit_busy:
+                return  # the live runner will pick the new frames up
+            active.emit_busy = True
+        self._finisher.submit(self._drain_stream_safe, active)
+
+    @staticmethod
+    def _fail_request(req: _PoolRequest, exc: Exception) -> None:
+        if not req.future.done():
+            req.future.set_exception(exc)
+        if req.chunk_q is not None:
+            req.chunk_q.put(_STREAM_DONE)  # unblock the iterator
+
+    # ------------------------------------------------------------------
     # pool loop
     # ------------------------------------------------------------------
 
@@ -505,15 +680,22 @@ class ContinuousBatcher:
         ids_arr[0, : len(ids)] = ids
         lens = np.asarray([len(ids)], np.int32)
         active = _Active(req=req, budget=budget)
-        # Per-request key: fold the admit counter into the pool seed.  The
-        # non-spec prefill discards it (the splice drops last_logits' sample;
-        # the pool threads its own shared PRNG chain through the decode
-        # program), but the SPEC prefill samples and commits frame 0 with it,
-        # so a fixed key would give every same-text request an identical
-        # first frame at temperature > 0 (round-2 advisor finding).
-        admit_key = jax.random.fold_in(
-            jax.random.PRNGKey(self._seed), self._admits
-        )
+        # Per-request chain root: seeded requests derive from (pool seed,
+        # request seed) ONLY — never the admit counter — so the same (text,
+        # seed) resamples identically at any pool occupancy (the slot key
+        # then advances one split per frame of ITS OWN decode).  Unseeded
+        # requests fold the admit counter for a fresh chain per admission.
+        # The domain separator (1 vs 0) keeps user seeds and counter values
+        # from colliding on the same chain.
+        root = jax.random.PRNGKey(self._seed)
+        if req.seed is not None:
+            admit_key = jax.random.fold_in(
+                jax.random.fold_in(root, 1), int(req.seed)
+            )
+        else:
+            admit_key = jax.random.fold_in(
+                jax.random.fold_in(root, 0), self._admits
+            )
         self._admits += 1
         if self.spec_k:
             sp1 = SamplingParams.create(
@@ -530,7 +712,8 @@ class ContinuousBatcher:
                 jnp.asarray(slot, jnp.int32),
                 s1.cache, s1.valid_mask,
                 s1.pending, s1.pending_nodrip, s1.pending_hidden,
-                s1.rope_pos, s1.done, bundle.trailing, bundle.trailing_len,
+                s1.rope_pos, s1.done, s1.key,
+                bundle.trailing, bundle.trailing_len,
             )
             # the spec bootstrap already committed frame 0
             if bool(np.asarray(valid0)[0]) and budget >= 1:
@@ -545,14 +728,16 @@ class ContinuousBatcher:
                 self._state, self._trailing, self._trailing_len,
                 jnp.asarray(slot, jnp.int32),
                 s1.cache, s1.valid_mask,
-                s1.last_logits, s1.last_hidden, s1.pos, bundle.trailing,
-                bundle.trailing_len,
+                s1.last_logits, s1.last_hidden, s1.pos, s1.key,
+                bundle.trailing, bundle.trailing_len,
             )
         self._temps[slot] = req.temperature
         self._top_ks[slot] = req.top_k
         self._top_ps[slot] = req.top_p
         self._forbid[slot] = req.forbid_eos
         self._slots[slot] = active
+        if req.stream and active.frames:
+            self._kick_stream(active)  # spec bootstrap frame 0: earliest TTFA
 
     def _retire(self, slot: int) -> None:
         """Free the slot immediately; vocode + future resolution run on the
@@ -567,7 +752,17 @@ class ContinuousBatcher:
             self._state, jnp.asarray(slot, jnp.int32)
         )
         self._requests_done += 1
-        self._finisher.submit(self._finish, active)
+        if active.req.stream:
+            # the drain runner finalizes once it has vocoded every frame
+            # (chained, never blocking a finisher worker on another task)
+            with active.emit_lock:
+                active.finish_pending = True
+                if active.emit_busy:
+                    return  # live runner picks finish_pending up
+                active.emit_busy = True
+            self._finisher.submit(self._drain_stream_safe, active)
+        else:
+            self._finisher.submit(self._finish, active)
 
     def _finish(self, active: "_Active") -> None:
         try:
@@ -577,20 +772,45 @@ class ContinuousBatcher:
             )
             codes = codes[: active.budget]
             audio = self._vocode(codes)
-            now = time.perf_counter()
-            spf = self.cfg.vocoder.samples_per_frame
-            m = SynthesisMetrics(
-                audio_seconds=len(codes) * spf / float(SAMPLE_RATE),
-                frames=len(codes),
-                total_seconds=now - active.req.enqueued_at,
-            )
-            m.stage_seconds["queued"] = active.admitted_at - active.req.enqueued_at
-            active.req.future.set_result(
-                SynthesisResult(audio=audio, codes=codes, metrics=m)
-            )
+            self._resolve(active, codes, audio)
         except Exception as e:  # pragma: no cover
-            if not active.req.future.done():
-                active.req.future.set_exception(e)
+            self._fail_request(active.req, e)
+
+    def _finalize_stream(self, active: "_Active") -> None:
+        """Resolve a retired streaming request: every frame was already
+        vocoded incrementally (the drain runner calls this only when
+        drained), so the final audio IS the streamed concatenation —
+        bit-identical to what the iterator consumer heard."""
+        try:
+            codes = (
+                np.stack(active.frames).astype(np.int32)
+                if active.frames else np.zeros((0, 16), np.int32)
+            )
+            codes = codes[: active.budget]
+            audio = (
+                np.concatenate(active.audio_parts)
+                if active.audio_parts else np.zeros((0,), np.float32)
+            )
+            self._resolve(active, codes, audio)
+        except Exception as e:  # pragma: no cover
+            self._fail_request(active.req, e)
+
+    def _resolve(self, active: "_Active", codes, audio) -> None:
+        now = time.perf_counter()
+        spf = self.cfg.vocoder.samples_per_frame
+        m = SynthesisMetrics(
+            audio_seconds=len(codes) * spf / float(SAMPLE_RATE),
+            frames=len(codes),
+            total_seconds=now - active.req.enqueued_at,
+        )
+        if active.first_audio_at is not None:
+            m.ttfa_seconds = active.first_audio_at - active.req.enqueued_at
+        m.stage_seconds["queued"] = active.admitted_at - active.req.enqueued_at
+        active.req.future.set_result(
+            SynthesisResult(audio=audio, codes=codes, metrics=m)
+        )
+        if active.req.chunk_q is not None:
+            active.req.chunk_q.put(_STREAM_DONE)
 
     def _try_admissions(self) -> None:
         for slot in range(self.pool_size):
@@ -604,8 +824,7 @@ class ContinuousBatcher:
                 self._admit(slot, req)
             except Exception as e:
                 log.exception("admission failed")
-                if not req.future.done():
-                    req.future.set_exception(e)
+                self._fail_request(req, e)
 
     def _switch_to_sequential(self) -> None:
         """Adaptive-spec fallback: convert every slot's SpecState row into a
@@ -655,8 +874,8 @@ class ContinuousBatcher:
             except Exception as e:  # pragma: no cover
                 log.exception("pool decode failed; failing active requests")
                 for slot, active in enumerate(self._slots):
-                    if active is not None and not active.req.future.done():
-                        active.req.future.set_exception(e)
+                    if active is not None:
+                        self._fail_request(active.req, e)
                     self._slots[slot] = None
                 # the decode jit donated self._state: its buffers may now be
                 # deleted, which would poison every future splice — rebuild
@@ -690,18 +909,21 @@ class ContinuousBatcher:
             for slot, active in enumerate(self._slots):
                 if active is None:
                     continue
+                n_before = len(active.frames)
                 for frame, ok in zip(frames_np[slot], valid_np[slot]):
                     if ok and len(active.frames) < active.budget:
                         active.frames.append(frame)
                 if bool(done_np[slot]) or len(active.frames) >= active.budget:
-                    self._retire(slot)
+                    self._retire(slot)  # streaming: retire chains the drain
+                elif active.req.stream and len(active.frames) > n_before:
+                    self._kick_stream(active)  # incremental audio per chunk
         # drain on shutdown
         for active in self._slots:
-            if active is not None and not active.req.future.done():
-                active.req.future.set_exception(RuntimeError("server shut down"))
+            if active is not None:
+                self._fail_request(active.req, RuntimeError("server shut down"))
         while True:
             try:
                 r = self._queue.get_nowait()
             except queue.Empty:
                 break
-            r.future.set_exception(RuntimeError("server shut down"))
+            self._fail_request(r, RuntimeError("server shut down"))

@@ -45,6 +45,7 @@ class _Request:
     top_k: int
     top_p: float
     max_tokens: Optional[int]
+    seed: Optional[int] = None  # per-request reproducibility (per-row chains)
     future: Future = field(default_factory=Future)
     enqueued_at: float = field(default_factory=time.perf_counter)
 
@@ -83,10 +84,12 @@ class BatchingServer:
         top_k: int = 50,
         top_p: float = 0.95,
         max_tokens: Optional[int] = None,
+        seed: Optional[int] = None,
     ) -> "Future[SynthesisResult]":
         if self._stop.is_set():
             raise RuntimeError("server is shut down")
-        req = _Request(text, language, temperature, top_k, top_p, max_tokens)
+        req = _Request(text, language, temperature, top_k, top_p, max_tokens,
+                       seed)
         self._queue.put(req)
         return req.future
 
@@ -162,6 +165,14 @@ class BatchingServer:
         # (EOS latching ends shorter streams; min would truncate longer ones)
         bounds = [r.max_tokens for r in padded]
         max_tok = None if any(b is None for b in bounds) else max(bounds)
+        # per-request seeds ride as per-stream PRNG chains; all-unseeded
+        # batches keep the historical shared-chain behavior
+        seeds = [r.seed for r in padded]
+        seed_arg = (
+            [s if s is not None else 0 for s in seeds]
+            if any(s is not None for s in seeds)
+            else 0
+        )
         results = self.engine.synthesize_batch(
             texts,
             language=batch[0].language,
@@ -169,6 +180,7 @@ class BatchingServer:
             top_k=top_ks if len(set(top_ks)) > 1 else top_ks[0],
             top_p=top_ps if len(set(top_ps)) > 1 else top_ps[0],
             max_tokens=max_tok,
+            seed=seed_arg,
         )
         self._batches_run += 1
         for r, res in zip(batch, results[:n]):
@@ -214,16 +226,15 @@ def make_http_server(
     server: BatchingServer,
     host: str = "127.0.0.1",
     port: int = 8080,
-    max_streams: int = 4,
 ):
     """ThreadingHTTPServer facade; caller runs .serve_forever().
 
-    ``max_streams`` bounds concurrent /synthesize_stream decodes (each runs a
-    private batch-1 decode on the device); excess streamers get 503 instead of
-    serializing unboundedly on the accelerator."""
+    ``/synthesize_stream`` requires a server with ``submit_stream`` (the
+    ContinuousBatcher): the request decodes in the SHARED pool batch and its
+    audio streams incrementally per chunk — full batching throughput AND low
+    TTFA at once.  (The round-3 bypass ran a private B=1 decode per stream
+    behind a 4-slot semaphore; the static BatchingServer gets 501.)"""
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-
-    stream_slots = threading.BoundedSemaphore(max_streams)
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # route through our logger
@@ -255,6 +266,7 @@ def make_http_server(
                 self.send_error(400, "expected JSON body with a 'text' field")
                 return
             try:
+                seed = req.get("seed")
                 result = server.synthesize(
                     text,
                     language=req.get("language", "auto"),
@@ -262,6 +274,7 @@ def make_http_server(
                     top_k=int(req.get("top_k", 50)),
                     top_p=float(req.get("top_p", 0.95)),
                     max_tokens=req.get("max_tokens"),
+                    seed=int(seed) if seed is not None else None,
                 )
             except Exception as e:
                 self.send_error(500, str(e))
@@ -275,9 +288,11 @@ def make_http_server(
             self.wfile.write(body)
 
         def _do_stream(self):
-            """Chunked-transfer streaming: raw 16-bit PCM frames as they
-            decode (the engine's low-TTFA path; bypasses the batcher).
-            Content-Type audio/L16 (mono, 24 kHz, little-endian)."""
+            """Chunked-transfer streaming THROUGH the continuous pool: raw
+            16-bit PCM as the request's frames decode in the shared batch.
+            Content-Type audio/L16 (mono, 24 kHz, little-endian).  Pool
+            capacity bounds device work (excess requests queue); no private
+            per-stream decode, no artificial stream cap."""
             try:
                 length = int(self.headers.get("Content-Length", "0"))
                 req = json.loads(self.rfile.read(length) or b"{}")
@@ -285,17 +300,23 @@ def make_http_server(
             except Exception:
                 self.send_error(400, "expected JSON body with a 'text' field")
                 return
-            if not stream_slots.acquire(blocking=False):
-                self.send_error(503, "too many concurrent streams")
+            if not hasattr(server, "submit_stream"):
+                self.send_error(
+                    501,
+                    "streaming requires the continuous batcher "
+                    "(--batcher continuous)",
+                )
                 return
             try:
-                gen = server.engine.synthesize_stream(
+                seed = req.get("seed")
+                gen = server.submit_stream(
                     text,
                     language=req.get("language", "auto"),
                     temperature=float(req.get("temperature", 0.8)),
                     top_k=int(req.get("top_k", 50)),
                     top_p=float(req.get("top_p", 0.95)),
                     max_tokens=req.get("max_tokens"),
+                    seed=int(seed) if seed is not None else None,
                 )
                 self.send_response(200)
                 self.send_header("Content-Type", "audio/L16;rate=24000;channels=1")
@@ -321,7 +342,5 @@ def make_http_server(
                     self.wfile.write(b"0\r\n\r\n")
                 except Exception:
                     pass
-            finally:
-                stream_slots.release()
 
     return ThreadingHTTPServer((host, port), Handler)

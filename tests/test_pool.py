@@ -313,6 +313,117 @@ def test_pool_bf16_model(tiny_model, tiny_vocab_files):
         pool.shutdown()
 
 
+def test_pool_streaming_matches_retired(pool):
+    """Streaming THROUGH the pool (round-3 verdict #2): audio chunks arrive
+    per decode chunk; the final result's audio is the streamed concatenation
+    BIT-exactly; codes equal a non-streaming request with the same seed; and
+    the incremental left-context vocode matches the whole-utterance vocode."""
+    base = pool.synthesize("hello world", temperature=0.7, seed=11,
+                           max_tokens=6)
+    h = pool.submit_stream("hello world", temperature=0.7, seed=11,
+                           max_tokens=6)
+    chunks, result = [], None
+    for item in h:
+        if hasattr(item, "metrics"):
+            result = item
+        else:
+            chunks.append(item)
+    assert result is h.future.result()
+    assert chunks, "no incremental audio emitted"
+    concat = np.concatenate(chunks)
+    np.testing.assert_array_equal(concat, result.audio)  # bit-exact contract
+    np.testing.assert_array_equal(result.codes, base.codes)
+    # incremental causal vocode == whole-utterance vocode (fp-reduction only)
+    np.testing.assert_allclose(result.audio, base.audio, atol=2e-4)
+    assert result.metrics.ttfa_seconds is not None
+
+
+def test_pool_streaming_audio_before_completion(pool):
+    """THE streaming property: a chunk is delivered while the request is
+    still decoding (the round-3 pool only spoke at retirement)."""
+    h = pool.submit_stream("hello world", temperature=0.0, max_tokens=24)
+    it = iter(h)
+    first = next(it)
+    assert isinstance(first, np.ndarray) and first.dtype == np.float32
+    assert not h.future.done(), "first audio arrived only at retirement"
+    rest = list(it)
+    result = rest[-1]
+    total = np.concatenate([first] + rest[:-1])
+    np.testing.assert_array_equal(total, result.audio)
+
+
+def test_pool_streaming_http(pool):
+    """/synthesize_stream rides the continuous pool (no private decode)."""
+    import json
+    import urllib.request
+
+    from leaxer_qwen3_tts_tpu.serve import make_http_server
+
+    httpd = make_http_server(pool, "127.0.0.1", 0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        sreq = urllib.request.Request(
+            f"http://127.0.0.1:{port}/synthesize_stream",
+            data=json.dumps({"text": "hello", "temperature": 0.0,
+                             "max_tokens": 4, "seed": 3}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(sreq, timeout=600) as r:
+            assert r.headers["Content-Type"].startswith("audio/L16")
+            pcm = r.read()
+        samples = np.frombuffer(pcm, "<i2")
+        assert len(samples) > 0 and len(samples) % SPF == 0  # whole frames
+    finally:
+        httpd.shutdown()
+
+
+@pytest.mark.parametrize("mode", ["sequential", "spec"])
+def test_pool_seeded_request_occupancy_invariant(engine, mode):
+    """Per-request determinism in the PRODUCTION path (round-3 verdict #3):
+    identical (text, seed, knobs) yields identical sampled codes with 0, 3,
+    and 7 co-tenant requests in flight.  The pool state carries per-slot
+    PRNG chains ([B, 2], runtime/sampling.split_keys) seeded from (pool
+    seed, request seed) at admission — a slot's draws depend only on its
+    own chain, never on batch-mates or the admit counter."""
+    kw = dict(pool_size=8, chunk_len=2, kv_bucket=64, text_bucket_max=16)
+    if mode == "spec":
+        kw.update(spec_k=3, spec_iters=1)
+    p = ContinuousBatcher(engine, **kw)
+    runs = {}
+    try:
+        for n_cot in (0, 3, 7):
+            cots = [
+                p.submit("hello world", temperature=0.9, seed=100 + i,
+                         forbid_eos=True, max_tokens=24)
+                for i in range(n_cot)
+            ]
+            if n_cot:
+                # the probe must genuinely share dispatches with co-tenants
+                deadline = time.time() + 300
+                while p.stats["active"] < n_cot:
+                    assert time.time() < deadline, "co-tenants never admitted"
+                    time.sleep(0.01)
+            r = p.submit("hello", temperature=0.7, seed=42,
+                         forbid_eos=True, max_tokens=6).result(timeout=600)
+            for f in cots:
+                f.result(timeout=600)
+            runs[n_cot] = r
+        assert runs[0].codes.shape[0] == 6
+        for n in (3, 7):
+            np.testing.assert_array_equal(
+                runs[0].codes, runs[n].codes,
+                err_msg=f"seeded request changed with {n} co-tenants",
+            )
+        # and a DIFFERENT seed actually changes the sampled output
+        other = p.synthesize("hello", temperature=0.7, seed=43,
+                             forbid_eos=True, max_tokens=6)
+        assert not np.array_equal(other.codes, runs[0].codes)
+    finally:
+        p.shutdown()
+
+
 def test_pool_warmup(pool):
     dt = pool.warmup()
     assert dt > 0

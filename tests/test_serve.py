@@ -3,6 +3,7 @@
 import json
 import threading
 import time
+import urllib.error
 import urllib.request
 
 import numpy as np
@@ -104,18 +105,16 @@ def test_http_facade(server):
         with pytest.raises(urllib.error.HTTPError):
             urllib.request.urlopen(bad, timeout=60)
 
-        # chunked-streaming endpoint: raw PCM arrives incrementally
+        # /synthesize_stream needs the continuous pool (submit_stream); the
+        # static batcher advertises that instead of running a private decode
         sreq = urllib.request.Request(
             f"http://127.0.0.1:{port}/synthesize_stream",
             data=json.dumps({"text": "hello", "temperature": 0.0}).encode(),
             headers={"Content-Type": "application/json"},
         )
-        with urllib.request.urlopen(sreq, timeout=300) as r:
-            assert r.headers["Content-Type"].startswith("audio/L16")
-            pcm = r.read()
-        assert len(pcm) > 0 and len(pcm) % 2 == 0
-        samples = np.frombuffer(pcm, "<i2")
-        assert len(samples) % 2000 == 0  # whole frames
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(sreq, timeout=60)
+        assert e.value.code == 501
     finally:
         httpd.shutdown()
 
@@ -165,23 +164,3 @@ def test_per_request_max_tokens_trimmed(server):
     assert long_.codes.shape[0] >= short.codes.shape[0]
 
 
-def test_stream_concurrency_cap(server):
-    """Excess concurrent /synthesize_stream requests get 503, not an unbounded
-    device queue."""
-    import urllib.error
-
-    httpd = make_http_server(server, "127.0.0.1", 0, max_streams=0)
-    port = httpd.server_address[1]
-    t = threading.Thread(target=httpd.serve_forever, daemon=True)
-    t.start()
-    try:
-        sreq = urllib.request.Request(
-            f"http://127.0.0.1:{port}/synthesize_stream",
-            data=json.dumps({"text": "hello"}).encode(),
-            headers={"Content-Type": "application/json"},
-        )
-        with pytest.raises(urllib.error.HTTPError) as e:
-            urllib.request.urlopen(sreq, timeout=60)
-        assert e.value.code == 503
-    finally:
-        httpd.shutdown()
