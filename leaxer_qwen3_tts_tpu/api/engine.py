@@ -440,29 +440,38 @@ class TTSEngine:
                 result = item
         return result
 
-    def warmup(self, language: str = "auto") -> float:
+    def warmup(self, language: str = "auto", languages=None,
+               text_buckets=None) -> float:
         """Pre-compile the programs a serving deployment will hit, so first
         requests don't pay compile cliffs (measured 40-100 s first-request
         wall on v5e vs ~60 ms TTFA warm).
 
-        Runs one full-length synthesis (covers prefill, the TTFA first
-        chunk, steady-state chunks, EVERY KV-ladder rung the budget reaches,
-        and the streaming-vocode window shapes — exactly the request path,
-        spec or sequential) plus one short synthesis (the early-EOS partial
-        window).  Covers the FIRST text bucket; texts longer than
-        ``text_bucket`` tokens still pay a one-time per-bucket compile.
-        Returns the wall-clock seconds spent."""
+        Runs one full-length synthesis per declared (text-bucket, language)
+        signature (covers prefill, the TTFA first chunk, steady-state
+        chunks, EVERY KV-ladder rung the budget reaches, and the
+        streaming-vocode window shapes — exactly the request path, spec or
+        sequential) plus one short synthesis (the early-EOS partial window).
+        Defaults to the first text bucket and one language; pass the
+        deployment's expected ``languages``/``text_buckets`` (token-count
+        buckets, multiples of ``text_bucket``) for full coverage.  Returns
+        the wall-clock seconds spent."""
         self._require_ready()
         import time as _time
 
         t0 = _time.perf_counter()
-        ids = [[5] * 8]
+        if languages is None:
+            languages = (language,)
+        if text_buckets is None:
+            text_buckets = (self.text_bucket,)
         long_frames = min(self.max_frames, self.kv_ladder[-1])
-        for mt in (long_frames, self.first_chunk_len):
-            for _ in self._synthesize_ids_stream(
-                ids, language, None, 0.0, 50, 0.95, mt, 0
-            ):
-                pass
+        for lang in languages:
+            for tb in text_buckets:
+                ids = [[5] * max(1, int(tb) - 2)]  # rounds up to bucket tb
+                for mt in (long_frames, self.first_chunk_len):
+                    for _ in self._synthesize_ids_stream(
+                        ids, lang, None, 0.0, 50, 0.95, mt, 0
+                    ):
+                        pass
         dt = _time.perf_counter() - t0
         log.info("engine warmup done in %.1fs", dt)
         return dt

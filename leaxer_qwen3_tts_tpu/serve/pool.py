@@ -138,7 +138,7 @@ class ContinuousBatcher:
         pool_size: int = 8,
         chunk_len: int = 16,
         kv_bucket: int = 512,
-        text_bucket_max: int = 64,
+        text_bucket_max: Optional[int] = None,
         seed: int = 0,
         spec_k: Optional[int] = None,
         spec_iters: int = 2,
@@ -157,6 +157,12 @@ class ContinuousBatcher:
         self.pool_size = int(pool_size)
         self.chunk_len = int(chunk_len)
         self.kv_bucket = int(kv_bucket)
+        if text_bucket_max is None:
+            # derive from the pool's own KV budget: text drips one token per
+            # generated frame, so prompts beyond ~kv_bucket tokens could
+            # never finish dripping anyway.  (The round-3 fixed default of
+            # 64 rejected two-sentence prompts the ENGINE handled fine.)
+            text_bucket_max = _round_up(min(self.kv_bucket, 512), 16)
         self.text_bucket_max = int(text_bucket_max)
         # speculative mode: one S=K verify pass covers pool_size*K frame
         # slots per iteration with per-slot acceptance (runtime/speculative)
@@ -228,6 +234,18 @@ class ContinuousBatcher:
         self._requests_done = 0
         self._chunks_run = 0
         self._admits = 0  # per-request PRNG derivation counter
+        # Async admission: prefills (whole-transformer forward + possible
+        # first-time bucket/lang compile) run on worker threads; the decode
+        # loop only SPLICES finished prefills at chunk boundaries, so a
+        # cold-signature admission never freezes decode for the active slots
+        # (round-3 verdict #4).  Workers also AOT-compile the bucket's
+        # splice program so the decode-thread splice is dispatch-only.
+        self._reserved = [False] * B  # slots held by in-flight prefills
+        self._ready: "queue.Queue[tuple]" = queue.Queue()
+        self._admit_exec = ThreadPoolExecutor(
+            max_workers=2, thread_name_prefix="pool-admit"
+        )
+        self._compile_lock = threading.Lock()  # one compile per signature
         # adaptive spec (aggregate): per-stream spec modes are not
         # SPMD-expressible (one decode program covers every slot), so the
         # pool tracks POOL-WIDE trailing acceptance and, when it stays below
@@ -250,15 +268,51 @@ class ContinuousBatcher:
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
-    def warmup(self) -> float:
-        """Pre-compile the pool's programs (prefill, splice, the persistent
-        decode dispatch, retirement vocode) by running one tiny request
-        through the live pool — first real requests then skip the compile
-        cliffs.  Requires a tokenizer; returns wall-clock seconds."""
+    def _text_for_bucket(self, bucket: int) -> str:
+        """A text whose BPE length rounds up to exactly ``bucket``."""
+        words, text = ["a"], "a"
+        while _round_up(len(self.engine._tokenize(text)), 16) < bucket:
+            words.append("a")
+            text = " ".join(words)
+        return text
+
+    def warmup(
+        self,
+        languages=("auto",),
+        text_buckets=None,
+        streaming: bool = True,
+    ) -> float:
+        """Pre-compile the pool's programs by running tiny requests through
+        the live pool — the first real requests then skip the compile cliffs.
+
+        Covers every (text-bucket, language) signature the deployment
+        declares (prefill runs on the admission workers, so signatures
+        compile CONCURRENTLY), the persistent decode dispatch, the splice
+        per bucket, retirement vocode, and (``streaming``) the incremental
+        per-chunk vocode path.  Requires a tokenizer; returns seconds."""
         import time as _time
 
         t0 = _time.perf_counter()
-        self.submit("a", temperature=0.0, max_tokens=self.chunk_len).result()
+        if text_buckets is None:
+            text_buckets = (16,)
+        texts = {b: self._text_for_bucket(b) for b in text_buckets}
+        futs = [
+            self.submit(texts[b], language=lang, temperature=0.0,
+                        max_tokens=self.chunk_len)
+            for lang in languages
+            for b in text_buckets
+        ]
+        handles = []
+        if streaming:
+            handles.append(
+                self.submit_stream(texts[min(text_buckets)],
+                                   temperature=0.0,
+                                   max_tokens=2 * self.chunk_len)
+            )
+        for f in futs:
+            f.result()
+        for h in handles:
+            list(h)
         dt = _time.perf_counter() - t0
         log.info("pool warmup done in %.1fs", dt)
         return dt
@@ -326,6 +380,7 @@ class ContinuousBatcher:
         self._stop.set()
         if wait:
             self._thread.join(timeout=60)
+        self._admit_exec.shutdown(wait=wait)
         self._finisher.shutdown(wait=wait)
 
     # ------------------------------------------------------------------
@@ -469,6 +524,40 @@ class ContinuousBatcher:
             )
         return self._splice_cache[t_bucket]
 
+    def _warm_splice(self, t_bucket: int, s1, bundle) -> None:
+        """AOT-compile the sequential splice for this bucket on the CALLING
+        (admission worker) thread, so the decode thread's splice is a
+        dispatch of an already-compiled program.  Lowering only reads
+        avals/shardings of the example args — safe concurrently with the
+        decode loop.  Falls back silently to lazy jit compile.
+
+        Mesh pools skip AOT: the pool state's shardings are not stable
+        across dispatches (GSPMD propagates e.g. a 'model' factor onto the
+        KV heads dim after the first decode), and a Compiled object pins
+        the shardings it lowered with — the plain jit reshards/recompiles
+        transparently instead (measured: the splice graph is tiny)."""
+        if self.engine.mesh is not None:
+            return
+        key = ("compiled", t_bucket)
+        if key in self._splice_cache:
+            return
+        with self._compile_lock:
+            if key in self._splice_cache:
+                return
+            try:
+                fn = self._get_splice(t_bucket)
+                compiled = fn.lower(
+                    self._state, self._trailing, self._trailing_len,
+                    jnp.asarray(0, jnp.int32),
+                    s1.cache, s1.valid_mask,
+                    s1.last_logits, s1.last_hidden, s1.pos, s1.key,
+                    bundle.trailing, bundle.trailing_len,
+                ).compile()
+                self._splice_cache[t_bucket] = compiled
+            except Exception:  # pragma: no cover - lazy path still works
+                log.exception("splice AOT compile failed; falling back")
+            self._splice_cache[key] = True
+
     def _get_spec_prefill(self, t_bucket: int, lang_id):
         key = ("spec", t_bucket, lang_id)
         if key not in self._prefill_cache:
@@ -524,6 +613,31 @@ class ContinuousBatcher:
                 splice, donate_argnums=(0, 1, 2)
             )
         return self._splice_cache[key]
+
+    def _warm_spec_splice(self, t_bucket: int, s1, bundle) -> None:
+        """Spec-mode twin of _warm_splice (same mesh caveat)."""
+        if self.engine.mesh is not None:
+            return
+        ck = ("compiled_spec", t_bucket)
+        if ck in self._splice_cache:
+            return
+        with self._compile_lock:
+            if ck in self._splice_cache:
+                return
+            try:
+                fn = self._get_spec_splice(t_bucket)
+                compiled = fn.lower(
+                    self._state, self._trailing, self._trailing_len,
+                    jnp.asarray(0, jnp.int32),
+                    s1.cache, s1.valid_mask,
+                    s1.pending, s1.pending_nodrip, s1.pending_hidden,
+                    s1.rope_pos, s1.done, s1.key,
+                    bundle.trailing, bundle.trailing_len,
+                ).compile()
+                self._splice_cache[("spec_splice", t_bucket)] = compiled
+            except Exception:  # pragma: no cover - lazy path still works
+                log.exception("spec splice AOT compile failed; falling back")
+            self._splice_cache[ck] = True
 
     def _get_mark_done(self):
         if "mark_done" not in self._splice_cache:
@@ -650,43 +764,15 @@ class ContinuousBatcher:
     # pool loop
     # ------------------------------------------------------------------
 
-    def _admit(self, slot: int, req: _PoolRequest) -> None:
-        eng = self.engine
-        ids = eng._tokenize(req.text)
-        vocab = self.cfg.talker.text_vocab_size
-        bad = [i for i in ids if not 0 <= int(i) < vocab]
-        if bad:
-            raise EngineError(f"token id(s) out of range [0, {vocab}): {bad[:8]}")
-        t_bucket = _round_up(len(ids), 16)
-        if t_bucket > self.text_bucket_max:
-            raise EngineError(
-                f"text too long for the pool ({len(ids)} tokens > "
-                f"{self.text_bucket_max} bucket)"
-            )
-        lang_id = language_to_codec_id(
-            req.language if req.language != "auto" else None
-        )
-        P = prompt_length(lang_id, False, 0)
-        per_dispatch = (
-            self.spec_k * self.spec_iters if self.spec_k else self.chunk_len
-        )
-        budget = self.kv_bucket - P - per_dispatch
-        if budget < 1:
-            raise EngineError("pool kv_bucket too small for the prompt")
-        if req.max_tokens is not None:
-            budget = min(budget, int(req.max_tokens))
-
-        ids_arr = np.zeros((1, t_bucket), np.int32)
-        ids_arr[0, : len(ids)] = ids
-        lens = np.asarray([len(ids)], np.int32)
-        active = _Active(req=req, budget=budget)
-        # Per-request chain root: seeded requests derive from (pool seed,
-        # request seed) ONLY — never the admit counter — so the same (text,
-        # seed) resamples identically at any pool occupancy (the slot key
-        # then advances one split per frame of ITS OWN decode).  Unseeded
-        # requests fold the admit counter for a fresh chain per admission.
-        # The domain separator (1 vs 0) keeps user seeds and counter values
-        # from colliding on the same chain.
+    def _derive_admit_key(self, req: _PoolRequest):
+        """Per-request chain root: seeded requests derive from (pool seed,
+        request seed) ONLY — never the admit counter — so the same (text,
+        seed) resamples identically at any pool occupancy (the slot key
+        then advances one split per frame of ITS OWN decode).  Unseeded
+        requests fold the admit counter for a fresh chain per admission.
+        The domain separator (1 vs 0) keeps user seeds and counter values
+        from colliding on the same chain.  Called on the decode thread
+        (the _admits counter needs no lock there)."""
         root = jax.random.PRNGKey(self._seed)
         if req.seed is not None:
             admit_key = jax.random.fold_in(
@@ -697,15 +783,111 @@ class ContinuousBatcher:
                 jax.random.fold_in(root, 0), self._admits
             )
         self._admits += 1
-        if self.spec_k:
-            sp1 = SamplingParams.create(
-                req.temperature, req.top_k, req.top_p,
-                forbid_eos=req.forbid_eos,
+        return admit_key
+
+    def _prefill_request(self, slot: int, req: _PoolRequest, admit_key) -> None:
+        """ADMISSION WORKER (off the decode loop): tokenize, run the batch-1
+        prefill (including any first-time (bucket, lang) compile) and
+        AOT-compile the bucket's splice, then hand the result to the decode
+        thread via _ready.  The decode loop's only admission work is the
+        pre-compiled splice dispatch — a cold-signature admission no longer
+        freezes every active slot (round-3 verdict #4)."""
+        try:
+            eng = self.engine
+            ids = eng._tokenize(req.text)
+            vocab = self.cfg.talker.text_vocab_size
+            bad = [i for i in ids if not 0 <= int(i) < vocab]
+            if bad:
+                raise EngineError(
+                    f"token id(s) out of range [0, {vocab}): {bad[:8]}"
+                )
+            t_bucket = _round_up(len(ids), 16)
+            if t_bucket > self.text_bucket_max:
+                raise EngineError(
+                    f"text too long for the pool ({len(ids)} tokens > "
+                    f"{self.text_bucket_max} bucket)"
+                )
+            lang_id = language_to_codec_id(
+                req.language if req.language != "auto" else None
             )
-            prefill = self._get_spec_prefill(t_bucket, lang_id)
-            s1, bundle, frame0, valid0 = prefill(
-                self.engine.params, ids_arr, lens, admit_key, sp1
+            P = prompt_length(lang_id, False, 0)
+            spec = self.spec_k is not None  # snapshot: may flip to sequential
+            per_dispatch = (
+                self.spec_k * self.spec_iters if spec else self.chunk_len
             )
+            budget = self.kv_bucket - P - per_dispatch
+            if budget < 1:
+                raise EngineError("pool kv_bucket too small for the prompt")
+            if req.max_tokens is not None:
+                budget = min(budget, int(req.max_tokens))
+
+            ids_arr = np.zeros((1, t_bucket), np.int32)
+            ids_arr[0, : len(ids)] = ids
+            lens = np.asarray([len(ids)], np.int32)
+            if spec:
+                sp1 = SamplingParams.create(
+                    req.temperature, req.top_k, req.top_p,
+                    forbid_eos=req.forbid_eos,
+                )
+                prefill = self._get_spec_prefill(t_bucket, lang_id)
+                s1, bundle, frame0, valid0 = prefill(
+                    self.engine.params, ids_arr, lens, admit_key, sp1
+                )
+                self._warm_spec_splice(t_bucket, s1, bundle)
+                payload = (True, t_bucket, budget, s1, bundle,
+                           np.asarray(frame0)[0], bool(np.asarray(valid0)[0]))
+            else:
+                prefill = self._get_prefill(t_bucket, lang_id)
+                s1, bundle = prefill(
+                    self.engine.params, ids_arr, lens, admit_key
+                )
+                self._warm_splice(t_bucket, s1, bundle)
+                payload = (False, t_bucket, budget, s1, bundle, None, False)
+            self._ready.put((slot, req, admit_key, payload))
+        except Exception as e:
+            log.exception("admission prefill failed")
+            self._ready.put((slot, req, admit_key, e))
+
+    def _splice_ready(self) -> None:
+        """Decode thread: splice every finished admission prefill into the
+        pool state (pre-compiled dispatch only)."""
+        while True:
+            try:
+                slot, req, admit_key, payload = self._ready.get_nowait()
+            except queue.Empty:
+                return
+            if isinstance(payload, Exception):
+                self._reserved[slot] = False
+                self._fail_request(req, payload)
+                continue
+            spec, t_bucket, budget, s1, bundle, frame0, valid0 = payload
+            if spec != (self.spec_k is not None):
+                # the pool switched decode modes (adaptive spec fallback)
+                # while this prefill was in flight: redo it in today's mode
+                self._admit_exec.submit(
+                    self._prefill_request, slot, req, admit_key
+                )
+                continue
+            try:
+                self._splice_one(slot, req, spec, t_bucket, budget, s1,
+                                 bundle, frame0, valid0)
+            except Exception as e:
+                # the splice donates the pool state: rebuild it and fail
+                # every in-flight request (same recovery as a failed decode
+                # dispatch) — the loop itself must survive
+                log.exception("admission splice failed; rebuilding pool state")
+                self._reserved[slot] = False
+                self._fail_request(req, e)
+                for s, act in enumerate(self._slots):
+                    if act is not None:
+                        self._fail_request(act.req, e)
+                    self._slots[s] = None
+                self._state = self._make_idle_state()
+
+    def _splice_one(self, slot, req, spec, t_bucket, budget, s1, bundle,
+                frame0, valid0) -> None:
+        active = _Active(req=req, budget=budget)
+        if spec:
             splice = self._get_spec_splice(t_bucket)
             self._state, self._trailing, self._trailing_len = splice(
                 self._state, self._trailing, self._trailing_len,
@@ -716,13 +898,9 @@ class ContinuousBatcher:
                 bundle.trailing, bundle.trailing_len,
             )
             # the spec bootstrap already committed frame 0
-            if bool(np.asarray(valid0)[0]) and budget >= 1:
-                active.frames.append(np.asarray(frame0)[0])
+            if valid0 and budget >= 1:
+                active.frames.append(frame0)
         else:
-            prefill = self._get_prefill(t_bucket, lang_id)
-            s1, bundle = prefill(
-                self.engine.params, ids_arr, lens, admit_key
-            )
             splice = self._get_splice(t_bucket)
             self._state, self._trailing, self._trailing_len = splice(
                 self._state, self._trailing, self._trailing_len,
@@ -736,8 +914,9 @@ class ContinuousBatcher:
         self._top_ps[slot] = req.top_p
         self._forbid[slot] = req.forbid_eos
         self._slots[slot] = active
+        self._reserved[slot] = False
         if req.stream and active.frames:
-            self._kick_stream(active)  # spec bootstrap frame 0: earliest TTFA
+            self._kick_stream(active)  # spec frame 0: earliest TTFA
 
     def _retire(self, slot: int) -> None:
         """Free the slot immediately; vocode + future resolution run on the
@@ -813,18 +992,19 @@ class ContinuousBatcher:
             active.req.chunk_q.put(_STREAM_DONE)
 
     def _try_admissions(self) -> None:
+        """Decode thread: hand queued requests to admission workers (one per
+        free, unreserved slot).  The actual prefill happens off-thread; the
+        splice lands via _splice_ready at a later chunk boundary."""
         for slot in range(self.pool_size):
-            if self._slots[slot] is not None:
+            if self._slots[slot] is not None or self._reserved[slot]:
                 continue
             try:
                 req = self._queue.get_nowait()
             except queue.Empty:
                 return
-            try:
-                self._admit(slot, req)
-            except Exception as e:
-                log.exception("admission failed")
-                self._fail_request(req, e)
+            self._reserved[slot] = True
+            admit_key = self._derive_admit_key(req)
+            self._admit_exec.submit(self._prefill_request, slot, req, admit_key)
 
     def _switch_to_sequential(self) -> None:
         """Adaptive-spec fallback: convert every slot's SpecState row into a
@@ -855,9 +1035,10 @@ class ContinuousBatcher:
     def _loop(self) -> None:
         params = self.engine.params
         while not self._stop.is_set():
+            self._splice_ready()
             self._try_admissions()
             if not any(s is not None for s in self._slots):
-                time.sleep(0.005)
+                time.sleep(0.002 if any(self._reserved) else 0.005)
                 continue
             sp = SamplingParams.create(
                 jnp.asarray(self._temps), jnp.asarray(self._top_ks),
@@ -924,6 +1105,12 @@ class ContinuousBatcher:
         while True:
             try:
                 r = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            self._fail_request(r, RuntimeError("server shut down"))
+        while True:  # prefilled-but-unspliced admissions
+            try:
+                _, r, _, _ = self._ready.get_nowait()
             except queue.Empty:
                 break
             self._fail_request(r, RuntimeError("server shut down"))

@@ -429,3 +429,53 @@ def test_pool_warmup(pool):
     assert dt > 0
     r = pool.synthesize("hello world", temperature=0.0, max_tokens=4)
     assert len(r.codes) > 0
+
+
+def test_pool_warmup_covers_declared_signatures(engine):
+    """warmup(languages, text_buckets) pre-compiles every declared
+    (text-bucket, language) prefill/splice signature — later requests with
+    those signatures hit only cached programs (round-3 verdict #4)."""
+    p = ContinuousBatcher(engine, pool_size=2, chunk_len=2, kv_bucket=64,
+                          text_bucket_max=32)
+    try:
+        p.warmup(languages=("auto", "en"), text_buckets=(16, 32))
+        keys = set(p._prefill_cache.keys())
+        # sequential prefills are keyed (t_bucket, lang_id)
+        assert {k[0] for k in keys} == {16, 32}
+        assert len(keys) == 4
+        r = p.synthesize("hello " * 12, language="en", temperature=0.0,
+                         max_tokens=3)  # bucket-32 text, precompiled
+        assert len(r.codes) > 0
+    finally:
+        p.shutdown()
+
+
+def test_pool_admission_does_not_stall_decode(engine):
+    """A COLD-signature admission (first-time text-bucket compile) must not
+    freeze the decode loop: prefills run on admission workers and only the
+    pre-compiled splice runs on the decode thread (round-3 verdict #4).
+    The long in-flight request keeps committing chunks while the cold
+    request's prefill compiles."""
+    p = ContinuousBatcher(engine, pool_size=2, chunk_len=2, kv_bucket=64,
+                          text_bucket_max=32)
+    try:
+        long_f = p.submit("hello", temperature=0.0, forbid_eos=True,
+                          max_tokens=40)
+        deadline = time.time() + 300
+        while p.stats["active"] < 1:
+            assert time.time() < deadline
+            time.sleep(0.01)
+        chunks0 = p.stats["chunks"]
+        # bucket-32 text: never compiled in this pool -> cold prefill
+        cold = p.submit("hello " * 12, temperature=0.0, max_tokens=2)
+        cold.result(timeout=600)
+        chunks_during = p.stats["chunks"] - chunks0
+        long_f.result(timeout=600)
+        # with the old synchronous admission the counter freezes for the
+        # whole cold compile (only ~1-2 post-splice chunks); async admission
+        # keeps the long request streaming through it
+        assert chunks_during >= 5, (
+            f"decode ran only {chunks_during} chunks during a cold admission"
+        )
+    finally:
+        p.shutdown()
