@@ -178,15 +178,15 @@ class TTSEngine:
                 raise EngineError(f"unknown quantize mode {quantize!r}")
             if quantize is not None and mesh is not None:
                 raise EngineError(f"quantize={quantize} with a mesh is unsupported")
-            # The fused Pallas step kernels consume quantized units, so they
-            # are part of the quantized configurations ONLY: with
-            # quantize=None every path (fused-eligible or not) stays bf16,
-            # and with quantize=int8/int4 the fused kernel and the XLA
-            # fallback (prefill, batch>1, big buckets) read the SAME
-            # quantization grid — one numerics per request, never a silent
-            # mid-stream dtype switch.
-            bits = {None: None, "int8": 8, "int4": 4}[quantize]
-            use_fused = quantize is not None and mesh is None and jax.default_backend() == "tpu"
+            # The fused Pallas step kernels run in EVERY single-chip config:
+            # quantize=int8/int4 packs reuse the exact quantize_params grid
+            # (the XLA fallback — prefill, batch>1, big buckets — reads the
+            # same values, one numerics per request), and quantize=None
+            # packs bf16 units (bits=16: same kernels, 2x weight bytes, no
+            # quantization anywhere) so the unquantized config is not stuck
+            # at XLA decode speed (round-3 verdict #6).
+            bits = {None: 16, "int8": 8, "int4": 4}[quantize]
+            use_fused = mesh is None and jax.default_backend() == "tpu"
             if bits == 8:
                 # weight-only int8 for the memory-bound decode (ops/quant.py);
                 # embeddings/vocoder/speaker-encoder stay full precision.

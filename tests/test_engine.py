@@ -356,10 +356,10 @@ def test_prompt_too_long_raises(tiny_model, tiny_vocab_files):
         )
 
 
-def test_fused_prep_gated_on_int8(tiny_model, monkeypatch):
-    """The fused Pallas kernels imply int8 units, so they only engage in the
-    int8 configuration; quantize=None must stay pure bf16 on every path
-    (round-1 advisor finding: silent mid-stream numerics switch)."""
+def test_fused_prep_bits_follow_quantize(tiny_model, monkeypatch):
+    """quantize=None packs bf16 units (bits=16) so the unquantized config
+    gets the same kernel treatment — no quantization anywhere, the pack is a
+    bf16 relayout (round-3 verdict #6).  quantize=int8 packs bits=8."""
     import dataclasses
 
     import jax
@@ -376,21 +376,22 @@ def test_fused_prep_gated_on_int8(tiny_model, monkeypatch):
     calls = []
     monkeypatch.setattr(
         talker_mod, "prepare_fused_talker",
-        lambda c, p, bits=8: (calls.append("t"), p)[1],
+        lambda c, p, bits=8: (calls.append(("t", bits)), p)[1],
     )
     monkeypatch.setattr(
         cp_mod, "prepare_fused_step",
-        lambda c, p, bits=8: (calls.append("m"), p)[1],
+        lambda c, p, bits=8: (calls.append(("m", bits)), p)[1],
     )
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
 
-    eng = TTSEngine(config=cfg2, params=params)  # quantize=None
+    eng = TTSEngine(config=cfg2, params=params)  # quantize=None -> bf16 pack
     assert eng.is_ready(), eng.get_error()
-    assert calls == []  # bf16 config: no fused packing
+    assert sorted(calls) == [("m", 16), ("t", 16)], calls
 
+    calls.clear()
     eng = TTSEngine(config=cfg2, params=params, quantize="int8")
     assert eng.is_ready(), eng.get_error()
-    assert calls == ["m", "t"]  # int8 config: both kernels packed
+    assert sorted(calls) == [("m", 8), ("t", 8)], calls
 
 
 def test_cli_stream_writes_incremental_wav(tiny_model, tiny_vocab_files, tmp_path):

@@ -491,3 +491,125 @@ def test_wide_schedule_matches_uniform(mode, T, kvq):
         np.asarray(out_u[1][:, 0, :, pos_i], np.float64),
         atol=2 if kvq else 2e-2,
     )
+
+
+@pytest.mark.parametrize("bits,kvq", [(8, False), (8, True), (4, False), (16, False)])
+def test_manual_dma_matches_auto_pipeline(bits, kvq, monkeypatch):
+    """The manual double-buffered-DMA kernel (grid (L,), explicit semaphores)
+    == the auto (L, U)-grid Pallas pipeline: identical int8/int4 grids and
+    unit math, so outputs agree to bf16 reduction noise and untouched cache
+    slots bit-exactly."""
+    from leaxer_qwen3_tts_tpu.models.layers import (
+        init_transformer_params,
+        quantize_kv,
+    )
+    from leaxer_qwen3_tts_tpu.ops.fused_step import (
+        fused_decode_step,
+        pack_fused_weights,
+    )
+
+    t = TransformerConfig(
+        hidden_size=1024, num_layers=2, num_heads=8, num_kv_heads=4,
+        head_dim=128, intermediate_size=3072, dtype="float32",
+        kv_cache_quant=kvq,
+    )
+    params = init_transformer_params(t, jax.random.PRNGKey(0))
+    raw = params["layers"]
+    fw = pack_fused_weights(t, raw, bits=bits)
+
+    rng = np.random.default_rng(11)
+    L, nk, d, T = 2, 4, 128, 256
+    pos_i = 137
+    x = jnp.asarray(rng.standard_normal((1, 1024)) * 0.3, jnp.float32)
+    kc_f = rng.standard_normal((L, 1, nk, T, d)).astype(np.float32) * 0.2
+    vc_f = rng.standard_normal((L, 1, nk, T, d)).astype(np.float32) * 0.2
+    kc_f[:, :, :, pos_i:] = 0.0
+    vc_f[:, :, :, pos_i:] = 0.0
+    if kvq:
+        qk, sk = quantize_kv(jnp.asarray(kc_f))
+        qv, sv = quantize_kv(jnp.asarray(vc_f))
+        args = (qk, qv, sk, sv)
+    else:
+        args = (jnp.asarray(kc_f), jnp.asarray(vc_f))
+    pos = jnp.asarray(pos_i, jnp.int32)
+
+    monkeypatch.setenv("QTTS_FUSED_MANUAL", "0")
+    out_a = fused_decode_step(t, fw, x, pos, *args, interpret=True)
+    monkeypatch.setenv("QTTS_FUSED_MANUAL", "1")
+    out_m = fused_decode_step(t, fw, x, pos, *args, interpret=True)
+
+    np.testing.assert_allclose(
+        np.asarray(out_m[0]), np.asarray(out_a[0]), atol=2e-2
+    )
+    corr = np.corrcoef(
+        np.asarray(out_m[0]).ravel(), np.asarray(out_a[0]).ravel()
+    )[0, 1]
+    assert corr > 0.99999, corr
+    # untouched slots bit-exact, written slot within quantization/bf16 noise
+    mask = np.ones(T, bool)
+    mask[pos_i] = False
+    for j in (1, 2):
+        np.testing.assert_array_equal(
+            np.asarray(out_m[j])[:, :, :, mask],
+            np.asarray(out_a[j])[:, :, :, mask],
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_m[j][:, 0, :, pos_i], np.float64),
+            np.asarray(out_a[j][:, 0, :, pos_i], np.float64),
+            atol=2 if kvq else 2e-2,
+        )
+    if kvq:
+        for j in (3, 4):
+            np.testing.assert_allclose(
+                np.asarray(out_m[j]), np.asarray(out_a[j]), rtol=0.05
+            )
+
+
+def test_bf16_pack_matches_xla_forward():
+    """bits=16 pack (bf16 units, all-ones scales — the unquantized engine
+    config's kernel path) == the raw XLA transformer_forward, to bf16-dot
+    tolerance."""
+    from leaxer_qwen3_tts_tpu.models.layers import (
+        KVCache,
+        init_transformer_params,
+        rms_norm,
+        transformer_forward,
+    )
+    from leaxer_qwen3_tts_tpu.ops.fused_step import (
+        fused_decode_step,
+        pack_fused_weights,
+    )
+
+    t = TransformerConfig(
+        hidden_size=1024, num_layers=2, num_heads=8, num_kv_heads=4,
+        head_dim=128, intermediate_size=3072, dtype="float32",
+    )
+    params = init_transformer_params(t, jax.random.PRNGKey(0))
+    fw = pack_fused_weights(t, params["layers"], bits=16)
+    assert fw.units.dtype == jnp.bfloat16
+    assert bool((np.asarray(fw.scales) == 1.0).all())
+
+    rng = np.random.default_rng(3)
+    L, nk, d, T = 2, 4, 128, 256
+    pos_i = 137
+    x = jnp.asarray(rng.standard_normal((1, 1024)) * 0.3, jnp.float32)
+    kc = rng.standard_normal((L, 1, nk, T, d)).astype(np.float32) * 0.2
+    vc = rng.standard_normal((L, 1, nk, T, d)).astype(np.float32) * 0.2
+    kc[:, :, :, pos_i:] = 0.0
+    vc[:, :, :, pos_i:] = 0.0
+    kc, vc = jnp.asarray(kc), jnp.asarray(vc)
+    pos = jnp.asarray(pos_i, jnp.int32)
+
+    x_f, _, _ = fused_decode_step(t, fw, x, pos, kc, vc, interpret=True)
+
+    cache = KVCache(k=kc, v=vc, length=jnp.full((1,), pos_i, jnp.int32))
+    valid = jnp.asarray((np.arange(T) < pos_i)[None, :])
+    h_x, _, _ = transformer_forward(
+        t, params, x[:, None, :], jnp.asarray([[pos_i]], jnp.int32),
+        cache, valid,
+    )
+    h_fused = np.asarray(rms_norm(x_f, params["final_norm"], t.rms_norm_eps))
+    h_ref = np.asarray(h_x)[:, 0]
+    corr = np.corrcoef(h_fused.ravel(), h_ref.ravel())[0, 1]
+    assert corr > 0.999, corr
+    np.testing.assert_allclose(h_fused, h_ref, atol=0.05, rtol=0.05)

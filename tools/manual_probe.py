@@ -1,0 +1,142 @@
+"""On-TPU A/B probe: manual double-buffered DMA kernel vs auto Pallas pipeline.
+
+Measures the isolated fused decode step (talker shape and MTP shape, 0.6B)
+with QTTS_FUSED_MANUAL=0 vs =1 in ONE process (one tunnel session), chained
+dispatch through a jitted lax.scan with a single scalar sync — per the
+tunnel measurement rules in docs/ROUND4_PLAN.md.
+
+Run: cd /root/repo && timeout 900 python tools/manual_probe.py
+"""
+
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from leaxer_qwen3_tts_tpu.config import TransformerConfig
+from leaxer_qwen3_tts_tpu.ops.fused_step import (
+    FusedStepWeights,
+    _unit_counts,
+    fused_decode_step,
+)
+
+N_STEPS = 384
+
+
+def sync(x) -> None:
+    np.asarray(jax.device_get(jax.numpy.ravel(x)[0]))
+
+
+def make_weights(t: TransformerConfig, rng, bf16: bool = False) -> FusedStepWeights:
+    import ml_dtypes
+
+    L, H, d = t.num_layers, t.hidden_size, t.head_dim
+    n1, n2, n3, n4 = _unit_counts(t)
+    U = n1 + n2 + n3 + n4
+    if bf16:
+        w = (rng.standard_normal((L, U, H, 1024)) * 0.02).astype(
+            ml_dtypes.bfloat16)
+        sc = np.ones((L, U, 1, 1024), np.float32)
+    else:
+        w = rng.integers(-8, 8, (L, U, H, 1024), np.int8)
+        sc = np.full((L, U, 1, 1024), 0.002, np.float32)
+    host = [
+        w,
+        sc,
+        np.ones((L, 1, H), np.float32),
+        np.ones((L, 1, H), np.float32),
+        np.ones((L, 1, d), np.float32),
+        np.ones((L, 1, d), np.float32),
+    ]
+    return FusedStepWeights(*jax.device_put(host))
+
+
+def bench_shape(name: str, t: TransformerConfig, T: int, kvq: bool,
+                bf16: bool = False) -> dict:
+    rng = np.random.default_rng(0)
+    fw = make_weights(t, rng, bf16=bf16)
+    L, nk, d = t.num_layers, t.num_kv_heads, t.head_dim
+    cdt = np.int8 if kvq else np.float32
+    kc, vc, x = jax.device_put([
+        np.zeros((L, 1, nk, T, d), cdt),
+        np.zeros((L, 1, nk, T, d), cdt),
+        rng.standard_normal((1, t.hidden_size)).astype(np.float32) * 0.1,
+    ])
+    scales = None
+    if kvq:
+        ks, vs = jax.device_put([
+            np.full((L, 1, nk, T), 1e-3, np.float32),
+            np.full((L, 1, nk, T), 1e-3, np.float32),
+        ])
+        scales = (ks, vs)
+
+    out = {}
+    for arm in ("auto", "manual"):
+        os.environ["QTTS_FUSED_MANUAL"] = "1" if arm == "manual" else "0"
+
+        @jax.jit
+        def run(fw, x, kc, vc, ks=None, vs=None):
+            def body(carry, _):
+                x, kc, vc, ks, vs, pos = carry
+                if kvq:
+                    x2, kc2, vc2, ks2, vs2 = fused_decode_step(
+                        t, fw, x, pos, kc, vc, ks, vs
+                    )
+                else:
+                    x2, kc2, vc2 = fused_decode_step(t, fw, x, pos, kc, vc)
+                    ks2 = vs2 = ks
+                x2 = x2 * 0.1  # keep activations bounded over N steps
+                pos = jax.lax.rem(pos + 1, T)
+                return (x2, kc2, vc2, ks2, vs2, pos), ()
+
+            init = (x, kc, vc, ks, vs, jnp.asarray(0, jnp.int32))
+            (xf, *_), _ = jax.lax.scan(body, init, None, length=N_STEPS)
+            return xf
+
+        args = (fw, x, kc, vc) + (scales if kvq else ())
+        t0 = time.perf_counter()
+        sync(run(*args))
+        compile_s = time.perf_counter() - t0
+        best = float("inf")
+        for _ in range(3):
+            t1 = time.perf_counter()
+            sync(run(*args))
+            best = min(best, time.perf_counter() - t1)
+        ms = best / N_STEPS * 1e3
+        out[arm] = ms
+        print(f"{name} kvq={kvq} bf16={bf16} {arm}: {ms:.3f} ms/step "
+              f"(compile {compile_s:.1f}s, best of 3)", flush=True)
+    return out
+
+
+def main():
+    t0 = time.perf_counter()
+    sync(jax.device_put(np.zeros(8, np.float32)))
+    print(f"tunnel connect: {time.perf_counter() - t0:.1f}s", flush=True)
+
+    talker = TransformerConfig(dtype="bfloat16")
+    mtp = TransformerConfig(
+        hidden_size=1024, num_layers=6, num_heads=8, num_kv_heads=8,
+        head_dim=128, intermediate_size=3072, dtype="bfloat16",
+    )
+    res = {}
+    res["talker_T512"] = bench_shape("talker T=512", talker, 512, kvq=False)
+    res["mtp_T32"] = bench_shape("mtp T=32", mtp, 32, kvq=False)
+    res["talker_T512_kvq"] = bench_shape("talker T=512", talker, 512, kvq=True)
+    res["talker_T512_bf16"] = bench_shape(
+        "talker T=512", talker, 512, kvq=False, bf16=True)
+    res["mtp_T32_bf16"] = bench_shape("mtp T=32", mtp, 32, kvq=False, bf16=True)
+    frame_auto = res["talker_T512"]["auto"] + 15 * res["mtp_T32"]["auto"]
+    frame_man = res["talker_T512"]["manual"] + 15 * res["mtp_T32"]["manual"]
+    print(f"\nper-frame int8 (talker + 15xMTP): auto {frame_auto:.2f} ms, "
+          f"manual {frame_man:.2f} ms", flush=True)
+    fb_a = res["talker_T512_bf16"]["auto"] + 15 * res["mtp_T32_bf16"]["auto"]
+    fb_m = res["talker_T512_bf16"]["manual"] + 15 * res["mtp_T32_bf16"]["manual"]
+    print(f"per-frame bf16 (talker + 15xMTP): auto {fb_a:.2f} ms, "
+          f"manual {fb_m:.2f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()
