@@ -15,11 +15,28 @@ output column, activations resident in VMEM.  The non-uniform pack schedule
 this needs (round-2 blocker): per-shard contraction dims (q_dim/tp,
 intermediate/tp) are not multiples of the hidden size, so K-split tiles use
 KC = gcd(per-shard dim, H) rows and each unit GROUP lives in its own packed
-tensor with a CLAMPED block index map — Pallas skips the re-fetch when
-consecutive grid steps map to the same block, so out-of-range groups cost
-no DMA (vs 4x zero-padding waste with a uniform [H, 1024] schedule).
+tensor (vs 4x zero-padding waste with a uniform [H, 1024] schedule).
 N-split tiles use NU = gcd(1024, per-shard widths) columns (0.6B TP=2's
-1536-wide qkv shard needs NU=512).
+qkv shard needs NU=512).
+
+Weight streaming (default): MANUAL double-buffered DMA inside grid-(1,)
+kernels — each group tensor streams through its own 2-slot VMEM scratch
+with explicit semaphores, every unit fetched exactly once BY CONSTRUCTION
+(_make_attn_half_manual / _make_mlp_half_manual, same scheme as
+fused_step's manual kernel).  QTTS_FUSED_TP_MANUAL=0 selects the original
+(U,)-grid pipeline whose two tensors ride CLAMPED block index maps; that
+variant fetches BOTH tensors' blocks on EVERY grid step — Pallas has no
+revolving-buffer skip for repeated block indices (round-3 measured negative
+result; docs/KERNEL_PLAN.md "measured negative results") — i.e. ~2x the
+weight traffic.  Measured single-chip at a degenerate tp=1 mesh (0.6B,
+T=512, tools/manual_probe.py --tp): BOTH variants run 2.03 ms/step vs 1.2
+for the single-kernel fused step on the same bytes — at 2 pallas calls per
+layer the per-call overhead (~56 calls/step) dominates and the extra DMA
+hides under it.  The manual halves are kept as the default because their
+traffic bound is structural (it matters exactly when ICI+HBM contention
+appears at tp>1, unmeasurable on this one-chip box), they measure no
+slower, and they compile faster; the honest statement is that TP-fused
+decode pays off only with real multi-chip bandwidth, not at tp=1.
 
 The KV cache is head-sharded ([.., nk/tp, T, d] per chip): a whole per-layer
 cache block fits VMEM at ANY bucket (nk_s <= 4), so attention is the simple
@@ -349,6 +366,210 @@ def _make_mlp_half(cfg: TransformerConfig, tp: int):
     return kernel, U, clamp_g, clamp_d, (n_gu, n_wd, NU, KCd)
 
 
+def _mm_value(w, sc):
+    """Unit matmul from VALUES (manual-DMA halves): [1, K] f32 -> [1, NU]."""
+    w16 = w.astype(jnp.bfloat16)
+
+    def mm(lhs):
+        return (
+            lax.dot_general(lhs.astype(jnp.bfloat16), w16,
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+            * sc
+        )
+
+    return mm
+
+
+def _make_attn_half_manual(cfg: TransformerConfig, T: int, tp: int):
+    """Manual double-buffered variant of _make_attn_half: grid (1,), the
+    unit loop unrolled in-kernel, each group tensor streamed HBM->VMEM
+    through its own 2-slot scratch with DMA semaphores.  Every unit is
+    fetched EXACTLY ONCE — the auto (U,)-grid version's clamped index maps
+    fetch BOTH tensors' blocks every grid step (Pallas has no revolving-
+    buffer skip for repeated block indices, the round-3 negative result),
+    ~2x the weight traffic."""
+    H, d, nq_s, nk_s, qd_s, kvd_s, A_s, I_s, NU, KCo, KCd = _dims(cfg, tp)
+    eps = cfg.rms_norm_eps
+    g = nq_s // nk_s
+    n_qkv = A_s // NU
+    n_wo_k = qd_s // KCo
+    n_wo_n = H // NU
+    n_wo = n_wo_k * n_wo_n
+
+    def kernel(pos_ref, x_ref, cos_ref, sin_ref, qkvw, qkvs, wow, wos,
+               an_ref, qn_ref, kn_ref, kc_in, vc_in,
+               dx_out, kc_out, vc_out,
+               h_s, qkv_s, attn_s, qbuf, obuf, sem_q, sem_o):
+        pos = pos_ref[0]
+
+        def dma_q(u, sl):
+            return pltpu.make_async_copy(qkvw.at[u], qbuf.at[sl], sem_q.at[sl])
+
+        def dma_o(i, sl):
+            return pltpu.make_async_copy(wow.at[i], obuf.at[sl], sem_o.at[sl])
+
+        dma_q(0, 0).start()
+        h_s[:] = _rms(x_ref[:], an_ref[0], eps)
+        for u in range(n_qkv):
+            sl = u % 2
+            if u + 1 < n_qkv:
+                dma_q(u + 1, (u + 1) % 2).start()
+            else:
+                dma_o(0, 0).start()
+            dma_q(u, sl).wait()
+            qkv_s[:, u * NU : (u + 1) * NU] = _mm_value(
+                qbuf[sl], qkvs[u]
+            )(h_s[:])
+
+        # attention (identical math to _make_attn_half's u == n_qkv step)
+        qkv = qkv_s[:]
+        cos = cos_ref[:]
+        sin = sin_ref[:]
+        q = qkv[0, :qd_s].reshape(nq_s, d)
+        k = qkv[0, qd_s : qd_s + kvd_s].reshape(nk_s, d)
+        v = qkv[0, qd_s + kvd_s :].reshape(nk_s, d)
+        q = _rms(q, qn_ref[0, 0], eps)
+        k = _rms(k, kn_ref[0, 0], eps)
+        half = d // 2
+
+        def rope(x):
+            x1, x2 = x[:, :half], x[:, half:]
+            return jnp.concatenate(
+                [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1
+            )
+
+        q = rope(q)
+        k = rope(k)
+        slot = jax.lax.broadcasted_iota(jnp.int32, (1, nk_s, T, d), 2)
+        K_new = jnp.where(
+            slot == pos, k[None, :, None, :].astype(kc_in.dtype), kc_in[:]
+        )
+        V_new = jnp.where(
+            slot == pos, v[None, :, None, :].astype(vc_in.dtype), vc_in[:]
+        )
+        kc_out[:] = K_new
+        vc_out[:] = V_new
+        K = K_new[0].astype(jnp.float32)
+        V = V_new[0].astype(jnp.float32)
+        qg = q.reshape(nk_s, g, d)
+        sc = lax.dot_general(
+            qg, K, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * (1.0 / (d**0.5))
+        tslot = jax.lax.broadcasted_iota(jnp.int32, (nk_s, g, T), 2)
+        sc = jnp.where(tslot <= pos, sc, -1e30)
+        m = jnp.max(sc, axis=-1, keepdims=True)
+        e = jnp.exp(sc - m)
+        w = e / jnp.sum(e, axis=-1, keepdims=True)
+        out = lax.dot_general(
+            w, V, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        attn_s[:] = out.reshape(1, qd_s)
+
+        for i in range(n_wo):
+            sl = i % 2
+            if i + 1 < n_wo:
+                dma_o(i + 1, (i + 1) % 2).start()
+            dma_o(i, sl).wait()
+            k_idx = i // n_wo_n
+            n_off = (i % n_wo_n) * NU
+            part = _mm_value(obuf[sl], wos[i])(
+                attn_s[:, k_idx * KCo : (k_idx + 1) * KCo]
+            )
+            if k_idx == 0:
+                dx_out[:, n_off : n_off + NU] = part
+            else:
+                dx_out[:, n_off : n_off + NU] = (
+                    dx_out[:, n_off : n_off + NU] + part
+                )
+
+    scratch = [
+        pltpu.VMEM((1, H), jnp.float32),
+        pltpu.VMEM((1, A_s), jnp.float32),
+        pltpu.VMEM((1, qd_s), jnp.float32),
+        pltpu.VMEM((2, H, NU), jnp.int8),
+        pltpu.VMEM((2, KCo, NU), jnp.int8),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    return kernel, scratch, (n_qkv, n_wo, NU, KCo)
+
+
+def _make_mlp_half_manual(cfg: TransformerConfig, tp: int):
+    """Manual double-buffered variant of _make_mlp_half (see
+    _make_attn_half_manual)."""
+    H, d, nq_s, nk_s, qd_s, kvd_s, A_s, I_s, NU, KCo, KCd = _dims(cfg, tp)
+    eps = cfg.rms_norm_eps
+    n_gu = 2 * I_s // NU
+    n_wd_k = I_s // KCd
+    n_wd_n = H // NU
+    n_wd = n_wd_k * n_wd_n
+
+    def kernel(x_ref, guw, gus, wdw, wds, mn_ref, dx_out,
+               h_s, gu_s, gbuf, dbuf, sem_g, sem_d):
+        def dma_g(u, sl):
+            return pltpu.make_async_copy(guw.at[u], gbuf.at[sl], sem_g.at[sl])
+
+        def dma_d(i, sl):
+            return pltpu.make_async_copy(wdw.at[i], dbuf.at[sl], sem_d.at[sl])
+
+        dma_g(0, 0).start()
+        h_s[:] = _rms(x_ref[:], mn_ref[0], eps)
+        for u in range(n_gu):
+            sl = u % 2
+            if u + 1 < n_gu:
+                dma_g(u + 1, (u + 1) % 2).start()
+            else:
+                dma_d(0, 0).start()
+            dma_g(u, sl).wait()
+            gu_s[:, u * NU : (u + 1) * NU] = _mm_value(
+                gbuf[sl], gus[u]
+            )(h_s[:])
+
+        gu = gu_s[:]
+        gate = gu[:, :I_s]
+        up = gu[:, I_s:]
+        gu_s[:, :I_s] = gate * (1.0 / (1.0 + jnp.exp(-gate))) * up
+
+        for i in range(n_wd):
+            sl = i % 2
+            if i + 1 < n_wd:
+                dma_d(i + 1, (i + 1) % 2).start()
+            dma_d(i, sl).wait()
+            k_idx = i // n_wd_n
+            n_off = (i % n_wd_n) * NU
+            part = _mm_value(dbuf[sl], wds[i])(
+                gu_s[:, k_idx * KCd : (k_idx + 1) * KCd]
+            )
+            if k_idx == 0:
+                dx_out[:, n_off : n_off + NU] = part
+            else:
+                dx_out[:, n_off : n_off + NU] = (
+                    dx_out[:, n_off : n_off + NU] + part
+                )
+
+    scratch = [
+        pltpu.VMEM((1, H), jnp.float32),
+        pltpu.VMEM((1, 2 * I_s), jnp.float32),
+        pltpu.VMEM((2, H, NU), jnp.int8),
+        pltpu.VMEM((2, KCd, NU), jnp.int8),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    return kernel, scratch, (n_gu, n_wd, NU, KCd)
+
+
+def _tp_manual_enabled() -> bool:
+    """Manual double-buffered weight DMA in the TP half-kernels
+    (QTTS_FUSED_TP_MANUAL=0 falls back to the (U,)-grid clamped-map
+    pipeline for A/B benching)."""
+    import os
+
+    return os.environ.get("QTTS_FUSED_TP_MANUAL", "1") != "0"
+
+
 def fused_decode_step_tp(
     cfg: TransformerConfig,
     fw: FusedTPWeights,
@@ -366,14 +587,15 @@ def fused_decode_step_tp(
     T = k_cache.shape[3]
     pos = jnp.minimum(jnp.asarray(pos, jnp.int32), T - 1)
     return _fused_decode_step_tp_jit(cfg, fw, x, pos, k_cache, v_cache,
-                                     mesh, tp, T, interpret)
+                                     mesh, tp, T, interpret,
+                                     _tp_manual_enabled())
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "mesh", "tp", "T", "interpret")
+    jax.jit, static_argnames=("cfg", "mesh", "tp", "T", "interpret", "manual")
 )
 def _fused_decode_step_tp_jit(cfg, fw, x, pos, k_cache, v_cache, mesh, tp,
-                              T, interpret):
+                              T, interpret, manual=False):
     H, d, nq_s, nk_s, qd_s, kvd_s, A_s, I_s, NU, KCo, KCd = _dims(cfg, tp)
     L = fw.attn_norm.shape[0]
     eps = cfg.rms_norm_eps
@@ -388,9 +610,86 @@ def _fused_decode_step_tp_jit(cfg, fw, x, pos, k_cache, v_cache, mesh, tp,
 
     attn_kernel, Ua, clamp_q, clamp_o, _ = _make_attn_half(cfg, T, tp)
     mlp_kernel, Um, clamp_g, clamp_d, _ = _make_mlp_half(cfg, tp)
+    compiler_params = None
+    if manual and not interpret and pltpu is not None:
+        compiler_params = pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        )
+
+    def attn_half_manual(pos_a, xin, cos_, sin_, qkvw, qkvs, wow, wos, an,
+                         qn, kn, kc, vc):
+        kernel_m, scratch, (n_qkv, n_wo, _NU, _KCo) = _make_attn_half_manual(
+            cfg, T, tp
+        )
+        return pl.pallas_call(
+            kernel_m,
+            grid=(1,),
+            in_specs=[
+                pl.BlockSpec(memory_space=_SMEM),
+                pl.BlockSpec((1, H), lambda u: (0, 0), memory_space=_VMEM),
+                pl.BlockSpec((1, half), lambda u: (0, 0), memory_space=_VMEM),
+                pl.BlockSpec((1, half), lambda u: (0, 0), memory_space=_VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),  # qkv units stay in HBM
+                pl.BlockSpec((n_qkv, 1, NU), lambda u: (0, 0, 0),
+                             memory_space=_VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),  # wo units stay in HBM
+                pl.BlockSpec((n_wo, 1, NU), lambda u: (0, 0, 0),
+                             memory_space=_VMEM),
+                pl.BlockSpec((1, H), lambda u: (0, 0), memory_space=_VMEM),
+                pl.BlockSpec((1, d), lambda u: (0, 0), memory_space=_VMEM),
+                pl.BlockSpec((1, d), lambda u: (0, 0), memory_space=_VMEM),
+                pl.BlockSpec((1, nk_s, T, d), lambda u: (0, 0, 0, 0),
+                             memory_space=_VMEM),
+                pl.BlockSpec((1, nk_s, T, d), lambda u: (0, 0, 0, 0),
+                             memory_space=_VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, H), lambda u: (0, 0), memory_space=_VMEM),
+                pl.BlockSpec((1, nk_s, T, d), lambda u: (0, 0, 0, 0),
+                             memory_space=_VMEM),
+                pl.BlockSpec((1, nk_s, T, d), lambda u: (0, 0, 0, 0),
+                             memory_space=_VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((1, H), jnp.float32),
+                jax.ShapeDtypeStruct((1, nk_s, T, d), kc.dtype),
+                jax.ShapeDtypeStruct((1, nk_s, T, d), vc.dtype),
+            ],
+            scratch_shapes=scratch,
+            interpret=interpret,
+            compiler_params=compiler_params,
+        )(pos_a, xin, cos_, sin_, qkvw, qkvs, wow, wos, an, qn, kn, kc, vc)
+
+    def mlp_half_manual(xin, guw, gus, wdw, wds, mn):
+        kernel_m, scratch, (n_gu, n_wd, _NU, _KCd) = _make_mlp_half_manual(
+            cfg, tp
+        )
+        return pl.pallas_call(
+            kernel_m,
+            grid=(1,),
+            in_specs=[
+                pl.BlockSpec((1, H), lambda u: (0, 0), memory_space=_VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),  # gu units stay in HBM
+                pl.BlockSpec((n_gu, 1, NU), lambda u: (0, 0, 0),
+                             memory_space=_VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),  # wd units stay in HBM
+                pl.BlockSpec((n_wd, 1, NU), lambda u: (0, 0, 0),
+                             memory_space=_VMEM),
+                pl.BlockSpec((1, H), lambda u: (0, 0), memory_space=_VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, H), lambda u: (0, 0),
+                                   memory_space=_VMEM),
+            out_shape=jax.ShapeDtypeStruct((1, H), jnp.float32),
+            scratch_shapes=scratch,
+            interpret=interpret,
+            compiler_params=compiler_params,
+        )(xin, guw, gus, wdw, wds, mn)
 
     def attn_half(pos_a, xin, cos_, sin_, qkvw, qkvs, wow, wos, an, qn, kn,
                   kc, vc):
+        if manual:
+            return attn_half_manual(pos_a, xin, cos_, sin_, qkvw, qkvs,
+                                    wow, wos, an, qn, kn, kc, vc)
         return pl.pallas_call(
             attn_kernel,
             grid=(Ua,),
@@ -432,6 +731,8 @@ def _fused_decode_step_tp_jit(cfg, fw, x, pos, k_cache, v_cache, mesh, tp,
         )(pos_a, xin, cos_, sin_, qkvw, qkvs, wow, wos, an, qn, kn, kc, vc)
 
     def mlp_half(xin, guw, gus, wdw, wds, mn):
+        if manual:
+            return mlp_half_manual(xin, guw, gus, wdw, wds, mn)
         return pl.pallas_call(
             mlp_kernel,
             grid=(Um,),

@@ -129,3 +129,47 @@ def test_engine_uses_tp_fused_decode(tiny_vocab_files):
         r = eng.synthesize("hello", temperature=0.0, seed=1)
     assert r.metrics.frames > 0
     assert np.isfinite(np.asarray(r.audio)).all()
+
+
+def test_tp_manual_matches_auto(monkeypatch):
+    """The manual double-buffered halves (grid (1,), each unit fetched once)
+    == the (U,)-grid clamped-map pipeline: same int8 grid and unit math."""
+    cfg, tp = CFG_06B, 2
+    params = init_transformer_params(cfg, jax.random.PRNGKey(0))
+    mesh = make_mesh(8 // tp, tp)
+    fw = pack_fused_tp(cfg, params["layers"], tp, mesh=mesh)
+
+    rng = np.random.default_rng(5)
+    L, nk, d, T = cfg.num_layers, cfg.num_kv_heads, cfg.head_dim, 64
+    pos_i = 13
+    x = jnp.asarray(rng.standard_normal((1, cfg.hidden_size)) * 0.3,
+                    jnp.float32)
+    kc = rng.standard_normal((L, 1, nk, T, d)).astype(np.float32) * 0.2
+    vc = rng.standard_normal((L, 1, nk, T, d)).astype(np.float32) * 0.2
+    kc[:, :, :, pos_i:] = 0.0
+    vc[:, :, :, pos_i:] = 0.0
+    interp = jax.default_backend() != "tpu"
+
+    outs = {}
+    with jax.set_mesh(mesh):
+        for arm in ("0", "1"):
+            monkeypatch.setenv("QTTS_FUSED_TP_MANUAL", arm)
+            outs[arm] = [
+                np.asarray(jax.device_get(o)) for o in fused_decode_step_tp(
+                    cfg, fw, x, jnp.asarray(pos_i, jnp.int32),
+                    jnp.asarray(kc), jnp.asarray(vc), mesh, interpret=interp,
+                )
+            ]
+    np.testing.assert_allclose(outs["1"][0], outs["0"][0], atol=2e-2)
+    corr = np.corrcoef(outs["1"][0].ravel(), outs["0"][0].ravel())[0, 1]
+    assert corr > 0.99999, corr
+    mask = np.ones(T, bool)
+    mask[pos_i] = False
+    for j in (1, 2):
+        np.testing.assert_array_equal(
+            outs["1"][j][:, :, :, mask], outs["0"][j][:, :, :, mask]
+        )
+        np.testing.assert_allclose(
+            outs["1"][j][:, 0, :, pos_i], outs["0"][j][:, 0, :, pos_i],
+            atol=2e-2,
+        )

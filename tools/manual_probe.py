@@ -111,10 +111,84 @@ def bench_shape(name: str, t: TransformerConfig, T: int, kvq: bool,
     return out
 
 
+def bench_tp(t: TransformerConfig, T: int) -> dict:
+    """Single-chip degenerate-mesh (tp=1) A/B of the TP half-kernels:
+    manual double-buffered DMA vs the (U,)-grid clamped-map pipeline.
+    At tp=1 both stream the same MODEL bytes, so the delta isolates the
+    clamp maps' every-step double fetch + per-grid-step overhead."""
+    from leaxer_qwen3_tts_tpu.ops.fused_tp import (
+        FusedTPWeights,
+        _dims,
+        fused_decode_step_tp,
+    )
+    from leaxer_qwen3_tts_tpu.parallel import make_mesh
+
+    mesh = make_mesh(1, 1)
+    H, d, nq_s, nk_s, qd_s, kvd_s, A_s, I_s, NU, KCo, KCd = _dims(t, 1)
+    L = t.num_layers
+    n_qkv, n_wo = A_s // NU, (qd_s // KCo) * (H // NU)
+    n_gu, n_wd = 2 * I_s // NU, (I_s // KCd) * (H // NU)
+    rng = np.random.default_rng(0)
+
+    def u8(n, K):
+        return rng.integers(-8, 8, (1, L, n, K, NU), np.int8)
+
+    def sc(n):
+        return np.full((1, L, n, 1, NU), 0.002, np.float32)
+
+    host = [u8(n_qkv, H), sc(n_qkv), u8(n_wo, KCo), sc(n_wo),
+            u8(n_gu, H), sc(n_gu), u8(n_wd, KCd), sc(n_wd),
+            np.ones((L, 1, H), np.float32), np.ones((L, 1, H), np.float32),
+            np.ones((L, 1, d), np.float32), np.ones((L, 1, d), np.float32)]
+    fw = FusedTPWeights(*jax.device_put(host))
+    kc, vc, x = jax.device_put([
+        np.zeros((L, 1, t.num_kv_heads, T, d), np.float32),
+        np.zeros((L, 1, t.num_kv_heads, T, d), np.float32),
+        rng.standard_normal((1, H)).astype(np.float32) * 0.1,
+    ])
+
+    out = {}
+    n_steps = N_STEPS // 2
+    for arm in ("auto", "manual"):
+        os.environ["QTTS_FUSED_TP_MANUAL"] = "1" if arm == "manual" else "0"
+
+        @jax.jit
+        def run(fw, x, kc, vc):
+            def body(carry, _):
+                x, kc, vc, pos = carry
+                x2, kc2, vc2 = fused_decode_step_tp(
+                    t, fw, x, pos, kc, vc, mesh
+                )
+                return (x2 * 0.1, kc2, vc2, jax.lax.rem(pos + 1, T)), ()
+
+            init = (x, kc, vc, jnp.asarray(0, jnp.int32))
+            (xf, *_), _ = jax.lax.scan(body, init, None, length=n_steps)
+            return xf
+
+        with jax.set_mesh(mesh):
+            t0 = time.perf_counter()
+            sync(run(fw, x, kc, vc))
+            compile_s = time.perf_counter() - t0
+            best = float("inf")
+            for _ in range(3):
+                t1 = time.perf_counter()
+                sync(run(fw, x, kc, vc))
+                best = min(best, time.perf_counter() - t1)
+        ms = best / n_steps * 1e3
+        out[arm] = ms
+        print(f"tp=1 T={T} {arm}: {ms:.3f} ms/step "
+              f"(compile {compile_s:.1f}s, best of 3)", flush=True)
+    return out
+
+
 def main():
     t0 = time.perf_counter()
     sync(jax.device_put(np.zeros(8, np.float32)))
     print(f"tunnel connect: {time.perf_counter() - t0:.1f}s", flush=True)
+
+    if "--tp" in os.sys.argv:
+        bench_tp(TransformerConfig(dtype="bfloat16"), 512)
+        return
 
     talker = TransformerConfig(dtype="bfloat16")
     mtp = TransformerConfig(
