@@ -68,37 +68,6 @@ class FusedStepWeights(NamedTuple):
     k_norm: jax.Array  # f32 [L, 1, d]
 
 
-N_WIDE = 2048  # N-split tile width in the WIDE schedule
-
-
-class FusedStepWeightsWide(NamedTuple):
-    """Wide-schedule pack — NEGATIVE RESULT, kept as a documented dead end
-    (correct, tested, used by nothing).
-
-    The idea: N-split groups (qkv, gate/up) in [H, N_WIDE] tiles halve their
-    grid-step count (amortizing the ~1.2 us/step Mosaic overhead) while the
-    K-split groups keep [H, N_UNIT] tiles in their OWN tensors with clamped
-    block index maps, assuming Pallas would skip re-fetching a block whose
-    index repeats.  MEASURED on v5e (0.6B shapes): Pallas does NOT skip —
-    every grid step streams BOTH tensors' blocks, multiplying weight traffic
-    ~2.5x (talker step 1.40 -> 1.85 ms, MTP 1.22 -> 2.84 ms).  The round-2
-    single-tensor widening (+28% padding) was a wash for the same bytes-vs-
-    overhead reason, so wider units are a dead end at int8; don't retry
-    without a Pallas-level revolving-buffer guarantee.  (ops/fused_tp.py's
-    clamp maps carry the same extra-fetch cost, acceptable there because the
-    alternative was 4x padding on per-shard tiles and TP is ICI-bound.)
-    """
-
-    units_n: jax.Array  # int8 [L, Un, H, N_WIDE] — qkv tiles then gu tiles
-    scales_n: jax.Array  # f32 [L, Un, 1, N_WIDE]
-    units_k: jax.Array  # int8 [L, Uk, H, N_UNIT] — wo tiles then wd tiles
-    scales_k: jax.Array  # f32 [L, Uk, 1, N_UNIT]
-    attn_norm: jax.Array  # f32 [L, 1, H]
-    mlp_norm: jax.Array  # f32 [L, 1, H]
-    q_norm: jax.Array  # f32 [L, 1, d]
-    k_norm: jax.Array  # f32 [L, 1, d]
-
-
 def _unit_counts(cfg: TransformerConfig) -> Tuple[int, int, int, int]:
     """Unit counts per group.  Units are uniform [H, N_UNIT] slices:
     N-split groups (qkv, gate/up) tile the output dim; K-split groups
@@ -110,24 +79,6 @@ def _unit_counts(cfg: TransformerConfig) -> Tuple[int, int, int, int]:
     n_gu = 2 * cfg.intermediate_size // N_UNIT
     n_wd = (cfg.intermediate_size // H) * (H // N_UNIT)
     return n_qkv, n_wo, n_gu, n_wd
-
-
-def _unit_counts_wide(cfg: TransformerConfig) -> Tuple[int, int, int, int]:
-    H = cfg.hidden_size
-    n_qkv = (cfg.q_dim + 2 * cfg.kv_dim) // N_WIDE
-    n_wo = (cfg.q_dim // H) * (H // N_UNIT)
-    n_gu = 2 * cfg.intermediate_size // N_WIDE
-    n_wd = (cfg.intermediate_size // H) * (H // N_UNIT)
-    return n_qkv, n_wo, n_gu, n_wd
-
-
-def supports_wide(cfg: TransformerConfig) -> bool:
-    A = cfg.q_dim + 2 * cfg.kv_dim
-    return (
-        supports(cfg)
-        and A % N_WIDE == 0
-        and (2 * cfg.intermediate_size) % N_WIDE == 0
-    )
 
 
 def supports(cfg: TransformerConfig) -> bool:
@@ -264,71 +215,6 @@ def pack_fused_weights(
     )
 
 
-def pack_fused_weights_wide(
-    cfg: TransformerConfig, layer_params: dict
-) -> FusedStepWeightsWide:
-    """Wide-schedule pack (bits=8 only — see FusedStepWeightsWide).
-
-    Per-output-column int8 scales: IDENTICAL values to the uniform pack and
-    the XLA quantize_params grid (column scales don't depend on tiling)."""
-    assert supports_wide(cfg)
-    H = cfg.hidden_size
-    p = layer_params
-
-    def as_quant(w) -> QuantizedLinear:
-        from .quant import quantize_weight
-
-        return w if isinstance(w, QuantizedLinear) else quantize_weight(w)
-
-    wqkv = as_quant(
-        p["wqkv"]
-        if "wqkv" in p
-        else jnp.concatenate([p["wq"], p["wk"], p["wv"]], axis=-1)
-    )
-    wgu = as_quant(
-        p["wgu"] if "wgu" in p else jnp.concatenate([p["wg"], p["wu"]], axis=-1)
-    )
-    wo = as_quant(p["wo"])
-    wd = as_quant(p["wd"])
-    L = wqkv.q.shape[0]
-
-    un, sn, uk, sk = [], [], [], []
-
-    def n_split(qw, width):
-        for i in range(qw.q.shape[-1] // width):
-            un.append(qw.q[..., i * width : (i + 1) * width])
-            sn.append(qw.scale[..., i * width : (i + 1) * width])
-
-    def k_split(qw):
-        k = qw.q.shape[-2] // H
-        n = qw.q.shape[-1] // N_UNIT
-        for i in range(k):
-            for j in range(n):
-                uk.append(
-                    qw.q[:, i * H : (i + 1) * H, j * N_UNIT : (j + 1) * N_UNIT]
-                )
-                sk.append(qw.scale[..., j * N_UNIT : (j + 1) * N_UNIT])
-
-    n_split(wqkv, N_WIDE)
-    k_split(wo)
-    n_split(wgu, N_WIDE)
-    k_split(wd)
-    return FusedStepWeightsWide(
-        units_n=jnp.stack(un, axis=1),
-        scales_n=jnp.stack(
-            [jnp.broadcast_to(s, (L, 1, N_WIDE)) for s in sn], axis=1
-        ).astype(jnp.float32),
-        units_k=jnp.stack(uk, axis=1),
-        scales_k=jnp.stack(
-            [jnp.broadcast_to(s, (L, 1, N_UNIT)) for s in sk], axis=1
-        ).astype(jnp.float32),
-        attn_norm=p["attn_norm"].astype(jnp.float32)[:, None, :],
-        mlp_norm=p["mlp_norm"].astype(jnp.float32)[:, None, :],
-        q_norm=p["q_norm"].astype(jnp.float32)[:, None, :],
-        k_norm=p["k_norm"].astype(jnp.float32)[:, None, :],
-    )
-
-
 def _rms(x, w, eps):
     var = jnp.mean(x * x, axis=-1, keepdims=True)
     return x * jax.lax.rsqrt(var + eps) * w
@@ -397,8 +283,7 @@ def _make_matmul(w_ref, s_ref, H: int, w4: bool, n_groups: int):
 
 
 def _make_kernel(cfg: TransformerConfig, T: int, mode: str = "vmem",
-                 w4: bool = False, n_groups: int = 1, kvq: bool = False,
-                 wide: bool = False):
+                 w4: bool = False, n_groups: int = 1, kvq: bool = False):
     """mode: "vmem"  — per-layer K/V cache blocks resident in VMEM (T <= 512)
              "hbm"   — cache in HBM, whole [nk, T, d] DMA'd through scratch
              "win"   — cache in HBM, streamed in WINDOW-slot chunks with
@@ -418,9 +303,8 @@ def _make_kernel(cfg: TransformerConfig, T: int, mode: str = "vmem",
     qd, kvd = cfg.q_dim, cfg.kv_dim
     I = cfg.intermediate_size
     eps = cfg.rms_norm_eps
-    counts = _unit_counts_wide(cfg) if wide else _unit_counts(cfg)
-    n_qkv, n_wo, n_gu, n_wd = counts
-    NW = N_WIDE if wide else N_UNIT  # N-split tile width
+    n_qkv, n_wo, n_gu, n_wd = _unit_counts(cfg)
+    NW = N_UNIT  # N-split tile width
     U = n_qkv + n_wo + n_gu + n_wd
     b1, b2, b3 = n_qkv, n_qkv + n_wo, n_qkv + n_wo + n_gu  # static boundaries
     hbm_cache = mode in ("hbm", "win")
@@ -433,14 +317,8 @@ def _make_kernel(cfg: TransformerConfig, T: int, mode: str = "vmem",
          cos_ref,  # [1, d//2] f32
          sin_ref) = refs[:4]  # [1, d//2] f32
         i = 4
-        if wide:
-            # two weight tensors: [1,1,H,N_WIDE] n-split, [1,1,H,N_UNIT]
-            # k-split, each with a clamped index map (no fetch off-range)
-            wn_ref, sn_ref, wk_ref, sk_ref = refs[i : i + 4]
-            i += 4
-        else:
-            w_ref, s_ref = refs[i : i + 2]  # [1, 1, H|H/2, N_UNIT] int8, f32
-            i += 2
+        w_ref, s_ref = refs[i : i + 2]  # [1, 1, H|H/2, N_UNIT] int8, f32
+        i += 2
         (an_ref,  # [1, 1, H] f32 attn_norm (layer block)
          mn_ref,  # [1, 1, H] f32 mlp_norm
          qn_ref,  # [1, 1, d] f32 q_norm
@@ -851,11 +729,7 @@ def _make_kernel(cfg: TransformerConfig, T: int, mode: str = "vmem",
             up = gu[:, I:]
             gu_s[:, :I] = gate * (1.0 / (1.0 + jnp.exp(-gate))) * up
 
-        if wide:
-            matmul_n = _make_matmul(wn_ref, sn_ref, H, False, 1)
-            matmul_k = _make_matmul(wk_ref, sk_ref, H, False, 1)
-        else:
-            matmul_n = matmul_k = _make_matmul(w_ref, s_ref, H, w4, n_groups)
+        matmul_n = matmul_k = _make_matmul(w_ref, s_ref, H, w4, n_groups)
 
         @pl.when(kind == 0)  # qkv N-block
         def _qkv():
@@ -1183,11 +1057,7 @@ def fused_decode_step(
             f"int8 KV fused decode needs the bucket ({T}) 128-aligned "
             f"(scale slot windows); round the bucket up (engine does this)"
         )
-    manual = (
-        mode == "vmem"
-        and not isinstance(fw, FusedStepWeightsWide)
-        and _manual_enabled()
-    )
+    manual = mode == "vmem" and _manual_enabled()
     return _fused_decode_step_jit(cfg, fw, x, pos, k_cache, v_cache,
                                   k_scale, v_scale, interpret, mode, manual)
 
@@ -1216,20 +1086,16 @@ def _fused_decode_step_jit(
 
     hbm_cache = mode in ("hbm", "win")
     kvq = k_scale is not None
-    wide = isinstance(fw, FusedStepWeightsWide)
-    if wide:
-        w4, n_groups, KU = False, 1, H
-    else:
-        KU = fw.units.shape[2]  # H (int8) or H/2 (int4 nibble-packed)
-        w4 = KU == H // 2
-        n_groups = fw.scales.shape[2]
+    KU = fw.units.shape[2]  # H (int8) or H/2 (int4 nibble-packed)
+    w4 = KU == H // 2
+    n_groups = fw.scales.shape[2]
     if manual:
         return _fused_decode_step_manual(
             cfg, fw, x, pos, k_cache, v_cache, k_scale, v_scale, interpret,
             w4=w4, n_groups=n_groups,
         )
     kernel, U = _make_kernel(cfg, T, mode=mode, w4=w4, n_groups=n_groups,
-                             kvq=kvq, wide=wide)
+                             kvq=kvq)
     SLOT_W = 32 if kvq else 8
 
     half = d // 2
@@ -1246,43 +1112,12 @@ def _fused_decode_step_jit(
 
     norm_block = lambda l, u: (l, 0, 0)
 
-    if wide:
-        nq_w, n_wo_w, ngu_w, n_wd_w = _unit_counts_wide(cfg)
-        wb1 = nq_w
-        wb2 = nq_w + n_wo_w
-        wb3 = wb2 + ngu_w
-
-        def nw_map(l, u):
-            # hold the previous block index during the K-split groups so the
-            # Pallas pipeline skips the fetch (fused_tp.py trick)
-            i = jnp.where(
-                u < wb1, u,
-                jnp.where(u < wb2, wb1 - 1,
-                          jnp.where(u < wb3, wb1 + (u - wb2), wb1 + ngu_w - 1)),
-            )
-            return (l, i, 0, 0)
-
-        def kw_map(l, u):
-            i = jnp.where(
-                u < wb1, 0,
-                jnp.where(u < wb2, u - wb1,
-                          jnp.where(u < wb3, n_wo_w - 1, n_wo_w + (u - wb3))),
-            )
-            return (l, i, 0, 0)
-
-        weight_specs = [
-            pl.BlockSpec((1, 1, H, N_WIDE), nw_map, memory_space=_VMEM),
-            pl.BlockSpec((1, 1, 1, N_WIDE), nw_map, memory_space=_VMEM),
-            pl.BlockSpec((1, 1, H, N_UNIT), kw_map, memory_space=_VMEM),
-            pl.BlockSpec((1, 1, 1, N_UNIT), kw_map, memory_space=_VMEM),
-        ]
-    else:
-        weight_specs = [
-            pl.BlockSpec((1, 1, KU, N_UNIT), lambda l, u: (l, u, 0, 0),
-                         memory_space=_VMEM),
-            pl.BlockSpec((1, 1, n_groups, N_UNIT), lambda l, u: (l, u, 0, 0),
-                         memory_space=_VMEM),
-        ]
+    weight_specs = [
+        pl.BlockSpec((1, 1, KU, N_UNIT), lambda l, u: (l, u, 0, 0),
+                     memory_space=_VMEM),
+        pl.BlockSpec((1, 1, n_groups, N_UNIT), lambda l, u: (l, u, 0, 0),
+                     memory_space=_VMEM),
+    ]
     in_specs = [
         pl.BlockSpec(memory_space=_SMEM),  # pos
         pl.BlockSpec((1, H), lambda l, u: (0, 0), memory_space=_VMEM),
@@ -1350,7 +1185,7 @@ def _fused_decode_step_jit(
                     pltpu.VMEM((nk, 128), jnp.float32),
                 ]
             scratch += [pltpu.SemaphoreType.DMA((8,))]
-        base = 12 if wide else 10  # first cache input index
+        base = 10  # first cache input index
         if kvq:
             # kc, vc, ks, vs inputs -> outputs (in-place)
             aliases = {base: 1, base + 1: 2, base + 2: 3, base + 3: 4}
@@ -1369,11 +1204,7 @@ def _fused_decode_step_jit(
         )
         aliases = {}
 
-    weight_args = (
-        [fw.units_n, fw.scales_n, fw.units_k, fw.scales_k]
-        if wide
-        else [fw.units, fw.scales]
-    )
+    weight_args = [fw.units, fw.scales]
     args = [
         jnp.asarray([pos], jnp.int32),
         x.astype(jnp.float32),

@@ -128,33 +128,19 @@ def dense(x: jax.Array, w: WeightLike) -> jax.Array:
 
     QuantizedLinear path: the int8 tensor converts to bf16 in-graph and XLA
     fuses the convert into the dot's operand stream (HBM traffic = int8
-    bytes).  Measured on v5e this beats a per-dot Pallas kernel
-    (quant_kernels.py, opt-in via QTTS_PALLAS_QUANT=1), which pays grid
-    overheads and blocks XLA's surrounding fusions at these tiny-M shapes.
+    bytes).  Measured on v5e this beats a per-dot Pallas kernel, which pays
+    grid overheads and blocks XLA's surrounding fusions at these tiny-M
+    shapes (retired dead end; docs/KERNEL_PLAN.md "measured negative
+    results").
     """
     if isinstance(w, QuantizedLinear4):
         return _dense4(x, w)
     if isinstance(w, QuantizedLinear):
-        if _use_pallas_path(w):
-            from .quant_kernels import dense_int8_pallas
-
-            return dense_int8_pallas(x, w.q, w.scale)
         y = jnp.dot(
             x, w.q.astype(jnp.bfloat16), preferred_element_type=jnp.float32
         )
         return y * w.scale.reshape(w.scale.shape[-1])
     return jnp.dot(x, w, preferred_element_type=jnp.float32)
-
-
-def _use_pallas_path(w: QuantizedLinear) -> bool:
-    import os
-
-    if not os.environ.get("QTTS_PALLAS_QUANT"):
-        return False
-    if jax.default_backend() != "tpu":
-        return False
-    K, N = w.q.shape[-2], w.q.shape[-1]
-    return K % 128 == 0 and N % 128 == 0
 
 
 def weight_dtype(w: WeightLike):

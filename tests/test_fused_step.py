@@ -427,72 +427,6 @@ def test_batched_fused_talker_and_mtp_dispatch():
     assert corr > 0.999, corr
 
 
-@pytest.mark.parametrize("mode,T,kvq", [
-    ("vmem", 256, False), ("win", 1024, False), ("win", 1024, True),
-])
-def test_wide_schedule_matches_uniform(mode, T, kvq):
-    """The wide pack (N_WIDE n-split tiles + separate k-split tensor with
-    clamped index maps) produces the same step as the uniform pack — the
-    int8 grids are identical (per-column scales don't depend on tiling)."""
-    from leaxer_qwen3_tts_tpu.models.layers import (
-        init_transformer_params,
-        quantize_kv,
-    )
-    from leaxer_qwen3_tts_tpu.ops.fused_step import (
-        fused_decode_step,
-        pack_fused_weights,
-        pack_fused_weights_wide,
-        supports_wide,
-    )
-
-    t = TransformerConfig(
-        hidden_size=1024, num_layers=2, num_heads=8, num_kv_heads=4,
-        head_dim=128, intermediate_size=3072, dtype="float32",
-        kv_cache_quant=kvq,
-    )
-    assert supports_wide(t)
-    params = init_transformer_params(t, jax.random.PRNGKey(0))
-    fw_u = pack_fused_weights(t, params["layers"])
-    fw_w = pack_fused_weights_wide(t, params["layers"])
-    assert fw_w.units_n.shape[-1] == 2048
-    assert fw_w.units_k.shape[-1] == 1024
-
-    rng = np.random.default_rng(4)
-    L, nk, d = 2, 4, 128
-    pos_i = 137
-    x = jnp.asarray(rng.standard_normal((1, 1024)) * 0.3, jnp.float32)
-    kc_f = rng.standard_normal((L, 1, nk, T, d)).astype(np.float32) * 0.2
-    vc_f = rng.standard_normal((L, 1, nk, T, d)).astype(np.float32) * 0.2
-    kc_f[:, :, :, pos_i:] = 0.0
-    vc_f[:, :, :, pos_i:] = 0.0
-    if kvq:
-        qk, sk = quantize_kv(jnp.asarray(kc_f))
-        qv, sv = quantize_kv(jnp.asarray(vc_f))
-        args = (qk, qv, sk, sv)
-    else:
-        args = (jnp.asarray(kc_f), jnp.asarray(vc_f))
-
-    pos = jnp.asarray(pos_i, jnp.int32)
-    out_u = fused_decode_step(t, fw_u, x, pos, *args, interpret=True, mode=mode)
-    out_w = fused_decode_step(t, fw_w, x, pos, *args, interpret=True, mode=mode)
-    # same int8 weight values, same cache math: bf16-dot reduction-order is
-    # the only difference (a [1, H] x [H, 2048] dot == two [H, 1024] dots up
-    # to reassociation in the f32 accumulator)
-    np.testing.assert_allclose(
-        np.asarray(out_w[0]), np.asarray(out_u[0]), atol=2e-2, rtol=2e-2
-    )
-    corr = np.corrcoef(
-        np.asarray(out_w[0]).ravel(), np.asarray(out_u[0]).ravel()
-    )[0, 1]
-    assert corr > 0.99999, corr
-    # cache writes land identically (values pre-quantization identical)
-    np.testing.assert_allclose(
-        np.asarray(out_w[1][:, 0, :, pos_i], np.float64),
-        np.asarray(out_u[1][:, 0, :, pos_i], np.float64),
-        atol=2 if kvq else 2e-2,
-    )
-
-
 @pytest.mark.parametrize("bits,kvq", [(8, False), (8, True), (4, False), (16, False)])
 def test_manual_dma_matches_auto_pipeline(bits, kvq, monkeypatch):
     """The manual double-buffered-DMA kernel (grid (L,), explicit semaphores)

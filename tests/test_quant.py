@@ -55,35 +55,6 @@ def test_index_weight_stacked():
     np.testing.assert_array_equal(np.asarray(raw), np.asarray(w[2]))
 
 
-def test_pallas_kernel_matches_xla_path():
-    from leaxer_qwen3_tts_tpu.ops.quant_kernels import dense_int8_pallas
-
-    rng = np.random.default_rng(3)
-    for M, K, N in [(1, 256, 512), (8, 256, 384), (2, 128, 256)]:
-        x = jnp.asarray(rng.standard_normal((M, K)), jnp.float32)
-        w = jnp.asarray(rng.standard_normal((K, N)) * 0.05, jnp.float32)
-        qw = quantize_weight(w)
-        ref = jnp.dot(
-            x.astype(jnp.bfloat16), qw.q.astype(jnp.bfloat16),
-            preferred_element_type=jnp.float32,
-        ) * qw.scale.reshape(N)
-        out = dense_int8_pallas(x, qw.q, qw.scale, interpret=True)
-        np.testing.assert_allclose(
-            np.asarray(out), np.asarray(ref), rtol=2e-2, atol=2e-3
-        )
-
-    # leading batch dims flatten correctly
-    x3 = jnp.asarray(rng.standard_normal((2, 3, 256)), jnp.float32)
-    w = jnp.asarray(rng.standard_normal((256, 256)) * 0.05, jnp.float32)
-    qw = quantize_weight(w)
-    out3 = dense_int8_pallas(x3, qw.q, qw.scale, interpret=True)
-    assert out3.shape == (2, 3, 256)
-    flat = dense_int8_pallas(x3.reshape(6, 256), qw.q, qw.scale, interpret=True)
-    np.testing.assert_allclose(
-        np.asarray(out3).reshape(6, 256), np.asarray(flat), rtol=1e-6
-    )
-
-
 def test_quantize_params_selective(tiny_model):
     cfg, params = tiny_model
     qp = quantize_params(params)
