@@ -90,6 +90,7 @@ class TTSEngine:
         spec_accept_floor: float = 0.3,
         spec_adapt_window: int = 24,
         kv_quant: bool = False,
+        mtp_quantize: Optional[str] = None,
     ):
         self._ready = False
         self._error = ""
@@ -186,7 +187,31 @@ class TTSEngine:
             # quantization anywhere) so the unquantized config is not stuck
             # at XLA decode speed (round-3 verdict #6).
             bits = {None: 16, "int8": 8, "int4": 4}[quantize]
+            if mtp_quantize not in (None, "int8", "int4"):
+                raise EngineError(
+                    f"unknown mtp_quantize mode {mtp_quantize!r}"
+                )
+            # mtp_quantize overrides the MTP trunk's pack precision: at 1.7B
+            # B=32 serving the H=2048 MTP chain reads 15 x ~300 MB of int8
+            # per frame-step (~41% of the frame) — an int4 trunk halves
+            # that.  The 2-token XLA prefix keeps the engine-wide `quantize`
+            # numerics (documented asymmetry, like TP prefill).
+            mtp_bits = bits if mtp_quantize is None else \
+                {"int8": 8, "int4": 4}[mtp_quantize]
             use_fused = mesh is None and jax.default_backend() == "tpu"
+            if (
+                use_fused
+                and self.cfg.code_predictor.impl == "fused"
+                and mtp_bits != bits
+            ):
+                # mixed-precision trunk: pack from the RAW weights BEFORE
+                # quantize_params rewrites them (int4 pack needs raw arrays)
+                from ..models.code_predictor import prepare_fused_step
+
+                self.params["code_predictor"] = prepare_fused_step(
+                    self.cfg.code_predictor, self.params["code_predictor"],
+                    bits=mtp_bits,
+                )
             if bits == 8:
                 # weight-only int8 for the memory-bound decode (ops/quant.py);
                 # embeddings/vocoder/speaker-encoder stay full precision.
@@ -195,7 +220,11 @@ class TTSEngine:
                 from ..ops.quant import quantize_params
 
                 self.params = quantize_params(self.params)
-            if self.cfg.code_predictor.impl == "fused" and use_fused:
+            if (
+                self.cfg.code_predictor.impl == "fused"
+                and use_fused
+                and "fused_step" not in self.params["code_predictor"]
+            ):
                 # pre-pack the MTP weights for the fused Pallas step kernel
                 # (TPU only: elsewhere the packed path would run interpreted
                 # and predict_subcodes falls back to the cached impl)

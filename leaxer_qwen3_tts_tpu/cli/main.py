@@ -43,6 +43,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="weight-only quantization for faster decode",
     )
     p.add_argument(
+        "--mtp-quantize", choices=["int8", "int4"],
+        help="override the MTP trunk's fused-pack precision (int4 halves "
+             "the dominant weight stream of large-batch 1.7B serving); "
+             "defaults to --quantize",
+    )
+    p.add_argument(
         "--kv-quant", action="store_true",
         help="int8 KV cache (per-slot scales): halves cache bandwidth for "
              "long-form and large-batch serving",
@@ -99,7 +105,8 @@ def main(argv=None) -> int:
     from ..frontend import write_wav
 
     engine = TTSEngine(args.model, max_frames=args.max_tokens, quantize=args.quantize,
-                       spec_k=args.spec_k, kv_quant=args.kv_quant)
+                       spec_k=args.spec_k, kv_quant=args.kv_quant,
+                       mtp_quantize=args.mtp_quantize)
     if not engine.is_ready():
         print(f"Error: {engine.get_error()}", file=sys.stderr)
         return 1

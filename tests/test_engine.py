@@ -449,3 +449,43 @@ def test_engine_warmup(tiny_model, tiny_vocab_files):
     assert r.metrics.frames > 0
     assert len(eng._fns_cache) == n_fns, "synthesize compiled NEW decode fns"
     assert len(eng._vocode_cache) == n_voc, "synthesize compiled NEW vocoders"
+
+
+def test_mtp_quantize_mixed_trunk(tiny_model, monkeypatch):
+    """mtp_quantize overrides the MTP trunk's pack precision: the pack runs
+    from RAW weights before quantize_params, so an int4 trunk composes with
+    an int8 engine (the 1.7B B=32 serving lever)."""
+    import dataclasses
+
+    import jax
+
+    import leaxer_qwen3_tts_tpu.models.code_predictor as cp_mod
+    import leaxer_qwen3_tts_tpu.models.talker as talker_mod
+
+    cfg, params = tiny_model
+    cfg2 = dataclasses.replace(
+        cfg,
+        talker=dataclasses.replace(cfg.talker, decode_impl="fused"),
+        code_predictor=dataclasses.replace(cfg.code_predictor, impl="fused"),
+    )
+    calls = []
+
+    def fake_prep(c, p, bits=8):
+        calls.append(("m", bits))
+        return dict(p, fused_step=object())
+
+    monkeypatch.setattr(cp_mod, "prepare_fused_step", fake_prep)
+    monkeypatch.setattr(
+        talker_mod, "prepare_fused_talker",
+        lambda c, p, bits=8: (calls.append(("t", bits)), p)[1],
+    )
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    eng = TTSEngine(config=cfg2, params=params, quantize="int8",
+                    mtp_quantize="int4")
+    assert eng.is_ready(), eng.get_error()
+    assert ("m", 4) in calls and ("t", 8) in calls, calls
+    assert ("m", 8) not in calls, calls  # no double pack
+
+    eng = TTSEngine(config=cfg2, params=params, mtp_quantize="fp8")
+    assert not eng.is_ready() and "mtp_quantize" in eng.get_error()
