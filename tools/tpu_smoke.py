@@ -49,10 +49,14 @@ json.dump({t:i for i,t in enumerate(tokens)}, open(os.path.join(d,"vocab.json"),
 open(os.path.join(d,"merges.txt"),"w").write("#version: 0.2\n" + "".join(f"{a} {b}\n" for a,b in merges))
 tok = Tokenizer(os.path.join(d,"vocab.json"), os.path.join(d,"merges.txt"))
 
+SMOKE_ONLY = os.environ.get("SMOKE_ONLY")
 for name, kw in (
     ("int8+kvq", dict(quantize="int8", kv_quant=True)),
     ("int8+kvq+spec4", dict(quantize="int8", kv_quant=True, spec_k=4, spec_iters=8)),
+    ("bf16-fused", dict()),  # quantize=None -> bits=16 packs (r4)
 ):
+    if SMOKE_ONLY not in (None, "engine"):
+        break
     t0 = time.perf_counter()
     eng = TTSEngine(config=QWEN3_TTS_06B, params=params, tokenizer=tok,
                     max_frames=96, chunk_len=32, first_chunk_len=8, **kw)
@@ -72,11 +76,15 @@ for name, kw in (
 # --- continuous pool (production serving) on hardware -------------------
 from leaxer_qwen3_tts_tpu.serve.pool import ContinuousBatcher
 
+# pool chunk 16: first streamed audio after ONE 16-frame chunk (~64 ms of
+# decode at 4 ms/frame) — the TTFA knob; throughput stays batched
+POOL_CHUNK = int(os.environ.get("SMOKE_POOL_CHUNK", "16"))
 eng = TTSEngine(config=QWEN3_TTS_06B, params=params, tokenizer=tok,
-                max_frames=96, chunk_len=32, quantize="int8", kv_quant=True)
+                max_frames=96, chunk_len=POOL_CHUNK, quantize="int8",
+                kv_quant=True)
 assert eng.is_ready(), eng.get_error()
-pool = ContinuousBatcher(eng, pool_size=4, chunk_len=32, kv_bucket=256,
-                         text_bucket_max=32)
+pool = ContinuousBatcher(eng, pool_size=4, chunk_len=POOL_CHUNK,
+                         kv_bucket=256, text_bucket_max=32)
 try:
     t0 = time.perf_counter()
     futs = [pool.submit(f"hello world {i}", temperature=0.8, max_tokens=48)
@@ -88,6 +96,36 @@ try:
           f"(incl. compile), all finite="
           f"{all(bool(np.isfinite(r.audio).all()) for r in results)}, "
           f"stats={pool.stats}", flush=True)
+    # --- streaming THROUGH the pool: TTFA with 3 co-tenants (warm) -------
+    pool.warmup(streaming=True)
+    cot = [pool.submit(f"background {i}", temperature=0.8, max_tokens=64)
+           for i in range(3)]
+    t0 = time.perf_counter()
+    stream = pool.submit_stream("hello world", temperature=0.8, seed=7,
+                                max_tokens=48)
+    parts, ttfa_ms, result = [], None, None
+    for item in stream:
+        if ttfa_ms is None:
+            ttfa_ms = (time.perf_counter() - t0) * 1e3
+        if isinstance(item, np.ndarray):
+            parts.append(item)
+        else:
+            result = item
+    exact = bool(np.array_equal(np.concatenate(parts), result.audio))
+    # tunnel context: one synced host RPC costs ~35-60 ms; the TTFA path
+    # pays ~3 of them (admission sync, decode-dispatch sync, audio fetch)
+    # that co-located production hosts don't
+    probe = jax.device_put(np.zeros(8, np.float32))
+    t0 = time.perf_counter()
+    for _ in range(4):
+        sync(probe)
+    rpc_ms = (time.perf_counter() - t0) / 4 * 1e3
+    print(f"pool stream: TTFA {ttfa_ms:.0f}ms (3 co-tenants, incl. tunnel "
+          f"RPC at {rpc_ms:.0f}ms/hop), {len(parts)} chunks, "
+          f"concat==retired {exact}", flush=True)
+    assert exact, "streamed concatenation != retired audio"
+    for f in cot:
+        f.result(timeout=1200)
 finally:
     pool.shutdown()
 if os.environ.get("SMOKE_TRAIN") == "1":
