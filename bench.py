@@ -129,14 +129,27 @@ def main() -> None:
         params = jax.jit(fuse_params)(params)  # qkv/gate-up fused (engine default)
     bf16_params = params
     quant = os.environ.get("BENCH_QUANT", "int8")
+    on_tpu = platform == "tpu"  # fused kernels interpret (=crawl) off-TPU
+    mtp_quant = os.environ.get("BENCH_MTP_QUANT")  # int4: engine mtp_quantize
+    if mtp_impl == "fused" and on_tpu and mtp_quant == "int4":
+        # mixed-precision MTP trunk (engine mtp_quantize=int4): pack from the
+        # RAW weights BEFORE quantize_params (the int4 grid needs raw arrays)
+        from leaxer_qwen3_tts_tpu.models.code_predictor import prepare_fused_step
+
+        params["code_predictor"] = jax.jit(
+            lambda p: prepare_fused_step(cfg.code_predictor, p, bits=4)
+        )(params["code_predictor"])
     if quant == "int8":  # headline config: int8 weight-only (engine --quantize)
         from leaxer_qwen3_tts_tpu.ops.quant import quantize_params
 
         params = jax.jit(quantize_params)(params)
     sync(params["talker"]["transformer"]["layers"].get("wqkv", params["talker"]["lm_head"]))
     stamp("fuse+quant")
-    on_tpu = platform == "tpu"  # fused kernels interpret (=crawl) off-TPU
-    if mtp_impl == "fused" and on_tpu:
+    if (
+        mtp_impl == "fused"
+        and on_tpu
+        and "fused_step" not in params["code_predictor"]
+    ):
         from leaxer_qwen3_tts_tpu.models.code_predictor import prepare_fused_step
 
         params["code_predictor"] = jax.jit(
@@ -277,6 +290,30 @@ def main() -> None:
     bf16_frame_ms = None
     if quant == "int8" and os.environ.get("BENCH_SKIP_BF16") != "1":
         try:
+            # engine quantize=None now packs bf16 (bits=16) fused units —
+            # measure that config, not bare XLA decode (round-4)
+            if mtp_impl == "fused" and on_tpu:
+                from leaxer_qwen3_tts_tpu.models.code_predictor import (
+                    prepare_fused_step,
+                )
+
+                bf16_params = dict(bf16_params)
+                bf16_params["code_predictor"] = jax.jit(
+                    lambda p: prepare_fused_step(cfg.code_predictor, p, bits=16)
+                )(bf16_params["code_predictor"])
+            if (
+                cfg.talker.decode_impl == "fused"
+                and on_tpu
+                and os.environ.get("BENCH_NO_FUSED_TALKER") != "1"
+            ):
+                from leaxer_qwen3_tts_tpu.models.talker import (
+                    prepare_fused_talker,
+                )
+
+                bf16_params = dict(bf16_params)
+                bf16_params["talker"] = jax.jit(
+                    lambda p: prepare_fused_talker(cfg.talker, p, bits=16)
+                )(bf16_params["talker"])
             stq, bdq = fns.prefill(bf16_params, ids, lens, key)
             stq, frq, _ = fns.decode(
                 bf16_params, stq, bdq.trailing, bdq.trailing_len, bdq.tts_pad_embed, sp
@@ -411,6 +448,33 @@ def main() -> None:
                 f"{kvq_results['longform_kvq_ms_per_frame']:.2f} ms/frame")
         except Exception as e:
             log(f"kvq long-form probe failed: {e}")
+        try:
+            # single-stream decode with the int8 KV cache: halved talker
+            # cache traffic (manual kernel isolated 1.205 -> 0.708 ms/step)
+            fnsk = make_generate_fns(
+                kvq_cfg, batch=1, max_len=frames + 32, chunk_len=chunk
+            )
+            stk, bdk = fnsk.prefill(params, ids[:1], lens[:1], key)
+            stk, frk, _ = fnsk.decode(
+                params, stk, bdk.trailing, bdk.trailing_len,
+                bdk.tts_pad_embed, sp,
+            )
+            sync(frk)  # compile
+            nk_ = max(2, n_chunks // 2)
+            t0 = time.perf_counter()
+            for _ in range(nk_):
+                stk, frk, _ = fnsk.decode(
+                    params, stk, bdk.trailing, bdk.trailing_len,
+                    bdk.tts_pad_embed, sp,
+                )
+            sync(frk)
+            kvq_results["decode_kvq_ms_per_frame"] = round(
+                (time.perf_counter() - t0) / (nk_ * chunk) * 1e3, 2
+            )
+            log(f"single-stream (int8 KV): "
+                f"{kvq_results['decode_kvq_ms_per_frame']:.2f} ms/frame")
+        except Exception as e:
+            log(f"kvq single-stream probe failed: {e}")
 
     # --- speculative decoding probes (runtime/speculative.py, B=1) ----------
     # Drafted frames verify in one S=K talker pass; committed codes are exact.

@@ -29,7 +29,8 @@ def sync(x) -> None:
     np.asarray(jax.device_get(jax.numpy.ravel(x)[0]))
 
 
-def make_weights(t: TransformerConfig, rng, bf16: bool = False) -> FusedStepWeights:
+def make_weights(t: TransformerConfig, rng, bf16: bool = False,
+                 w4: bool = False) -> FusedStepWeights:
     import ml_dtypes
 
     L, H, d = t.num_layers, t.hidden_size, t.head_dim
@@ -39,6 +40,10 @@ def make_weights(t: TransformerConfig, rng, bf16: bool = False) -> FusedStepWeig
         w = (rng.standard_normal((L, U, H, 1024)) * 0.02).astype(
             ml_dtypes.bfloat16)
         sc = np.ones((L, U, 1, 1024), np.float32)
+    elif w4:
+        # int4 nibble-packed layout: units [L, U, H/2, N], group scales
+        w = rng.integers(-8, 8, (L, U, H // 2, 1024), np.int8)
+        sc = np.full((L, U, H // 128, 1024), 0.004, np.float32)
     else:
         w = rng.integers(-8, 8, (L, U, H, 1024), np.int8)
         sc = np.full((L, U, 1, 1024), 0.002, np.float32)
@@ -54,9 +59,9 @@ def make_weights(t: TransformerConfig, rng, bf16: bool = False) -> FusedStepWeig
 
 
 def bench_shape(name: str, t: TransformerConfig, T: int, kvq: bool,
-                bf16: bool = False) -> dict:
+                bf16: bool = False, w4: bool = False) -> dict:
     rng = np.random.default_rng(0)
-    fw = make_weights(t, rng, bf16=bf16)
+    fw = make_weights(t, rng, bf16=bf16, w4=w4)
     L, nk, d = t.num_layers, t.num_kv_heads, t.head_dim
     cdt = np.int8 if kvq else np.float32
     kc, vc, x = jax.device_put([
@@ -106,7 +111,7 @@ def bench_shape(name: str, t: TransformerConfig, T: int, kvq: bool,
             best = min(best, time.perf_counter() - t1)
         ms = best / N_STEPS * 1e3
         out[arm] = ms
-        print(f"{name} kvq={kvq} bf16={bf16} {arm}: {ms:.3f} ms/step "
+        print(f"{name} kvq={kvq} bf16={bf16} w4={w4} {arm}: {ms:.3f} ms/step "
               f"(compile {compile_s:.1f}s, best of 3)", flush=True)
     return out
 
@@ -188,6 +193,22 @@ def main():
 
     if "--tp" in os.sys.argv:
         bench_tp(TransformerConfig(dtype="bfloat16"), 512)
+        return
+
+    if "--int4" in os.sys.argv:
+        talker = TransformerConfig(dtype="bfloat16")
+        mtp = TransformerConfig(
+            hidden_size=1024, num_layers=6, num_heads=8, num_kv_heads=8,
+            head_dim=128, intermediate_size=3072, dtype="bfloat16",
+        )
+        mtp17 = TransformerConfig(
+            hidden_size=2048, num_layers=6, num_heads=16, num_kv_heads=8,
+            head_dim=128, intermediate_size=6144, dtype="bfloat16",
+        )
+        bench_shape("mtp T=32", mtp, 32, kvq=False, w4=True)
+        bench_shape("mtp17 T=32", mtp17, 32, kvq=False, w4=True)
+        bench_shape("mtp17 T=32", mtp17, 32, kvq=False)
+        bench_shape("talker T=512", talker, 512, kvq=False, w4=True)
         return
 
     talker = TransformerConfig(dtype="bfloat16")
