@@ -49,6 +49,15 @@ def init_code_predictor_params(cfg: CodePredictorConfig, key: jax.Array) -> dict
     }
 
 
+def _resident_enabled() -> bool:
+    """Resident-trunk MTP chain (ops/fused_mtp.py) on by default for B=1
+    fused decode when the packed trunk fits VMEM; QTTS_MTP_RESIDENT=0
+    selects the per-step kernels for A/B."""
+    import os
+
+    return os.environ.get("QTTS_MTP_RESIDENT", "1") != "0"
+
+
 def predict_subcodes(
     cfg: CodePredictorConfig,
     params: dict,
@@ -57,6 +66,7 @@ def predict_subcodes(
     code0_embed: jax.Array,  # [B, H] — codec_embed(code0)
     key: jax.Array,
     sample_fn: Callable[[jax.Array, jax.Array], jax.Array],  # (key, logits[B,V]) -> [B] int32
+    sp=None,  # SamplingParams — enables the resident-chain kernel (B=1)
 ) -> Tuple[jax.Array, jax.Array]:
     """Runs the 15-step MTP loop for one frame.
 
@@ -68,6 +78,14 @@ def predict_subcodes(
             cfg, params, pred_embed_tables, last_hidden, code0_embed, key, sample_fn
         )
     if cfg.impl == "fused" and "fused_step" in params and last_hidden.shape[0] == 1:
+        if sp is not None and _resident_enabled():
+            from ..ops.fused_mtp import supports_resident
+
+            if supports_resident(params["fused_step"]):
+                return predict_subcodes_resident(
+                    cfg, params, pred_embed_tables, last_hidden, code0_embed,
+                    key, sp,
+                )
         return predict_subcodes_fused(
             cfg, params, pred_embed_tables, last_hidden, code0_embed, key, sample_fn
         )
@@ -264,6 +282,64 @@ def predict_subcodes_fused(
     subcodes = jnp.moveaxis(subcodes, 0, 1)
     subcodes = jnp.concatenate([subcodes, subcode_last[:, None]], axis=1)
     sub_sum = jnp.sum(embs, axis=0) + emb_last
+    return subcodes, sub_sum.astype(last_hidden.dtype)
+
+
+def predict_subcodes_resident(
+    cfg: CodePredictorConfig,
+    params: dict,
+    pred_embed_tables: jax.Array,
+    last_hidden: jax.Array,  # [1, H]
+    code0_embed: jax.Array,
+    key: jax.Array,  # [2] or per-row [1, 2]
+    sp,  # SamplingParams (scalar or [1] knobs)
+) -> Tuple[jax.Array, jax.Array]:
+    """Resident-trunk chain: the whole 15-step loop is ONE Pallas kernel
+    (ops/fused_mtp.py) with the 6-layer trunk held in VMEM and the sampler
+    run in-kernel from precomputed Gumbel noise.  The 2-token prefix stays
+    on the XLA path (same as predict_subcodes_fused).  Sampled outputs are
+    a different (still per-seed deterministic) random stream than the
+    per-step path — see the fused_mtp module docstring."""
+    from ..ops.fused_mtp import fused_mtp_chain
+
+    t = cfg.transformer
+    B, H = last_hidden.shape
+    n = cfg.num_steps
+    V = cfg.subcode_vocab_size
+    interpret = jax.default_backend() != "tpu"
+
+    cache = init_kv_cache(t, B, cfg.max_seq_len)
+    valid = jnp.zeros((B, cfg.max_seq_len), bool)
+    prefix = jnp.stack(
+        [last_hidden.astype(t.jnp_dtype), code0_embed.astype(t.jnp_dtype)], axis=1
+    )
+    positions = jnp.broadcast_to(jnp.arange(2, dtype=jnp.int32), (B, 2))
+    hidden, cache, valid = transformer_forward(
+        t, params["transformer"], prefix, positions, cache, valid
+    )
+    h_last = hidden[:, 1]
+
+    k = key[0] if key.ndim == 2 else key
+    gkeys = jax.random.split(k, n)
+    gumbel = jax.vmap(lambda kk: jax.random.gumbel(kk, (1, V), jnp.float32))(
+        gkeys
+    )  # [n, 1, V]
+
+    subcodes, sub_sum = fused_mtp_chain(
+        t,
+        params["fused_step"],
+        params["transformer"]["final_norm"],
+        params["heads"],
+        pred_embed_tables,
+        h_last,
+        cache.k,
+        cache.v,
+        gumbel,
+        sp.temperature,
+        sp.top_k,
+        sp.top_p,
+        interpret=interpret,
+    )
     return subcodes, sub_sum.astype(last_hidden.dtype)
 
 

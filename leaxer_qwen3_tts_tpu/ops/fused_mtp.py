@@ -1,0 +1,491 @@
+"""Resident-trunk MTP chain: all 15 sub-code steps in ONE Pallas kernel.
+
+The per-step fused path (models/code_predictor.predict_subcodes_fused)
+dispatches one fused_decode_step kernel per MTP step, so the 6-layer trunk
+streams from HBM 15 times per frame (15 x ~78 MB int8 on the 0.6B MTP) —
+the round-3/4 cost attribution puts that at ~60% of the single-stream frame
+(docs/KERNEL_PLAN.md).  The whole int8 trunk FITS v5e VMEM (~78 MB of 128;
+int4: ~39 MB), so this kernel keeps it RESIDENT: trunk weights load once
+per frame and the chain's serial dependency — sample step j before step
+j+1's trunk pass — runs entirely in-kernel, including the sampler.  Per
+frame the weight traffic drops from ~1.2 GB to ~110 MB (trunk once + 15
+step heads + 15 embed rows).
+
+Reference contract unchanged (tts_onnx.cpp:851-872 / :734-757): growing
+2..17-token sequence, step-indexed heads and embedding tables, the sum of
+the 15 sub-embeddings feeds the next talker input.
+
+In-kernel sampling (``gumbel_topk_topp_sample`` below is shared by the
+kernel and the XLA reference, so tests compare twins):
+
+  * greedy (temperature <= 0): argmax with first-index tie-break — exactly
+    ``sample_token``'s greedy path.
+  * sampled: temperature scale -> top-k mask (the k-th-largest threshold
+    found by f32 bisection; keeps ties like the reference filter,
+    tts_onnx.cpp:917-927) -> nucleus mask (bisected prob threshold keeping
+    tokens whose strictly-greater mass is < p, i.e. including the first
+    token crossing p, tts_onnx.cpp:929-950) -> argmax(masked_scaled +
+    Gumbel), the Gumbel noise PRECOMPUTED outside the kernel from the
+    request's PRNG chain — the same construction jax.random.categorical
+    uses, so the sampled distribution matches ``sample_token`` exactly.
+    The random BITS differ from the multi-dispatch path (which draws over
+    a top-K_CAP permuted subset), so resident-sampled outputs are a
+    different — still per-seed deterministic — stream.  Exact prob TIES at
+    the nucleus boundary keep/drop together here, where the sort-based
+    mask splits them by sort order (a measure-zero event for continuous
+    logits).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+
+try:
+    from jax.experimental.pallas import tpu as pltpu
+
+    _VMEM = pltpu.VMEM
+    _SMEM = pltpu.SMEM
+except Exception:  # pragma: no cover
+    pltpu = None
+    _VMEM = None
+    _SMEM = None
+
+from ..config import TransformerConfig
+from .fused_step import (
+    N_UNIT,
+    FusedStepWeights,
+    _matmul_unit,
+    _rms,
+    _rope,
+    _unit_counts,
+)
+from .quant import QuantizedLinear
+
+NEG_INF = -1e30
+_BISECT_ITERS = 40  # f32 bisection: interval shrinks 2^-40 — below ulp of
+# any realistic logit/prob spacing, so the threshold set matches the
+# sort-based masks (runtime/sampling.py) except on exact float ties
+
+# VMEM budget for the resident trunk (v5e has 128 MB; leave room for the
+# double-buffered heads, caches, activations and the compiler's own needs)
+RESIDENT_MAX_BYTES = 88 * 1024 * 1024
+
+
+def supports_resident(fw: FusedStepWeights) -> bool:
+    """True when the packed trunk fits the resident-VMEM budget.  int8
+    0.6B MTP: 78 MB yes; int4: 39 MB yes; bf16 packs and the 1.7B MTP
+    (288 MB int8) fall back to the per-step kernels."""
+    return (
+        fw.units.dtype == jnp.int8 and fw.units.nbytes <= RESIDENT_MAX_BYTES
+    )
+
+
+def _bisect_topk_mask(scaled: jax.Array, top_k: jax.Array) -> jax.Array:
+    """Keep entries >= the top_k-th largest value (ties kept), found by
+    bisection instead of a sort.  scaled [1, V] f32; top_k scalar int32.
+    Inactive (keep all) when top_k <= 0 or top_k >= V."""
+    V = scaled.shape[-1]
+    lo = jnp.min(scaled)
+    hi = jnp.max(scaled)
+    for _ in range(_BISECT_ITERS):
+        mid = 0.5 * (lo + hi)
+        ge = jnp.sum((scaled >= mid).astype(jnp.int32))
+        sel = ge >= top_k
+        lo = jnp.where(sel, mid, lo)
+        hi = jnp.where(sel, hi, mid)
+    active = (top_k > 0) & (top_k < V)
+    return (scaled >= lo) | jnp.logical_not(active)
+
+
+def _bisect_topp_mask(probs: jax.Array, top_p: jax.Array) -> jax.Array:
+    """Nucleus mask by threshold: keep token i iff the total mass of
+    STRICTLY larger probs is < top_p (the argmax always qualifies).  Found
+    by bisecting theta in [0, 1] on sum(probs[probs > theta]) < top_p.
+    Inactive when top_p >= 1."""
+    lo = jnp.float32(0.0)
+    hi = jnp.float32(1.0)
+    for _ in range(_BISECT_ITERS):
+        mid = 0.5 * (lo + hi)
+        s = jnp.sum(jnp.where(probs > mid, probs, 0.0))
+        sel = s < top_p  # mid is at/above the boundary -> move hi down
+        lo = jnp.where(sel, lo, mid)
+        hi = jnp.where(sel, mid, hi)
+    return (probs > lo) | (top_p >= 1.0)
+
+
+def _first_argmax(x: jax.Array) -> jax.Array:
+    """argmax over [1, V] with first-index tie-break (jnp.argmax
+    semantics), written as max + masked min-index so it lowers to plain
+    VPU reductions inside Mosaic."""
+    V = x.shape[-1]
+    iota = lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    m = jnp.max(x)
+    return jnp.min(jnp.where(x == m, iota, V)).astype(jnp.int32)
+
+
+def gumbel_topk_topp_sample(
+    logits: jax.Array,  # [1, V] f32
+    gumbel: jax.Array,  # [1, V] f32 — precomputed Gumbel(0, 1) noise
+    temperature: jax.Array,  # scalar f32
+    top_k: jax.Array,  # scalar int32
+    top_p: jax.Array,  # scalar f32
+) -> jax.Array:
+    """One temperature/top-k/top-p draw as pure vector math (no sort, no
+    categorical): shared VERBATIM by the resident kernel and its XLA
+    reference.  Distributionally identical to runtime.sampling.sample_token
+    (argmax(masked_scaled + Gumbel) IS the categorical draw) — see module
+    docstring for the tie/bitstream caveats."""
+    greedy = _first_argmax(logits)
+
+    def sampled(_):
+        t = jnp.maximum(temperature, 1e-6)
+        scaled = logits / t
+        keep_k = _bisect_topk_mask(scaled, top_k)
+        masked = jnp.where(keep_k, scaled, NEG_INF)
+        mm = jnp.max(masked)
+        e = jnp.exp(masked - mm)
+        probs = e / jnp.sum(e)
+        keep_p = _bisect_topp_mask(probs, top_p)
+        final = jnp.where(keep_p, masked, NEG_INF)
+        return _first_argmax(final + gumbel)
+
+    return lax.cond(
+        temperature <= 0.0, lambda _: greedy, sampled, operand=None
+    )
+
+
+def _make_chain_kernel(
+    cfg: TransformerConfig,
+    n_steps: int,
+    V: int,
+    T: int,
+    w4: bool,
+    n_groups: int,
+):
+    """Kernel body: fori over the n_steps chain; per trunk step, fori over
+    layers with the unit loop unrolled (the manual-DMA kernel's schedule,
+    ops/fused_step._make_kernel_manual, reading a RESIDENT weight ref
+    instead of a streamed 2-slot scratch)."""
+    H = cfg.hidden_size
+    nq, nk, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    g = nq // nk
+    qd, kvd = cfg.q_dim, cfg.kv_dim
+    I = cfg.intermediate_size
+    eps = cfg.rms_norm_eps
+    n_qkv, n_wo, n_gu, n_wd = _unit_counts(cfg)
+    U = n_qkv + n_wo + n_gu + n_wd
+    b2, b3 = n_qkv + n_wo, n_qkv + n_wo + n_gu
+    nn = H // N_UNIT
+    n = n_steps
+
+    def kernel(
+        temp_ref,  # SMEM [1] f32
+        topk_ref,  # SMEM [1] i32
+        topp_ref,  # SMEM [1] f32
+        h0_ref,  # [1, H] f32 — final-normed hidden at the code0 position
+        cos_ref,  # [n, 1, d//2] f32 — rope rows for positions 2..2+n-1
+        sin_ref,
+        w_ref,  # [L, U, KU, N_UNIT] int8 — RESIDENT trunk units
+        s_ref,  # [L, U, G, N_UNIT] f32
+        an_ref,  # [L, 1, H] f32
+        mn_ref,
+        qn_ref,  # [L, 1, d] f32
+        kn_ref,
+        fn_ref,  # [1, H] f32 — final norm (head input)
+        hq_hbm,  # ANY [n, H, V] int8|bf16 — step heads, double-buffered
+        hs_ref,  # [n, 1, V] f32 — head output scales
+        tab_hbm,  # ANY [n, Vt, H] — step embed tables (row-DMA gather)
+        g_ref,  # [n, 1, V] f32 — Gumbel noise rows
+        kc0_ref,  # [L, nk, T, d] — prefix cache (2 slots filled)
+        vc0_ref,
+        subc_out,  # [1, n] i32
+        ssum_out,  # [1, H] f32
+        x_s,  # scratch [1, H] f32
+        h_s,  # scratch [1, H] f32
+        qkv_s,  # scratch [1, qd + 2*kvd] f32
+        attn_s,  # scratch [1, qd] f32
+        gu_s,  # scratch [1, 2I] f32
+        hp_s,  # scratch [1, H] f32 — final-normed hidden feeding head j
+        kc_s,  # scratch [L, nk, T, d]
+        vc_s,
+        head_vm,  # scratch [2, H, V] heads dtype
+        emb_vm,  # scratch [1, H] tables dtype
+        sems,  # DMA semaphores (3,)
+    ):
+        temp = temp_ref[0]
+        top_k = topk_ref[0]
+        top_p = topp_ref[0]
+
+        # --- init: prefix cache into scratch, accumulators, head-0 DMA ---
+        kc_s[:] = kc0_ref[:]
+        vc_s[:] = vc0_ref[:]
+        ssum_out[:] = jnp.zeros_like(ssum_out)
+        subc_out[:] = jnp.zeros_like(subc_out)
+        hp_s[:] = h0_ref[:]
+        pltpu.make_async_copy(hq_hbm.at[0], head_vm.at[0], sems.at[0]).start()
+
+        def trunk_step(j, emb_f32):
+            """One incremental trunk pass on token emb at pos 2+j; leaves
+            the final-normed hidden in hp_s.  Same op sequence as
+            _make_kernel_manual, weights read from the resident ref."""
+            pos = 2 + j
+            x_s[:] = emb_f32
+            cos = cos_ref[j]  # [1, d//2]
+            sin = sin_ref[j]
+
+            def layer_body(l, carry):
+                h_s[:] = _rms(x_s[:], an_ref[l], eps)
+
+                def matmul(u):
+                    return _matmul_unit(w_ref[l, u], s_ref[l, u], w4, n_groups)
+
+                for u in range(n_qkv):
+                    off = u * N_UNIT
+                    qkv_s[:, off : off + N_UNIT] = matmul(u)(h_s[:])
+
+                # --- attention (T slots resident in scratch) ---
+                qkv = qkv_s[:]
+                q = qkv[0, :qd].reshape(nq, d)
+                k = qkv[0, qd : qd + kvd].reshape(nk, d)
+                v = qkv[0, qd + kvd :].reshape(nk, d)
+                q = _rms(q, qn_ref[l, 0], eps)
+                k = _rms(k, kn_ref[l, 0], eps)
+                q = _rope(q, cos, sin)
+                k = _rope(k, cos, sin)
+                slot = lax.broadcasted_iota(jnp.int32, (nk, T, d), 1)
+                K_new = jnp.where(
+                    slot == pos, k[:, None, :].astype(kc_s.dtype), kc_s[l]
+                )
+                V_new = jnp.where(
+                    slot == pos, v[:, None, :].astype(vc_s.dtype), vc_s[l]
+                )
+                kc_s[l] = K_new
+                vc_s[l] = V_new
+                qg = q.reshape(nk, g, d)
+                scores = lax.dot_general(
+                    qg, K_new.astype(jnp.float32),
+                    (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                ) * (1.0 / (d**0.5))
+                sl_i = lax.broadcasted_iota(jnp.int32, (nk, g, T), 2)
+                scores = jnp.where(sl_i <= pos, scores, -1e30)
+                m = jnp.max(scores, axis=-1, keepdims=True)
+                e = jnp.exp(scores - m)
+                w = e / jnp.sum(e, axis=-1, keepdims=True)
+                out = lax.dot_general(
+                    w, V_new.astype(jnp.float32),
+                    (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )
+                attn_s[:] = out.reshape(1, qd)
+
+                for u in range(n_qkv, b2):  # wo K-split tiles
+                    i_ks = u - n_qkv
+                    k_off = (i_ks // nn) * H
+                    n_off = (i_ks % nn) * N_UNIT
+                    x_s[:, n_off : n_off + N_UNIT] = x_s[
+                        :, n_off : n_off + N_UNIT
+                    ] + matmul(u)(attn_s[:, k_off : k_off + H])
+
+                h_s[:] = _rms(x_s[:], mn_ref[l], eps)
+                for u in range(b2, b3):  # gate/up N-blocks
+                    off = (u - b2) * N_UNIT
+                    gu_s[:, off : off + N_UNIT] = matmul(u)(h_s[:])
+                gu = gu_s[:]
+                gate = gu[:, :I]
+                up = gu[:, I:]
+                gu_s[:, :I] = gate * (1.0 / (1.0 + jnp.exp(-gate))) * up
+                for u in range(b3, U):  # wd K-split tiles
+                    i_ks = u - b3
+                    k_off = (i_ks // nn) * H
+                    n_off = (i_ks % nn) * N_UNIT
+                    x_s[:, n_off : n_off + N_UNIT] = x_s[
+                        :, n_off : n_off + N_UNIT
+                    ] + matmul(u)(gu_s[:, k_off : k_off + H])
+                return carry
+
+            lax.fori_loop(0, cfg.num_layers, layer_body, 0)
+            hp_s[:] = _rms(x_s[:], fn_ref[:], eps)
+
+        def chain_body(j, carry):
+            slot = lax.rem(j, 2)
+            pltpu.make_async_copy(
+                hq_hbm.at[j], head_vm.at[slot], sems.at[slot]
+            ).wait()
+
+            @pl.when(j + 1 < n)
+            def _prefetch_next_head():
+                nsl = 1 - slot
+                pltpu.make_async_copy(
+                    hq_hbm.at[j + 1], head_vm.at[nsl], sems.at[nsl]
+                ).start()
+
+            hw = head_vm[slot].astype(jnp.bfloat16)  # [H, V]
+            logits = (
+                lax.dot_general(
+                    hp_s[:].astype(jnp.bfloat16), hw,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                * hs_ref[j]
+            )  # [1, V]
+            sub = gumbel_topk_topp_sample(logits, g_ref[j], temp, top_k, top_p)
+
+            lane = lax.broadcasted_iota(jnp.int32, (1, n), 1)
+            subc_out[:] = jnp.where(lane == j, sub, subc_out[:])
+
+            # embed row gather: one [1, H] DMA from the step-j table
+            row = pltpu.make_async_copy(
+                tab_hbm.at[j, pl.ds(sub, 1), :], emb_vm, sems.at[2]
+            )
+            row.start()
+            row.wait()
+            emb_f32 = emb_vm[:].astype(jnp.float32)
+            ssum_out[:] = ssum_out[:] + emb_f32
+
+            @pl.when(j < n - 1)  # final step only samples
+            def _advance():
+                trunk_step(j, emb_f32)
+
+            return carry
+
+        lax.fori_loop(0, n, chain_body, 0)
+
+    return kernel, U
+
+
+def fused_mtp_chain(
+    cfg: TransformerConfig,
+    fw: FusedStepWeights,
+    final_norm: jax.Array,  # [H] — trunk final-norm weight (head input)
+    heads,  # QuantizedLinear [n, H, V] int8 | raw [n, H, V] array
+    tables: jax.Array,  # [n, Vt, H] — step embedding tables
+    h0: jax.Array,  # [1, H] — final-normed hidden at the code0 position
+    k_cache: jax.Array,  # [L, 1, nk, T, d] — prefix cache (2 slots filled)
+    v_cache: jax.Array,
+    gumbel: jax.Array,  # [n, 1, V] f32 — per-step Gumbel noise
+    temperature: jax.Array,
+    top_k: jax.Array,
+    top_p: jax.Array,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Run the whole sub-code chain in one kernel.
+
+    Returns (subcodes [1, n] int32, sub_sum [1, H] f32)."""
+    L = fw.attn_norm.shape[0]
+    T = k_cache.shape[3]
+    H = cfg.hidden_size
+    nk, d = cfg.num_kv_heads, cfg.head_dim
+    qd, kvd, I = cfg.q_dim, cfg.kv_dim, cfg.intermediate_size
+    KU = fw.units.shape[2]
+    w4 = KU == H // 2
+    n_groups = fw.scales.shape[2]
+    n, _, V = gumbel.shape
+
+    if isinstance(heads, QuantizedLinear):
+        hq, hs = heads.q, heads.scale.astype(jnp.float32)  # [n,H,V],[n,1,V]
+    else:
+        hq = heads.astype(jnp.bfloat16)
+        hs = jnp.ones((n, 1, V), jnp.float32)
+
+    half = d // 2
+    freqs = 1.0 / (
+        cfg.rope_theta ** (jnp.arange(half, dtype=jnp.float32) / half)
+    )
+    angles = (2.0 + jnp.arange(n, dtype=jnp.float32))[:, None] * freqs[None, :]
+    cos = jnp.cos(angles)[:, None, :]  # [n, 1, half]
+    sin = jnp.sin(angles)[:, None, :]
+
+    kc = k_cache.reshape(L, nk, T, d)
+    vc = v_cache.reshape(L, nk, T, d)
+
+    kernel, U = _make_chain_kernel(cfg, n, V, T, w4, n_groups)
+
+    def vm(shape):
+        return pl.BlockSpec(
+            shape, lambda *_: (0,) * len(shape), memory_space=_VMEM
+        )
+
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    in_specs = [
+        pl.BlockSpec(memory_space=_SMEM),  # temp
+        pl.BlockSpec(memory_space=_SMEM),  # top_k
+        pl.BlockSpec(memory_space=_SMEM),  # top_p
+        vm((1, H)),  # h0
+        vm((n, 1, half)),  # cos
+        vm((n, 1, half)),  # sin
+        vm((L, U, KU, N_UNIT)),  # trunk units — RESIDENT
+        vm((L, U, n_groups, N_UNIT)),  # scales
+        vm((L, 1, H)),  # attn_norm
+        vm((L, 1, H)),  # mlp_norm
+        vm((L, 1, d)),  # q_norm
+        vm((L, 1, d)),  # k_norm
+        vm((1, H)),  # final_norm
+        any_spec,  # heads (streamed)
+        vm((n, 1, V)),  # head scales
+        any_spec,  # tables (row-DMA)
+        vm((n, 1, V)),  # gumbel
+        vm((L, nk, T, d)),  # kc0
+        vm((L, nk, T, d)),  # vc0
+    ]
+    out_specs = [vm((1, n)), vm((1, H))]
+    out_shape = [
+        jax.ShapeDtypeStruct((1, n), jnp.int32),
+        jax.ShapeDtypeStruct((1, H), jnp.float32),
+    ]
+    scratch = [
+        pltpu.VMEM((1, H), jnp.float32),  # x_s
+        pltpu.VMEM((1, H), jnp.float32),  # h_s
+        pltpu.VMEM((1, qd + 2 * kvd), jnp.float32),  # qkv_s
+        pltpu.VMEM((1, qd), jnp.float32),  # attn_s
+        pltpu.VMEM((1, 2 * I), jnp.float32),  # gu_s
+        pltpu.VMEM((1, H), jnp.float32),  # hp_s
+        pltpu.VMEM((L, nk, T, d), kc.dtype),  # kc_s
+        pltpu.VMEM((L, nk, T, d), vc.dtype),  # vc_s
+        pltpu.VMEM((2, H, V), hq.dtype),  # head double buffer
+        pltpu.VMEM((1, H), tables.dtype),  # emb row
+        pltpu.SemaphoreType.DMA((3,)),
+    ]
+    args = [
+        jnp.reshape(jnp.asarray(temperature, jnp.float32), (-1,))[:1],
+        jnp.reshape(jnp.asarray(top_k, jnp.int32), (-1,))[:1],
+        jnp.reshape(jnp.asarray(top_p, jnp.float32), (-1,))[:1],
+        h0.astype(jnp.float32),
+        cos,
+        sin,
+        fw.units,
+        fw.scales,
+        fw.attn_norm,
+        fw.mlp_norm,
+        fw.q_norm,
+        fw.k_norm,
+        final_norm.astype(jnp.float32).reshape(1, H),
+        hq,
+        hs,
+        tables,
+        gumbel.astype(jnp.float32),
+        kc,
+        vc,
+    ]
+    compiler_params = None
+    if not interpret and pltpu is not None:
+        compiler_params = pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024
+        )
+    call = pl.pallas_call(
+        kernel,
+        grid=(1,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        interpret=interpret,
+        compiler_params=compiler_params,
+    )
+    subcodes, sub_sum = call(*args)
+    return subcodes, sub_sum

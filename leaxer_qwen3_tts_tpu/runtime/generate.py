@@ -112,6 +112,7 @@ def _frame_step(
         code0_embed,
         k_pred,
         sample_fn,
+        sp=sp,
     )
     frame = jnp.concatenate([code0[:, None], subcodes], axis=1)  # [B, 16]
     frame = jnp.where(frame_valid[:, None], frame, 0)

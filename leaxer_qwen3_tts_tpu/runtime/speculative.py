@@ -122,7 +122,7 @@ def init_spec_state(
     sample_fn = lambda k, lg: sample_token(k, lg, sp)
     subcodes, sub_sum = predict_subcodes(
         cfg.code_predictor, params["code_predictor"], emb["pred_embed"],
-        last_hidden, code0_embed, k_pred, sample_fn,
+        last_hidden, code0_embed, k_pred, sample_fn, sp=sp,
     )
     frame = jnp.concatenate([code0[:, None], subcodes], axis=1)  # [B, 16]
     valid = ~is_eos
@@ -372,7 +372,7 @@ def _spec_iteration(
     subcodes, sub_sums = predict_subcodes(
         cfg.code_predictor, params["code_predictor"], emb["pred_embed"],
         hidden.reshape(B * k, H), c0e.reshape(B * k, H), k_pred_mtp,
-        sample_fn,
+        sample_fn, sp=sp_flat,
     )
     subcodes = subcodes.reshape(B, k, 15)
     sub_sums = sub_sums.reshape(B, k, H)

@@ -1,0 +1,295 @@
+"""Resident-trunk MTP chain kernel (ops/fused_mtp.py): interpret-mode parity
+vs the per-step fused path, plus the shared bisection sampler's equivalence
+to the sort-based masks in runtime/sampling.py."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from leaxer_qwen3_tts_tpu.config import CodePredictorConfig, TransformerConfig
+from leaxer_qwen3_tts_tpu.models.code_predictor import (
+    init_code_predictor_params,
+    predict_subcodes,
+    predict_subcodes_resident,
+    prepare_fused_step,
+)
+from leaxer_qwen3_tts_tpu.ops import fused_mtp
+from leaxer_qwen3_tts_tpu.ops.fused_mtp import (
+    _bisect_topk_mask,
+    _bisect_topp_mask,
+    fused_mtp_chain,
+    gumbel_topk_topp_sample,
+    supports_resident,
+)
+from leaxer_qwen3_tts_tpu.runtime.sampling import (
+    SamplingParams,
+    _top_k_mask,
+    _top_p_mask,
+    sample_token,
+)
+
+
+@pytest.fixture(scope="module")
+def chain_cfg_params():
+    t = TransformerConfig(
+        hidden_size=1024,
+        num_layers=2,
+        num_heads=8,
+        num_kv_heads=4,
+        head_dim=128,
+        intermediate_size=3072,
+        dtype="float32",
+    )
+    cfg = CodePredictorConfig(
+        transformer=t, num_steps=4, subcode_vocab_size=256, max_seq_len=6,
+        impl="fused",
+    )
+    params = init_code_predictor_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    tables = jnp.asarray(
+        rng.standard_normal((cfg.num_steps, cfg.subcode_vocab_size, 1024))
+        * 0.02,
+        jnp.float32,
+    )
+    from leaxer_qwen3_tts_tpu.ops.quant import fuse_params, quantize_params
+
+    qparams = quantize_params(fuse_params({"code_predictor": params}))[
+        "code_predictor"
+    ]
+    qparams = prepare_fused_step(cfg, qparams)
+    assert "fused_step" in qparams
+    return cfg, qparams, tables
+
+
+# --- bisection masks == sort-based masks (no float ties in random data) ---
+
+
+def test_bisect_topk_mask_matches_sort():
+    rng = np.random.default_rng(3)
+    logits = jnp.asarray(rng.standard_normal((1, 257)) * 4.0, jnp.float32)
+    for k in (1, 2, 50, 256, 257, 0, -1, 400):
+        ours = np.asarray(_bisect_topk_mask(logits, jnp.int32(k)))
+        ref = np.asarray(_top_k_mask(logits, jnp.int32(k)))
+        np.testing.assert_array_equal(ours, ref, err_msg=f"k={k}")
+
+
+def test_bisect_topp_mask_matches_sort():
+    rng = np.random.default_rng(4)
+    logits = jnp.asarray(rng.standard_normal((1, 257)) * 3.0, jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)
+    for p in (0.1, 0.5, 0.9, 0.99, 1.0, 1.5):
+        ours = np.asarray(_bisect_topp_mask(probs, jnp.float32(p)))
+        ref = np.asarray(_top_p_mask(logits, jnp.float32(p)))
+        np.testing.assert_array_equal(ours, ref, err_msg=f"p={p}")
+
+
+def test_gumbel_sample_greedy_and_topk1():
+    rng = np.random.default_rng(5)
+    logits = jnp.asarray(rng.standard_normal((1, 128)) * 2.0, jnp.float32)
+    gumbel = jnp.asarray(rng.gumbel(size=(1, 128)), jnp.float32)
+    am = int(jnp.argmax(logits))
+    # temperature <= 0 -> greedy argmax regardless of noise
+    assert int(gumbel_topk_topp_sample(
+        logits, gumbel, jnp.float32(0.0), jnp.int32(50), jnp.float32(0.9)
+    )) == am
+    # top_k = 1 -> only the argmax survives the mask
+    assert int(gumbel_topk_topp_sample(
+        logits, gumbel, jnp.float32(1.0), jnp.int32(1), jnp.float32(1.0)
+    )) == am
+
+
+def test_gumbel_sample_distribution():
+    """argmax(scaled + Gumbel) IS the categorical draw: empirical
+    frequencies over fresh noise match softmax(logits/T) on a small vocab."""
+    logits = jnp.asarray([[2.0, 1.0, 0.0, -1.0, 0.5, 1.5, -0.5, 0.25]],
+                         jnp.float32)
+    temp = jnp.float32(0.8)
+    want = np.asarray(jax.nn.softmax(logits / temp, axis=-1))[0]
+    n = 4000
+    keys = jax.random.split(jax.random.PRNGKey(9), n)
+    gs = jax.vmap(lambda k: jax.random.gumbel(k, (1, 8), jnp.float32))(keys)
+    draws = jax.vmap(
+        lambda g: gumbel_topk_topp_sample(
+            logits, g, temp, jnp.int32(0), jnp.float32(1.0)
+        )
+    )(gs)
+    freq = np.bincount(np.asarray(draws).ravel(), minlength=8) / n
+    np.testing.assert_allclose(freq, want, atol=0.035)
+
+
+# --- resident chain vs the per-step fused path ---
+
+
+def test_resident_matches_fused_greedy(chain_cfg_params):
+    cfg, qparams, tables = chain_cfg_params
+    rng = np.random.default_rng(1)
+    hidden = jnp.asarray(rng.standard_normal((1, 1024)) * 0.5, jnp.float32)
+    c0e = jnp.asarray(rng.standard_normal((1, 1024)) * 0.02, jnp.float32)
+    sp = SamplingParams.create(temperature=0.0)
+    sample_fn = lambda k, lg: sample_token(k, lg, sp)
+    key = jax.random.PRNGKey(0)
+
+    subs_f, sum_f = predict_subcodes(
+        cfg, qparams, tables, hidden, c0e, key, sample_fn
+    )  # per-step fused (no sp -> resident not engaged)
+    subs_r, sum_r = predict_subcodes_resident(
+        cfg, qparams, tables, hidden, c0e, key, sp
+    )
+    agree = float((np.asarray(subs_f) == np.asarray(subs_r)).mean())
+    assert agree >= 3 / 4, (subs_f, subs_r)
+    np.testing.assert_allclose(
+        np.asarray(sum_r), np.asarray(sum_f), atol=0.05, rtol=0.05
+    )
+
+
+def test_resident_chain_matches_xla_twin_sampled(chain_cfg_params):
+    """Sampled-mode exactness: the kernel (interpret) vs a step-by-step XLA
+    twin that mirrors its ops — same fused_decode_step trunk, same bf16 head
+    matmul, the SAME gumbel_topk_topp_sample on the same noise rows."""
+    from leaxer_qwen3_tts_tpu.models.layers import (
+        init_kv_cache,
+        rms_norm,
+        transformer_forward,
+    )
+    from leaxer_qwen3_tts_tpu.ops.fused_step import fused_decode_step
+    from leaxer_qwen3_tts_tpu.ops.quant import index_weight
+
+    cfg, qparams, tables = chain_cfg_params
+    t = cfg.transformer
+    n, V = cfg.num_steps, cfg.subcode_vocab_size
+    rng = np.random.default_rng(2)
+    hidden = jnp.asarray(rng.standard_normal((1, 1024)) * 0.5, jnp.float32)
+    c0e = jnp.asarray(rng.standard_normal((1, 1024)) * 0.02, jnp.float32)
+    temp, top_k, top_p = jnp.float32(0.8), jnp.int32(50), jnp.float32(0.9)
+    key = jax.random.PRNGKey(7)
+
+    # shared prefix + noise (what predict_subcodes_resident computes)
+    cache = init_kv_cache(t, 1, cfg.max_seq_len)
+    valid = jnp.zeros((1, cfg.max_seq_len), bool)
+    prefix = jnp.stack([hidden.astype(t.jnp_dtype), c0e.astype(t.jnp_dtype)],
+                       axis=1)
+    pos2 = jnp.broadcast_to(jnp.arange(2, dtype=jnp.int32), (1, 2))
+    h, cache, valid = transformer_forward(
+        t, qparams["transformer"], prefix, pos2, cache, valid
+    )
+    h_last = h[:, 1]
+    gkeys = jax.random.split(key, n)
+    gumbel = jax.vmap(
+        lambda kk: jax.random.gumbel(kk, (1, V), jnp.float32)
+    )(gkeys)
+
+    # kernel (interpret)
+    subs_k, sum_k = fused_mtp_chain(
+        t, qparams["fused_step"], qparams["transformer"]["final_norm"],
+        qparams["heads"], tables, h_last, cache.k, cache.v, gumbel,
+        temp, top_k, top_p, interpret=True,
+    )
+
+    # XLA twin
+    heads = qparams["heads"]
+    fw = qparams["fused_step"]
+    fnorm = qparams["transformer"]["final_norm"]
+    kc, vc = cache.k, cache.v
+    hp = h_last
+    subs, ssum = [], jnp.zeros((1, 1024), jnp.float32)
+    for j in range(n):
+        w = index_weight(heads, j)
+        logits = (
+            jnp.dot(
+                hp.astype(jnp.bfloat16), w.q.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+            * w.scale.reshape(1, V)
+        )
+        sub = gumbel_topk_topp_sample(logits, gumbel[j], temp, top_k, top_p)
+        subs.append(int(sub))
+        emb = tables[j, int(sub)][None, :]
+        ssum = ssum + emb.astype(jnp.float32)
+        if j < n - 1:
+            x_out, kc, vc = fused_decode_step(
+                t, fw, emb.astype(jnp.float32), jnp.int32(2 + j), kc, vc,
+                interpret=True,
+            )
+            hp = rms_norm(x_out, fnorm, t.rms_norm_eps).astype(jnp.float32)
+
+    assert list(np.asarray(subs_k)[0]) == subs, (subs_k, subs)
+    np.testing.assert_allclose(
+        np.asarray(sum_k), np.asarray(ssum), atol=0.02, rtol=0.02
+    )
+
+
+def test_resident_determinism_and_seed_sensitivity(chain_cfg_params):
+    cfg, qparams, tables = chain_cfg_params
+    rng = np.random.default_rng(6)
+    hidden = jnp.asarray(rng.standard_normal((1, 1024)) * 0.5, jnp.float32)
+    c0e = jnp.asarray(rng.standard_normal((1, 1024)) * 0.02, jnp.float32)
+    sp = SamplingParams.create(temperature=0.9, top_k=40, top_p=0.95)
+    a1, _ = predict_subcodes_resident(
+        cfg, qparams, tables, hidden, c0e, jax.random.PRNGKey(1), sp
+    )
+    a2, _ = predict_subcodes_resident(
+        cfg, qparams, tables, hidden, c0e, jax.random.PRNGKey(1), sp
+    )
+    b, _ = predict_subcodes_resident(
+        cfg, qparams, tables, hidden, c0e, jax.random.PRNGKey(2), sp
+    )
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+    assert not np.array_equal(np.asarray(a1), np.asarray(b))
+    # per-row [1, 2] key form (pool slots) accepted too
+    rk = jax.random.PRNGKey(1)[None, :]
+    a3, _ = predict_subcodes_resident(
+        cfg, qparams, tables, hidden, c0e, rk, sp
+    )
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a3))
+
+
+def test_dispatch_and_gates(chain_cfg_params, monkeypatch):
+    cfg, qparams, tables = chain_cfg_params
+    rng = np.random.default_rng(8)
+    hidden = jnp.asarray(rng.standard_normal((1, 1024)) * 0.5, jnp.float32)
+    c0e = jnp.asarray(rng.standard_normal((1, 1024)) * 0.02, jnp.float32)
+    sp = SamplingParams.create(temperature=0.0)
+    sample_fn = lambda k, lg: sample_token(k, lg, sp)
+    key = jax.random.PRNGKey(0)
+
+    calls = []
+    import leaxer_qwen3_tts_tpu.models.code_predictor as cp
+
+    real = cp.predict_subcodes_resident
+    monkeypatch.setattr(
+        cp, "predict_subcodes_resident",
+        lambda *a, **k: (calls.append(1), real(*a, **k))[1],
+    )
+    predict_subcodes(cfg, qparams, tables, hidden, c0e, key, sample_fn, sp=sp)
+    assert calls, "sp + fused_step + B=1 should route to the resident chain"
+
+    calls.clear()
+    monkeypatch.setenv("QTTS_MTP_RESIDENT", "0")
+    predict_subcodes(cfg, qparams, tables, hidden, c0e, key, sample_fn, sp=sp)
+    assert not calls, "QTTS_MTP_RESIDENT=0 must select the per-step kernels"
+    monkeypatch.delenv("QTTS_MTP_RESIDENT")
+
+    # no sp -> per-step path
+    predict_subcodes(cfg, qparams, tables, hidden, c0e, key, sample_fn)
+    assert not calls
+
+    # batch > 1 -> batched fused path
+    h2 = jnp.concatenate([hidden, hidden])
+    c2 = jnp.concatenate([c0e, c0e])
+    predict_subcodes(cfg, qparams, tables, h2, c2, key, sample_fn, sp=sp)
+    assert not calls
+
+
+def test_supports_resident_gates(chain_cfg_params, monkeypatch):
+    cfg, qparams, _ = chain_cfg_params
+    fw = qparams["fused_step"]
+    assert supports_resident(fw)
+    # bf16 packs excluded (2x bytes; the unquantized config keeps per-step)
+    bf = fw._replace(units=fw.units.astype(jnp.bfloat16))
+    assert not supports_resident(bf)
+    # trunks over the VMEM budget excluded (1.7B MTP)
+    monkeypatch.setattr(fused_mtp, "RESIDENT_MAX_BYTES", 1024)
+    assert not supports_resident(fw)
