@@ -297,9 +297,20 @@ def main() -> None:
                     prepare_fused_step,
                 )
 
+                # BENCH_BF16_MTP_QUANT=int8: the bf16 engine with only the
+                # 6-layer MTP trunk quantized (engine mtp_quantize under
+                # quantize=None) — the trunk then fits VMEM and the
+                # resident-chain kernel engages; everything else stays
+                # unquantized (the smallest-fidelity-bet >=20x candidate)
+                bf_mtp_bits = (
+                    8 if os.environ.get("BENCH_BF16_MTP_QUANT") == "int8"
+                    else 16
+                )
                 bf16_params = dict(bf16_params)
                 bf16_params["code_predictor"] = jax.jit(
-                    lambda p: prepare_fused_step(cfg.code_predictor, p, bits=16)
+                    lambda p: prepare_fused_step(
+                        cfg.code_predictor, p, bits=bf_mtp_bits
+                    )
                 )(bf16_params["code_predictor"])
             if (
                 cfg.talker.decode_impl == "fused"

@@ -90,6 +90,15 @@ def predict_subcodes(
             cfg, params, pred_embed_tables, last_hidden, code0_embed, key, sample_fn
         )
     if cfg.impl == "fused" and "fused_step" in params and 2 <= last_hidden.shape[0] <= 32:
+        if sp is not None and _resident_enabled():
+            from ..ops.fused_mtp import supports_resident
+
+            if supports_resident(params["fused_step"],
+                                 batch=last_hidden.shape[0]):
+                return predict_subcodes_resident_batched(
+                    cfg, params, pred_embed_tables, last_hidden, code0_embed,
+                    key, sp,
+                )
         return predict_subcodes_fused_batched(
             cfg, params, pred_embed_tables, last_hidden, code0_embed, key, sample_fn
         )
@@ -326,6 +335,70 @@ def predict_subcodes_resident(
     )  # [n, 1, V]
 
     subcodes, sub_sum = fused_mtp_chain(
+        t,
+        params["fused_step"],
+        params["transformer"]["final_norm"],
+        params["heads"],
+        pred_embed_tables,
+        h_last,
+        cache.k,
+        cache.v,
+        gumbel,
+        sp.temperature,
+        sp.top_k,
+        sp.top_p,
+        interpret=interpret,
+    )
+    return subcodes, sub_sum.astype(last_hidden.dtype)
+
+
+def predict_subcodes_resident_batched(
+    cfg: CodePredictorConfig,
+    params: dict,
+    pred_embed_tables: jax.Array,
+    last_hidden: jax.Array,  # [B, H], 2 <= B <= 32
+    code0_embed: jax.Array,
+    key: jax.Array,  # [2] shared chain or [B, 2] per-row chains
+    sp,  # SamplingParams (scalar or [B] knobs)
+) -> Tuple[jax.Array, jax.Array]:
+    """Batched resident chain (ops/fused_mtp.fused_mtp_chain_batched): the
+    trunk loads ONCE for the whole batch's 15 steps — the serving batch's
+    dominant weight read collapses (15 x trunk -> trunk + heads + tables).
+    Per-row keys give each slot its own noise chain (pool occupancy
+    invariance); a scalar key draws one shared [B, V] noise block per step
+    like the multi-dispatch path's shared categorical."""
+    from ..ops.fused_mtp import fused_mtp_chain_batched
+
+    t = cfg.transformer
+    B, H = last_hidden.shape
+    n = cfg.num_steps
+    V = cfg.subcode_vocab_size
+    interpret = jax.default_backend() != "tpu"
+
+    cache = init_kv_cache(t, B, cfg.max_seq_len)
+    valid = jnp.zeros((B, cfg.max_seq_len), bool)
+    prefix = jnp.stack(
+        [last_hidden.astype(t.jnp_dtype), code0_embed.astype(t.jnp_dtype)], axis=1
+    )
+    positions = jnp.broadcast_to(jnp.arange(2, dtype=jnp.int32), (B, 2))
+    hidden, cache, valid = transformer_forward(
+        t, params["transformer"], prefix, positions, cache, valid
+    )
+    h_last = hidden[:, 1]
+
+    if key.ndim == 2:  # [B, 2]: row b's noise from row b's chain only
+        ks = jax.vmap(lambda kk: jax.random.split(kk, n))(key)  # [B, n, 2]
+        gumbel = jax.vmap(
+            jax.vmap(lambda kk: jax.random.gumbel(kk, (V,), jnp.float32))
+        )(ks)  # [B, n, V]
+        gumbel = jnp.moveaxis(gumbel, 0, 1)  # [n, B, V]
+    else:
+        ks = jax.random.split(key, n)
+        gumbel = jax.vmap(
+            lambda kk: jax.random.gumbel(kk, (B, V), jnp.float32)
+        )(ks)
+
+    subcodes, sub_sum = fused_mtp_chain_batched(
         t,
         params["fused_step"],
         params["transformer"]["final_norm"],

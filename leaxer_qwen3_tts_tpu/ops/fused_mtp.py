@@ -71,30 +71,40 @@ _BISECT_ITERS = 40  # f32 bisection: interval shrinks 2^-40 — below ulp of
 # any realistic logit/prob spacing, so the threshold set matches the
 # sort-based masks (runtime/sampling.py) except on exact float ties
 
-# VMEM budget for the resident trunk (v5e has 128 MB; leave room for the
-# double-buffered heads, caches, activations and the compiler's own needs)
-RESIDENT_MAX_BYTES = 88 * 1024 * 1024
+# Total-VMEM budget for the resident kernels (v5e has 128 MB; leave slack
+# for the compiler's own allocations below the 110/120 MB scoped limits)
+RESIDENT_MAX_BYTES = 112 * 1024 * 1024
+# measured footprint model: fixed = double-buffered heads (2x2 MB) +
+# tables (2x4 MB, batched only) + norms/scales/rope; per row = KV scratch
+# (~0.84 MB at T=17) + gumbel + f32 activations
+_FIXED_B1 = 5 * 1024 * 1024
+_FIXED_BATCHED = 13 * 1024 * 1024
+_PER_ROW = 1_100_000
 
 
-def supports_resident(fw: FusedStepWeights) -> bool:
-    """True when the packed trunk fits the resident-VMEM budget.  int8
-    0.6B MTP: 78 MB yes; int4: 39 MB yes; bf16 packs and the 1.7B MTP
-    (288 MB int8) fall back to the per-step kernels."""
-    return (
-        fw.units.dtype == jnp.int8 and fw.units.nbytes <= RESIDENT_MAX_BYTES
-    )
+def supports_resident(fw: FusedStepWeights, batch: int = 1) -> bool:
+    """True when trunk + caches + buffers fit the resident-VMEM budget.
+    int8 0.6B MTP (78 MB): yes at B=1..16; at B=32 the batch state pushes
+    past VMEM, so B=32 serving needs the int4 trunk (39 MB packs,
+    mtp_quantize="int4") or falls back to the per-step batched kernels.
+    bf16 packs and the 1.7B MTP (288 MB) always fall back."""
+    if fw.units.dtype != jnp.int8:
+        return False
+    fixed = _FIXED_BATCHED if batch > 1 else _FIXED_B1
+    total = fw.units.nbytes + fixed + _PER_ROW * batch
+    return total <= RESIDENT_MAX_BYTES
 
 
 def _bisect_topk_mask(scaled: jax.Array, top_k: jax.Array) -> jax.Array:
-    """Keep entries >= the top_k-th largest value (ties kept), found by
-    bisection instead of a sort.  scaled [1, V] f32; top_k scalar int32.
-    Inactive (keep all) when top_k <= 0 or top_k >= V."""
+    """Keep entries >= the top_k-th largest PER ROW (ties kept), found by
+    bisection instead of a sort.  scaled [B, V] f32; top_k scalar or [B, 1]
+    int32.  Inactive (keep all) when top_k <= 0 or top_k >= V."""
     V = scaled.shape[-1]
-    lo = jnp.min(scaled)
-    hi = jnp.max(scaled)
+    lo = jnp.min(scaled, axis=-1, keepdims=True)
+    hi = jnp.max(scaled, axis=-1, keepdims=True)
     for _ in range(_BISECT_ITERS):
         mid = 0.5 * (lo + hi)
-        ge = jnp.sum((scaled >= mid).astype(jnp.int32))
+        ge = jnp.sum((scaled >= mid).astype(jnp.int32), axis=-1, keepdims=True)
         sel = ge >= top_k
         lo = jnp.where(sel, mid, lo)
         hi = jnp.where(sel, hi, mid)
@@ -103,15 +113,15 @@ def _bisect_topk_mask(scaled: jax.Array, top_k: jax.Array) -> jax.Array:
 
 
 def _bisect_topp_mask(probs: jax.Array, top_p: jax.Array) -> jax.Array:
-    """Nucleus mask by threshold: keep token i iff the total mass of
+    """Nucleus mask by threshold: keep token i iff the row's total mass of
     STRICTLY larger probs is < top_p (the argmax always qualifies).  Found
     by bisecting theta in [0, 1] on sum(probs[probs > theta]) < top_p.
-    Inactive when top_p >= 1."""
-    lo = jnp.float32(0.0)
-    hi = jnp.float32(1.0)
+    top_p scalar or [B, 1].  Inactive when top_p >= 1."""
+    lo = jnp.zeros(probs.shape[:-1] + (1,), jnp.float32)
+    hi = jnp.ones(probs.shape[:-1] + (1,), jnp.float32)
     for _ in range(_BISECT_ITERS):
         mid = 0.5 * (lo + hi)
-        s = jnp.sum(jnp.where(probs > mid, probs, 0.0))
+        s = jnp.sum(jnp.where(probs > mid, probs, 0.0), axis=-1, keepdims=True)
         sel = s < top_p  # mid is at/above the boundary -> move hi down
         lo = jnp.where(sel, lo, mid)
         hi = jnp.where(sel, mid, hi)
@@ -119,44 +129,51 @@ def _bisect_topp_mask(probs: jax.Array, top_p: jax.Array) -> jax.Array:
 
 
 def _first_argmax(x: jax.Array) -> jax.Array:
-    """argmax over [1, V] with first-index tie-break (jnp.argmax
+    """Per-row argmax over [B, V] with first-index tie-break (jnp.argmax
     semantics), written as max + masked min-index so it lowers to plain
-    VPU reductions inside Mosaic."""
+    VPU reductions inside Mosaic.  Returns [B] int32."""
     V = x.shape[-1]
-    iota = lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    m = jnp.max(x)
-    return jnp.min(jnp.where(x == m, iota, V)).astype(jnp.int32)
+    iota = lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    m = jnp.max(x, axis=-1, keepdims=True)
+    return jnp.min(jnp.where(x == m, iota, V), axis=-1).astype(jnp.int32)
 
 
 def gumbel_topk_topp_sample(
-    logits: jax.Array,  # [1, V] f32
-    gumbel: jax.Array,  # [1, V] f32 — precomputed Gumbel(0, 1) noise
-    temperature: jax.Array,  # scalar f32
-    top_k: jax.Array,  # scalar int32
-    top_p: jax.Array,  # scalar f32
+    logits: jax.Array,  # [B, V] f32
+    gumbel: jax.Array,  # [B, V] f32 — precomputed Gumbel(0, 1) noise
+    temperature: jax.Array,  # scalar f32, or [B, 1] per-row
+    top_k: jax.Array,  # scalar int32, or [B, 1]
+    top_p: jax.Array,  # scalar f32, or [B, 1]
 ) -> jax.Array:
-    """One temperature/top-k/top-p draw as pure vector math (no sort, no
-    categorical): shared VERBATIM by the resident kernel and its XLA
-    reference.  Distributionally identical to runtime.sampling.sample_token
-    (argmax(masked_scaled + Gumbel) IS the categorical draw) — see module
-    docstring for the tie/bitstream caveats."""
+    """One temperature/top-k/top-p draw per row as pure vector math (no
+    sort, no categorical): shared VERBATIM by the resident kernels and
+    their XLA references.  Distributionally identical to
+    runtime.sampling.sample_token (argmax(masked_scaled + Gumbel) IS the
+    categorical draw) — see module docstring for the tie/bitstream
+    caveats.  Returns [B] int32."""
     greedy = _first_argmax(logits)
 
-    def sampled(_):
+    def sampled():
         t = jnp.maximum(temperature, 1e-6)
         scaled = logits / t
         keep_k = _bisect_topk_mask(scaled, top_k)
         masked = jnp.where(keep_k, scaled, NEG_INF)
-        mm = jnp.max(masked)
+        mm = jnp.max(masked, axis=-1, keepdims=True)
         e = jnp.exp(masked - mm)
-        probs = e / jnp.sum(e)
+        probs = e / jnp.sum(e, axis=-1, keepdims=True)
         keep_p = _bisect_topp_mask(probs, top_p)
         final = jnp.where(keep_p, masked, NEG_INF)
         return _first_argmax(final + gumbel)
 
-    return lax.cond(
-        temperature <= 0.0, lambda _: greedy, sampled, operand=None
-    )
+    if getattr(temperature, "ndim", 0) == 0:
+        # scalar knobs: skip the whole sampled pipeline under greedy
+        return lax.cond(
+            temperature <= 0.0, lambda _: greedy, lambda _: sampled(),
+            operand=None,
+        )
+    # per-row knobs (pool slots): compute both, select per row
+    return jnp.where((temperature <= 0.0).reshape(greedy.shape), greedy,
+                     sampled())
 
 
 def _make_chain_kernel(
@@ -224,8 +241,8 @@ def _make_chain_kernel(
         # --- init: prefix cache into scratch, accumulators, head-0 DMA ---
         kc_s[:] = kc0_ref[:]
         vc_s[:] = vc0_ref[:]
-        ssum_out[:] = jnp.zeros_like(ssum_out)
-        subc_out[:] = jnp.zeros_like(subc_out)
+        ssum_out[:] = jnp.zeros_like(ssum_out[:])
+        subc_out[:] = jnp.zeros_like(subc_out[:])
         hp_s[:] = h0_ref[:]
         pltpu.make_async_copy(hq_hbm.at[0], head_vm.at[0], sems.at[0]).start()
 
@@ -334,7 +351,9 @@ def _make_chain_kernel(
                 )
                 * hs_ref[j]
             )  # [1, V]
-            sub = gumbel_topk_topp_sample(logits, g_ref[j], temp, top_k, top_p)
+            sub = gumbel_topk_topp_sample(
+                logits, g_ref[j], temp, top_k, top_p
+            )[0]  # scalar
 
             lane = lax.broadcasted_iota(jnp.int32, (1, n), 1)
             subc_out[:] = jnp.where(lane == j, sub, subc_out[:])
@@ -357,6 +376,357 @@ def _make_chain_kernel(
         lax.fori_loop(0, n, chain_body, 0)
 
     return kernel, U
+
+
+def _make_chain_kernel_batched(
+    cfg: TransformerConfig,
+    B: int,
+    n_steps: int,
+    V: int,
+    T: int,
+    w4: bool,
+    n_groups: int,
+):
+    """Batched variant: [B, H] activations, per-row sampling knobs/noise,
+    caches DMA'd ANY->scratch once, embed gathers as one-hot GEMMs against
+    a double-buffered streamed table (no per-row DMA).  Weight traffic per
+    frame collapses from B-amortized 15 x trunk to trunk-once + heads +
+    tables — the serving batch's MTP read was ~3/4 of its frame bytes."""
+    H = cfg.hidden_size
+    nq, nk, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    g = nq // nk
+    qd, kvd = cfg.q_dim, cfg.kv_dim
+    I = cfg.intermediate_size
+    eps = cfg.rms_norm_eps
+    n_qkv, n_wo, n_gu, n_wd = _unit_counts(cfg)
+    U = n_qkv + n_wo + n_gu + n_wd
+    b2, b3 = n_qkv + n_wo, n_qkv + n_wo + n_gu
+    nn = H // N_UNIT
+    n = n_steps
+
+    def kernel(
+        temp_ref,  # [B, 1] f32 (VMEM — per-row knobs)
+        topk_ref,  # [B, 1] i32
+        topp_ref,  # [B, 1] f32
+        h0_ref,  # [B, H] f32
+        cos_ref,  # [n, 1, d//2] f32
+        sin_ref,
+        w_ref,  # [L, U, KU, N_UNIT] int8 — RESIDENT
+        s_ref,
+        an_ref,
+        mn_ref,
+        qn_ref,
+        kn_ref,
+        fn_ref,
+        hq_hbm,  # ANY [n, H, V]
+        hs_ref,  # [n, 1, V] f32
+        tab_hbm,  # ANY [n, Vt, H] — streamed whole tables
+        g_ref,  # [n, B, V] f32
+        kc0_any,  # ANY [L, B, nk, T, d]
+        vc0_any,
+        subc_out,  # [B, n] i32
+        ssum_out,  # [B, H] f32
+        x_s,  # [B, H] f32
+        h_s,
+        qkv_s,  # [B, qd + 2*kvd] f32
+        attn_s,  # [B, qd] f32
+        gu_s,  # [B, 2I] f32
+        hp_s,  # [B, H] f32
+        kc_s,  # [L, B, nk, T, d]
+        vc_s,
+        head_vm,  # [2, H, V]
+        tab_vm,  # [2, Vt, H]
+        sems,  # DMA (6,): 0-1 heads, 2-3 tables, 4-5 cache-in
+    ):
+        kin = pltpu.make_async_copy(kc0_any, kc_s, sems.at[4])
+        vin = pltpu.make_async_copy(vc0_any, vc_s, sems.at[5])
+        kin.start()
+        vin.start()
+        ssum_out[:] = jnp.zeros_like(ssum_out[:])
+        subc_out[:] = jnp.zeros_like(subc_out[:])
+        hp_s[:] = h0_ref[:]
+        pltpu.make_async_copy(hq_hbm.at[0], head_vm.at[0], sems.at[0]).start()
+        pltpu.make_async_copy(tab_hbm.at[0], tab_vm.at[0], sems.at[2]).start()
+        kin.wait()
+        vin.wait()
+
+        def trunk_step(j, emb_f32):
+            pos = 2 + j
+            x_s[:] = emb_f32
+            cos = cos_ref[j]  # [1, d//2]
+            sin = sin_ref[j]
+
+            def layer_body(l, carry):
+                h_s[:] = _rms(x_s[:], an_ref[l], eps)
+
+                def matmul(u):
+                    return _matmul_unit(w_ref[l, u], s_ref[l, u], w4, n_groups)
+
+                for u in range(n_qkv):
+                    off = u * N_UNIT
+                    qkv_s[:, off : off + N_UNIT] = matmul(u)(h_s[:])
+
+                qkv = qkv_s[:]
+                q = qkv[:, :qd].reshape(B, nq, d)
+                k = qkv[:, qd : qd + kvd].reshape(B, nk, d)
+                v = qkv[:, qd + kvd :].reshape(B, nk, d)
+                q = _rms(q, qn_ref[l, 0], eps)
+                k = _rms(k, kn_ref[l, 0], eps)
+                q = _rope_rows(q, cos, sin)
+                k = _rope_rows(k, cos, sin)
+                slot = lax.broadcasted_iota(jnp.int32, (B, nk, T, d), 2)
+                K_new = jnp.where(
+                    slot == pos, k[:, :, None, :].astype(kc_s.dtype), kc_s[l]
+                )
+                V_new = jnp.where(
+                    slot == pos, v[:, :, None, :].astype(vc_s.dtype), vc_s[l]
+                )
+                kc_s[l] = K_new
+                vc_s[l] = V_new
+                qg = q.reshape(B, nk, g, d)
+                scores = lax.dot_general(
+                    qg, K_new.astype(jnp.float32),
+                    (((3,), (3,)), ((0, 1), (0, 1))),
+                    preferred_element_type=jnp.float32,
+                ) * (1.0 / (d**0.5))  # [B, nk, g, T]
+                sl_i = lax.broadcasted_iota(jnp.int32, (B, nk, g, T), 3)
+                scores = jnp.where(sl_i <= pos, scores, -1e30)
+                m = jnp.max(scores, axis=-1, keepdims=True)
+                e = jnp.exp(scores - m)
+                w = e / jnp.sum(e, axis=-1, keepdims=True)
+                out = lax.dot_general(
+                    w, V_new.astype(jnp.float32),
+                    (((3,), (2,)), ((0, 1), (0, 1))),
+                    preferred_element_type=jnp.float32,
+                )  # [B, nk, g, d]
+                attn_s[:] = out.reshape(B, qd)
+
+                for u in range(n_qkv, b2):
+                    i_ks = u - n_qkv
+                    k_off = (i_ks // nn) * H
+                    n_off = (i_ks % nn) * N_UNIT
+                    x_s[:, n_off : n_off + N_UNIT] = x_s[
+                        :, n_off : n_off + N_UNIT
+                    ] + matmul(u)(attn_s[:, k_off : k_off + H])
+
+                h_s[:] = _rms(x_s[:], mn_ref[l], eps)
+                for u in range(b2, b3):
+                    off = (u - b2) * N_UNIT
+                    gu_s[:, off : off + N_UNIT] = matmul(u)(h_s[:])
+                gu = gu_s[:]
+                gate = gu[:, :I]
+                up = gu[:, I:]
+                gu_s[:, :I] = gate * (1.0 / (1.0 + jnp.exp(-gate))) * up
+                for u in range(b3, U):
+                    i_ks = u - b3
+                    k_off = (i_ks // nn) * H
+                    n_off = (i_ks % nn) * N_UNIT
+                    x_s[:, n_off : n_off + N_UNIT] = x_s[
+                        :, n_off : n_off + N_UNIT
+                    ] + matmul(u)(gu_s[:, k_off : k_off + H])
+                return carry
+
+            lax.fori_loop(0, cfg.num_layers, layer_body, 0)
+            hp_s[:] = _rms(x_s[:], fn_ref[:], eps)
+
+        def chain_body(j, carry):
+            slot = lax.rem(j, 2)
+            pltpu.make_async_copy(
+                hq_hbm.at[j], head_vm.at[slot], sems.at[slot]
+            ).wait()
+            pltpu.make_async_copy(
+                tab_hbm.at[j], tab_vm.at[slot], sems.at[2 + slot]
+            ).wait()
+
+            @pl.when(j + 1 < n)
+            def _prefetch_next():
+                nsl = 1 - slot
+                pltpu.make_async_copy(
+                    hq_hbm.at[j + 1], head_vm.at[nsl], sems.at[nsl]
+                ).start()
+                pltpu.make_async_copy(
+                    tab_hbm.at[j + 1], tab_vm.at[nsl], sems.at[2 + nsl]
+                ).start()
+
+            hw = head_vm[slot].astype(jnp.bfloat16)
+            logits = (
+                lax.dot_general(
+                    hp_s[:].astype(jnp.bfloat16), hw,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                * hs_ref[j]
+            )  # [B, V]
+            sub = gumbel_topk_topp_sample(
+                logits, g_ref[j], temp_ref[:], topk_ref[:], topp_ref[:]
+            )  # [B]
+
+            lane = lax.broadcasted_iota(jnp.int32, (B, n), 1)
+            subc_out[:] = jnp.where(lane == j, sub[:, None], subc_out[:])
+
+            # one-hot gather: exact row copy through the MXU (1.0 * x, one
+            # nonzero per row) in the TABLE's dtype
+            vio = lax.broadcasted_iota(jnp.int32, (B, V), 1)
+            oh = (vio == sub[:, None]).astype(tab_vm.dtype)
+            emb_f32 = lax.dot_general(
+                oh, tab_vm[slot],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [B, H]
+            ssum_out[:] = ssum_out[:] + emb_f32
+
+            @pl.when(j < n - 1)
+            def _advance():
+                trunk_step(j, emb_f32)
+
+            return carry
+
+        lax.fori_loop(0, n, chain_body, 0)
+
+    return kernel, U
+
+
+def _rope_rows(x, cos, sin):
+    """Rotate-half rope on [B, heads, d] rows; cos/sin [1, d//2]."""
+    d = x.shape[-1]
+    x1, x2 = x[..., : d // 2], x[..., d // 2 :]
+    c = cos[None, :, :]
+    s = sin[None, :, :]
+    return jnp.concatenate([x1 * c - x2 * s, x2 * c + x1 * s], axis=-1)
+
+
+def fused_mtp_chain_batched(
+    cfg: TransformerConfig,
+    fw: FusedStepWeights,
+    final_norm: jax.Array,
+    heads,
+    tables: jax.Array,
+    h0: jax.Array,  # [B, H]
+    k_cache: jax.Array,  # [L, B, nk, T, d]
+    v_cache: jax.Array,
+    gumbel: jax.Array,  # [n, B, V] f32
+    temperature: jax.Array,  # scalar or [B]
+    top_k: jax.Array,
+    top_p: jax.Array,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Batched resident chain.  Returns (subcodes [B, n] i32,
+    sub_sum [B, H] f32)."""
+    L = fw.attn_norm.shape[0]
+    B, H = h0.shape
+    T = k_cache.shape[3]
+    nk, d = cfg.num_kv_heads, cfg.head_dim
+    qd, kvd, I = cfg.q_dim, cfg.kv_dim, cfg.intermediate_size
+    KU = fw.units.shape[2]
+    w4 = KU == H // 2
+    n_groups = fw.scales.shape[2]
+    n, _, V = gumbel.shape
+    Vt = tables.shape[1]
+
+    if isinstance(heads, QuantizedLinear):
+        hq, hs = heads.q, heads.scale.astype(jnp.float32)
+    else:
+        hq = heads.astype(jnp.bfloat16)
+        hs = jnp.ones((n, 1, V), jnp.float32)
+
+    half = d // 2
+    freqs = 1.0 / (
+        cfg.rope_theta ** (jnp.arange(half, dtype=jnp.float32) / half)
+    )
+    angles = (2.0 + jnp.arange(n, dtype=jnp.float32))[:, None] * freqs[None, :]
+    cos = jnp.cos(angles)[:, None, :]
+    sin = jnp.sin(angles)[:, None, :]
+
+    def knob(x, dt):
+        x = jnp.asarray(x, dt)
+        x = jnp.broadcast_to(jnp.reshape(x, (-1, 1)) if x.ndim else x, (B, 1))
+        return x.astype(dt)
+
+    kernel, U = _make_chain_kernel_batched(cfg, B, n, V, T, w4, n_groups)
+
+    def vm(shape):
+        return pl.BlockSpec(
+            shape, lambda *_: (0,) * len(shape), memory_space=_VMEM
+        )
+
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    in_specs = [
+        vm((B, 1)),  # temperature
+        vm((B, 1)),  # top_k
+        vm((B, 1)),  # top_p
+        vm((B, H)),
+        vm((n, 1, half)),
+        vm((n, 1, half)),
+        vm((L, U, KU, N_UNIT)),
+        vm((L, U, n_groups, N_UNIT)),
+        vm((L, 1, H)),
+        vm((L, 1, H)),
+        vm((L, 1, d)),
+        vm((L, 1, d)),
+        vm((1, H)),
+        any_spec,  # heads
+        vm((n, 1, V)),
+        any_spec,  # tables
+        vm((n, B, V)),  # gumbel
+        any_spec,  # kc0
+        any_spec,  # vc0
+    ]
+    out_specs = [vm((B, n)), vm((B, H))]
+    out_shape = [
+        jax.ShapeDtypeStruct((B, n), jnp.int32),
+        jax.ShapeDtypeStruct((B, H), jnp.float32),
+    ]
+    scratch = [
+        pltpu.VMEM((B, H), jnp.float32),
+        pltpu.VMEM((B, H), jnp.float32),
+        pltpu.VMEM((B, qd + 2 * kvd), jnp.float32),
+        pltpu.VMEM((B, qd), jnp.float32),
+        pltpu.VMEM((B, 2 * I), jnp.float32),
+        pltpu.VMEM((B, H), jnp.float32),
+        pltpu.VMEM((L, B, nk, T, d), k_cache.dtype),
+        pltpu.VMEM((L, B, nk, T, d), v_cache.dtype),
+        pltpu.VMEM((2, H, V), hq.dtype),
+        pltpu.VMEM((2, Vt, H), tables.dtype),
+        pltpu.SemaphoreType.DMA((6,)),
+    ]
+    args = [
+        knob(temperature, jnp.float32),
+        knob(top_k, jnp.int32),
+        knob(top_p, jnp.float32),
+        h0.astype(jnp.float32),
+        cos,
+        sin,
+        fw.units,
+        fw.scales,
+        fw.attn_norm,
+        fw.mlp_norm,
+        fw.q_norm,
+        fw.k_norm,
+        final_norm.astype(jnp.float32).reshape(1, H),
+        hq,
+        hs,
+        tables,
+        gumbel.astype(jnp.float32),
+        k_cache,
+        v_cache,
+    ]
+    compiler_params = None
+    if not interpret and pltpu is not None:
+        compiler_params = pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024
+        )
+    call = pl.pallas_call(
+        kernel,
+        grid=(1,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        interpret=interpret,
+        compiler_params=compiler_params,
+    )
+    subcodes, sub_sum = call(*args)
+    return subcodes, sub_sum
 
 
 def fused_mtp_chain(

@@ -186,10 +186,178 @@ def bench_tp(t: TransformerConfig, T: int) -> dict:
     return out
 
 
+def bench_resident() -> dict:
+    """Isolated A/B of the WHOLE 15-step MTP chain on the real 0.6B shape:
+    per-step fused kernels (predict_subcodes_fused) vs the resident-trunk
+    single-kernel chain (ops/fused_mtp.py), both with the 2-token XLA
+    prefix included.  Also checks greedy agreement and sampled determinism
+    on hardware."""
+    import functools
+
+    from leaxer_qwen3_tts_tpu.config import CodePredictorConfig
+    from leaxer_qwen3_tts_tpu.models.code_predictor import (
+        init_code_predictor_params,
+        predict_subcodes_fused,
+        predict_subcodes_resident,
+        prepare_fused_step,
+    )
+    from leaxer_qwen3_tts_tpu.ops.quant import fuse_params, quantize_params
+    from leaxer_qwen3_tts_tpu.runtime.sampling import (
+        SamplingParams,
+        sample_token,
+    )
+
+    cfg = CodePredictorConfig(impl="fused")  # real 0.6B MTP: 6L x H=1024
+    H, n, V = 1024, cfg.num_steps, cfg.subcode_vocab_size
+
+    @jax.jit
+    def build(key):
+        k1, k2 = jax.random.split(key)
+        params = init_code_predictor_params(cfg, k1)
+        tables = (
+            jax.random.normal(k2, (n, V, H), jnp.float32) * 0.02
+        ).astype(jnp.bfloat16)
+        return params, tables
+
+    raw, tables = build(jax.random.PRNGKey(0))
+    qp = jax.jit(lambda p: quantize_params(fuse_params({"m": p}))["m"])(raw)
+    qp8 = jax.jit(
+        lambda p: prepare_fused_step(cfg, p, bits=8), donate_argnums=0
+    )(dict(qp))
+    rng = np.random.default_rng(0)
+    hidden, c0e = jax.device_put([
+        rng.standard_normal((1, H)).astype(np.float32) * 0.5,
+        rng.standard_normal((1, H)).astype(np.float32) * 0.02,
+    ])
+
+    n_it = 96
+    out = {}
+
+    def chain_bench(name, fn, sp):
+        sample_fn = lambda k, lg: sample_token(k, lg, sp)
+
+        @jax.jit
+        def run(params, tables, hidden, c0e, key):
+            def body(carry, _):
+                h, key = carry
+                key, kf = jax.random.split(key)
+                if fn is predict_subcodes_resident:
+                    subs, ssum = fn(cfg, params, tables, h, c0e, kf, sp)
+                else:
+                    subs, ssum = fn(cfg, params, tables, h, c0e, kf,
+                                    sample_fn)
+                # feed the sum back so iterations stay data-dependent
+                h2 = (hidden + 0.01 * ssum.astype(hidden.dtype))
+                return (h2, key), subs
+
+            (_, _), subs = jax.lax.scan(
+                body, (hidden, jax.random.PRNGKey(3)), None, length=n_it
+            )
+            return subs
+
+        t0 = time.perf_counter()
+        subs = run(qp8, tables, hidden, c0e, jax.random.PRNGKey(3))
+        sync(subs)
+        compile_s = time.perf_counter() - t0
+        best = float("inf")
+        for _ in range(3):
+            t1 = time.perf_counter()
+            subs = run(qp8, tables, hidden, c0e, jax.random.PRNGKey(3))
+            sync(subs)
+            best = min(best, time.perf_counter() - t1)
+        ms = best / n_it * 1e3
+        out[name] = ms
+        print(f"mtp chain {name}: {ms:.3f} ms/chain "
+              f"(compile {compile_s:.1f}s, best of 3)", flush=True)
+        return np.asarray(subs)
+
+    sp_s = SamplingParams.create(temperature=0.8, top_k=50, top_p=0.95)
+    sp_g = SamplingParams.create(temperature=0.0)
+    chain_bench("per-step sampled", predict_subcodes_fused, sp_s)
+    r1 = chain_bench("resident sampled", predict_subcodes_resident, sp_s)
+    r2 = chain_bench("resident sampled", predict_subcodes_resident, sp_s)
+    assert np.array_equal(r1, r2), "resident sampling nondeterministic on HW"
+    g_f = chain_bench("per-step greedy", predict_subcodes_fused, sp_g)
+    g_r = chain_bench("resident greedy", predict_subcodes_resident, sp_g)
+    agree = float((g_f == g_r).mean())
+    print(f"greedy agreement resident vs per-step: {agree:.4f}", flush=True)
+
+    # --- batched serving arms (weights amortize across B; the resident
+    # chain removes the 15x trunk re-read the amortization still pays) ---
+    from leaxer_qwen3_tts_tpu.models.code_predictor import (
+        predict_subcodes_fused_batched,
+        predict_subcodes_resident_batched,
+    )
+
+    def chain_bench_b(name, fn, sp, B, params, n_iter=48):
+        sample_fn = lambda k, lg: sample_token(k, lg, sp)
+        hb = jnp.broadcast_to(hidden, (B, H))
+        cb = jnp.broadcast_to(c0e, (B, H))
+        keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(B))
+
+        @jax.jit
+        def run(params, tables, hb, cb, keys):
+            def body(carry, _):
+                h, keys = carry
+                keys = jax.vmap(
+                    lambda kk: jax.random.split(kk, 2)[0]
+                )(keys)
+                if fn is predict_subcodes_resident_batched:
+                    subs, ssum = fn(cfg, params, tables, h, cb, keys, sp)
+                else:
+                    subs, ssum = fn(cfg, params, tables, h, cb, keys[0],
+                                    sample_fn)
+                h2 = hb + 0.01 * ssum.astype(hb.dtype)
+                return (h2, keys), subs
+
+            (_, _), subs = jax.lax.scan(
+                body, (hb, keys), None, length=n_iter
+            )
+            return subs
+
+        t0 = time.perf_counter()
+        subs = run(params, tables, hb, cb, keys)
+        sync(subs)
+        compile_s = time.perf_counter() - t0
+        best = float("inf")
+        for _ in range(3):
+            t1 = time.perf_counter()
+            subs = run(params, tables, hb, cb, keys)
+            sync(subs)
+            best = min(best, time.perf_counter() - t1)
+        ms = best / n_iter * 1e3
+        out[f"{name} B={B}"] = ms
+        print(f"mtp chain {name} B={B}: {ms:.3f} ms/chain "
+              f"({ms / B:.3f}/stream, compile {compile_s:.1f}s)", flush=True)
+
+    for B in (8, 16):
+        chain_bench_b("per-step batched", predict_subcodes_fused_batched,
+                      sp_s, B, qp8)
+        chain_bench_b("resident batched", predict_subcodes_resident_batched,
+                      sp_s, B, qp8)
+
+    # int4 trunk fits the B=32 budget (39 MB resident)
+    qp4 = jax.jit(
+        lambda p: prepare_fused_step(cfg, p, bits=4), donate_argnums=0
+    )(dict(qp))
+    from leaxer_qwen3_tts_tpu.ops.fused_mtp import supports_resident
+
+    assert supports_resident(qp4["fused_step"], batch=32)
+    chain_bench_b("per-step batched int8", predict_subcodes_fused_batched,
+                  sp_s, 32, qp8)
+    chain_bench_b("resident batched int4",
+                  predict_subcodes_resident_batched, sp_s, 32, qp4)
+    return out
+
+
 def main():
     t0 = time.perf_counter()
     sync(jax.device_put(np.zeros(8, np.float32)))
     print(f"tunnel connect: {time.perf_counter() - t0:.1f}s", flush=True)
+
+    if "--resident" in os.sys.argv:
+        bench_resident()
+        return
 
     if "--tp" in os.sys.argv:
         bench_tp(TransformerConfig(dtype="bfloat16"), 512)
