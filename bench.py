@@ -249,6 +249,39 @@ def main() -> None:
     sync(a)
     ttfa_s = time.perf_counter() - t0
 
+    # --- resident-chain A/B (opt-in): same decode with QTTS_MTP_RESIDENT=0
+    # so the committed artifact carries the resident-vs-per-step delta -------
+    perstep_frame_ms = None
+    if os.environ.get("BENCH_RESIDENT_AB") == "1":
+        try:
+            os.environ["QTTS_MTP_RESIDENT"] = "0"
+            fns_ab = make_generate_fns(
+                cfg, batch=batch, max_len=frames + 32, chunk_len=chunk
+            )
+            st_ab, bd_ab = fns_ab.prefill(params, ids, lens, key)
+            st_ab, fr_ab, _ = fns_ab.decode(
+                params, st_ab, bd_ab.trailing, bd_ab.trailing_len,
+                bd_ab.tts_pad_embed, sp,
+            )
+            sync(fr_ab)  # compile
+            nab = max(2, n_chunks // 2)
+            t0 = time.perf_counter()
+            for _ in range(nab):
+                st_ab, fr_ab, _ = fns_ab.decode(
+                    params, st_ab, bd_ab.trailing, bd_ab.trailing_len,
+                    bd_ab.tts_pad_embed, sp,
+                )
+            sync(fr_ab)
+            perstep_frame_ms = round(
+                (time.perf_counter() - t0) / (nab * chunk) * 1e3, 2
+            )
+            log(f"per-step MTP (QTTS_MTP_RESIDENT=0): "
+                f"{perstep_frame_ms:.2f} ms/frame")
+        except Exception as e:
+            log(f"resident A/B probe failed: {e}")
+        finally:
+            os.environ.pop("QTTS_MTP_RESIDENT", None)
+
     # --- multi-stream serving throughput (batched, same params) -------------
     serving = {}
     if batch == 1 and os.environ.get("BENCH_SKIP_SERVING") != "1":
@@ -680,6 +713,8 @@ def main() -> None:
     result["quant"] = quant
     for Bs, rtf_b in serving.items():
         result[f"serving_rtf_batch{Bs}"] = round(rtf_b, 1)
+    if perstep_frame_ms is not None:
+        result["perstep_mtp_ms_per_frame"] = perstep_frame_ms
     if bf16_frame_ms is not None:
         result["bf16_decode_ms_per_frame"] = round(bf16_frame_ms, 2)
     if long_frame_ms is not None:
