@@ -390,6 +390,52 @@ def test_batched_resident_greedy_vs_fused_batched(chain_cfg_params):
     )
 
 
+def test_resident_through_generate_loop(chain_cfg_params):
+    """The resident chain drives the REAL decode loop (dispatch inside the
+    jitted lax.scan, sp threaded by _frame_step) deterministically."""
+    import dataclasses as dc
+
+    from leaxer_qwen3_tts_tpu.config import TTSModelConfig
+    from leaxer_qwen3_tts_tpu.ops.quant import fuse_params, quantize_params
+    from leaxer_qwen3_tts_tpu.runtime.generate import make_generate_fns
+    from leaxer_qwen3_tts_tpu.runtime.weights import init_params
+
+    cp_cfg, _, _ = chain_cfg_params
+    cfg0 = TTSModelConfig()
+    cfg = dc.replace(
+        cfg0,
+        code_predictor=cp_cfg,
+        talker=dc.replace(
+            cfg0.talker,
+            transformer=dc.replace(
+                cfg0.talker.transformer, num_layers=1, hidden_size=1024,
+                intermediate_size=1024, dtype="float32",
+            ),
+            decode_impl="xla",
+        ),
+    )
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    params = quantize_params(fuse_params(params))
+    params["code_predictor"] = prepare_fused_step(
+        cfg.code_predictor, params["code_predictor"]
+    )
+    fns = make_generate_fns(cfg, batch=1, max_len=96, chunk_len=2)
+    ids = jnp.asarray([[5, 6, 7, 8]], jnp.int32)
+    lens = jnp.asarray([4], jnp.int32)
+    sp = SamplingParams.create(
+        temperature=0.8, top_k=50, top_p=0.95, forbid_eos=True
+    )
+    outs = []
+    for _ in range(2):
+        st, bd = fns.prefill(params, ids, lens, jax.random.PRNGKey(1))
+        st, fr, vd = fns.decode(
+            params, st, bd.trailing, bd.trailing_len, bd.tts_pad_embed, sp
+        )
+        outs.append(np.asarray(fr))
+        assert np.asarray(vd).all()
+    np.testing.assert_array_equal(outs[0], outs[1])
+
+
 def test_supports_resident_gates(chain_cfg_params, monkeypatch):
     cfg, qparams, _ = chain_cfg_params
     fw = qparams["fused_step"]
