@@ -255,10 +255,13 @@ def _make_chain_kernel(
             cos = cos_ref[j]  # [1, d//2]
             sin = sin_ref[j]
 
-            def layer_body(l, carry):
+            # layers UNROLLED (L <= 6 under the VMEM gate): every weight,
+            # norm and cache index is static — only the step index j and
+            # the cache write position are dynamic
+            for l in range(cfg.num_layers):
                 h_s[:] = _rms(x_s[:], an_ref[l], eps)
 
-                def matmul(u):
+                def matmul(u, l=l):
                     return _matmul_unit(w_ref[l, u], s_ref[l, u], w4, n_groups)
 
                 for u in range(n_qkv):
@@ -324,9 +327,7 @@ def _make_chain_kernel(
                     x_s[:, n_off : n_off + N_UNIT] = x_s[
                         :, n_off : n_off + N_UNIT
                     ] + matmul(u)(gu_s[:, k_off : k_off + H])
-                return carry
 
-            lax.fori_loop(0, cfg.num_layers, layer_body, 0)
             hp_s[:] = _rms(x_s[:], fn_ref[:], eps)
 
         def chain_body(j, carry):
@@ -456,10 +457,11 @@ def _make_chain_kernel_batched(
             cos = cos_ref[j]  # [1, d//2]
             sin = sin_ref[j]
 
-            def layer_body(l, carry):
+            # layers UNROLLED: static weight/norm/cache indices (see B=1)
+            for l in range(cfg.num_layers):
                 h_s[:] = _rms(x_s[:], an_ref[l], eps)
 
-                def matmul(u):
+                def matmul(u, l=l):
                     return _matmul_unit(w_ref[l, u], s_ref[l, u], w4, n_groups)
 
                 for u in range(n_qkv):
@@ -524,9 +526,7 @@ def _make_chain_kernel_batched(
                     x_s[:, n_off : n_off + N_UNIT] = x_s[
                         :, n_off : n_off + N_UNIT
                     ] + matmul(u)(gu_s[:, k_off : k_off + H])
-                return carry
 
-            lax.fori_loop(0, cfg.num_layers, layer_body, 0)
             hp_s[:] = _rms(x_s[:], fn_ref[:], eps)
 
         def chain_body(j, carry):
