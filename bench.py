@@ -253,6 +253,7 @@ def main() -> None:
     # so the committed artifact carries the resident-vs-per-step delta -------
     perstep_frame_ms = None
     if os.environ.get("BENCH_RESIDENT_AB") == "1":
+        prev_resident = os.environ.get("QTTS_MTP_RESIDENT")
         try:
             os.environ["QTTS_MTP_RESIDENT"] = "0"
             fns_ab = make_generate_fns(
@@ -280,7 +281,10 @@ def main() -> None:
         except Exception as e:
             log(f"resident A/B probe failed: {e}")
         finally:
-            os.environ.pop("QTTS_MTP_RESIDENT", None)
+            if prev_resident is None:
+                os.environ.pop("QTTS_MTP_RESIDENT", None)
+            else:
+                os.environ["QTTS_MTP_RESIDENT"] = prev_resident
 
     # --- multi-stream serving throughput (batched, same params) -------------
     serving = {}

@@ -50,12 +50,13 @@ def init_code_predictor_params(cfg: CodePredictorConfig, key: jax.Array) -> dict
 
 
 def _resident_enabled() -> bool:
-    """Resident-trunk MTP chain (ops/fused_mtp.py) on by default for B=1
-    fused decode when the packed trunk fits VMEM; QTTS_MTP_RESIDENT=0
-    selects the per-step kernels for A/B."""
+    """Resident-trunk MTP chain (ops/fused_mtp.py) for fused decode when
+    the packed trunk fits VMEM.  Default OFF until the kernel is validated
+    on hardware (tools/manual_probe.py --resident) — flip the default to
+    "1" once the probe passes; QTTS_MTP_RESIDENT overrides either way."""
     import os
 
-    return os.environ.get("QTTS_MTP_RESIDENT", "1") != "0"
+    return os.environ.get("QTTS_MTP_RESIDENT", "0") != "0"
 
 
 def predict_subcodes(
