@@ -436,6 +436,65 @@ def test_resident_through_generate_loop(chain_cfg_params):
     np.testing.assert_array_equal(outs[0], outs[1])
 
 
+def test_resident_through_spec_loop(chain_cfg_params, monkeypatch):
+    """Speculative decoding with the resident chain active: the candidates
+    call (B*k rows) routes through the batched resident kernel and the
+    whole spec iteration still runs + stays deterministic."""
+    import dataclasses as dc
+
+    from leaxer_qwen3_tts_tpu.config import TTSModelConfig
+    from leaxer_qwen3_tts_tpu.ops.quant import fuse_params, quantize_params
+    from leaxer_qwen3_tts_tpu.runtime.speculative import (
+        make_spec_generate_fns,
+    )
+    from leaxer_qwen3_tts_tpu.runtime.weights import init_params
+
+    monkeypatch.setenv("QTTS_MTP_RESIDENT", "1")
+    cp_cfg, _, _ = chain_cfg_params
+    # spec frames are pinned to the reference's 16-code contract: the MTP
+    # must run the full 15 steps (1 trunk layer keeps interpret fast)
+    cp_cfg = dc.replace(
+        chain_cfg_params[0],
+        transformer=dc.replace(cp_cfg.transformer, num_layers=1),
+        num_steps=15,
+        max_seq_len=17,
+    )
+    cfg0 = TTSModelConfig()
+    cfg = dc.replace(
+        cfg0,
+        code_predictor=cp_cfg,
+        talker=dc.replace(
+            cfg0.talker,
+            transformer=dc.replace(
+                cfg0.talker.transformer, num_layers=1, hidden_size=1024,
+                intermediate_size=1024, dtype="float32",
+            ),
+            decode_impl="xla",
+        ),
+    )
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    params = quantize_params(fuse_params(params))
+    params["code_predictor"] = prepare_fused_step(
+        cfg.code_predictor, params["code_predictor"]
+    )
+    fns = make_spec_generate_fns(cfg, max_len=64, k=2, num_iters=1)
+    ids = jnp.asarray([[5, 6, 7]], jnp.int32)
+    lens = jnp.asarray([3], jnp.int32)
+    sp = SamplingParams.create(temperature=0.7, top_k=20, top_p=0.9,
+                               forbid_eos=True)
+    outs = []
+    for _ in range(2):
+        st, bd, f0, v0 = fns.prefill(
+            params, ids, lens, jax.random.PRNGKey(2), sp
+        )
+        out = fns.decode(
+            params, st, bd.trailing, bd.trailing_len, bd.tts_pad_embed, sp
+        )
+        outs.append(np.asarray(out[1]))
+    np.testing.assert_array_equal(outs[0], outs[1])
+    assert outs[0].shape[-1] == 16
+
+
 def test_supports_resident_gates(chain_cfg_params, monkeypatch):
     cfg, qparams, _ = chain_cfg_params
     fw = qparams["fused_step"]
