@@ -91,6 +91,7 @@ class TTSEngine:
         spec_adapt_window: int = 24,
         kv_quant: bool = False,
         mtp_quantize: Optional[str] = None,
+        mtp_resident: Optional[bool] = None,
     ):
         self._ready = False
         self._error = ""
@@ -153,6 +154,17 @@ class TTSEngine:
                 if config is None or params is None:
                     raise EngineError("need model_dir or (config, params)")
                 self.cfg, self.params = config, params
+            if mtp_resident is not None:
+                # pin the resident-trunk MTP chain on/off (config.resident;
+                # None keeps the QTTS_MTP_RESIDENT env default)
+                import dataclasses as _dc
+
+                self.cfg = _dc.replace(
+                    self.cfg,
+                    code_predictor=_dc.replace(
+                        self.cfg.code_predictor, resident=bool(mtp_resident)
+                    ),
+                )
             if kv_quant:
                 # int8 KV cache with per-slot scales on the TALKER only (the
                 # MTP cache is <=64 slots — its bytes are noise, and keeping

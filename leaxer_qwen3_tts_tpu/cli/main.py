@@ -49,6 +49,12 @@ def build_parser() -> argparse.ArgumentParser:
              "defaults to --quantize",
     )
     p.add_argument(
+        "--mtp-resident", choices=["on", "off"],
+        help="pin the resident-trunk MTP chain kernel (all 15 sub-code "
+             "steps in one kernel, trunk VMEM-resident; ops/fused_mtp.py); "
+             "default: QTTS_MTP_RESIDENT env",
+    )
+    p.add_argument(
         "--kv-quant", action="store_true",
         help="int8 KV cache (per-slot scales): halves cache bandwidth for "
              "long-form and large-batch serving",
@@ -106,7 +112,9 @@ def main(argv=None) -> int:
 
     engine = TTSEngine(args.model, max_frames=args.max_tokens, quantize=args.quantize,
                        spec_k=args.spec_k, kv_quant=args.kv_quant,
-                       mtp_quantize=args.mtp_quantize)
+                       mtp_quantize=args.mtp_quantize,
+                       mtp_resident=(None if args.mtp_resident is None
+                                     else args.mtp_resident == "on"))
     if not engine.is_ready():
         print(f"Error: {engine.get_error()}", file=sys.stderr)
         return 1

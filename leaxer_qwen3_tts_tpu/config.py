@@ -182,6 +182,11 @@ class CodePredictorConfig:
     # "cached": incremental KV per step; "dense": re-run the tiny <=17-token
     # sequence each step (same HBM bytes, fewer ops — see predict_subcodes_dense)
     impl: str = "cached"
+    # resident-trunk chain (ops/fused_mtp.py) under impl="fused":
+    # None = QTTS_MTP_RESIDENT env (default off until hardware-validated);
+    # True/False pins it (engine --mtp-resident).  Only engages when the
+    # packed trunk fits the VMEM budget (supports_resident).
+    resident: "bool | None" = None
 
 
 @dataclass(frozen=True)

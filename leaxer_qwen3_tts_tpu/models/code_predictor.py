@@ -78,8 +78,11 @@ def predict_subcodes(
         return predict_subcodes_dense(
             cfg, params, pred_embed_tables, last_hidden, code0_embed, key, sample_fn
         )
+    resident_on = (
+        cfg.resident if cfg.resident is not None else _resident_enabled()
+    )
     if cfg.impl == "fused" and "fused_step" in params and last_hidden.shape[0] == 1:
-        if sp is not None and _resident_enabled():
+        if sp is not None and resident_on:
             from ..ops.fused_mtp import supports_resident
 
             if supports_resident(params["fused_step"]):
@@ -91,7 +94,7 @@ def predict_subcodes(
             cfg, params, pred_embed_tables, last_hidden, code0_embed, key, sample_fn
         )
     if cfg.impl == "fused" and "fused_step" in params and 2 <= last_hidden.shape[0] <= 32:
-        if sp is not None and _resident_enabled():
+        if sp is not None and resident_on:
             from ..ops.fused_mtp import supports_resident
 
             if supports_resident(params["fused_step"],

@@ -275,6 +275,7 @@ def test_dispatch_and_gates(chain_cfg_params, monkeypatch):
         cp, "predict_subcodes_resident",
         lambda *a, **k: (calls.append(1), real(*a, **k))[1],
     )
+    monkeypatch.setenv("QTTS_MTP_RESIDENT", "1")
     predict_subcodes(cfg, qparams, tables, hidden, c0e, key, sample_fn, sp=sp)
     assert calls, "sp + fused_step + B=1 should route to the resident chain"
 
@@ -287,6 +288,20 @@ def test_dispatch_and_gates(chain_cfg_params, monkeypatch):
     # no sp -> per-step path
     predict_subcodes(cfg, qparams, tables, hidden, c0e, key, sample_fn)
     assert not calls
+
+    # config pin beats the env: resident=True under env=0, False under =1
+    monkeypatch.setenv("QTTS_MTP_RESIDENT", "0")
+    pinned_on = dataclasses.replace(cfg, resident=True)
+    predict_subcodes(pinned_on, qparams, tables, hidden, c0e, key,
+                     sample_fn, sp=sp)
+    assert calls
+    calls.clear()
+    monkeypatch.setenv("QTTS_MTP_RESIDENT", "1")
+    pinned_off = dataclasses.replace(cfg, resident=False)
+    predict_subcodes(pinned_off, qparams, tables, hidden, c0e, key,
+                     sample_fn, sp=sp)
+    assert not calls
+    monkeypatch.delenv("QTTS_MTP_RESIDENT")
 
     # batch > 1 -> batched fused path
     h2 = jnp.concatenate([hidden, hidden])
@@ -404,7 +419,7 @@ def test_resident_through_generate_loop(chain_cfg_params):
     cfg0 = TTSModelConfig()
     cfg = dc.replace(
         cfg0,
-        code_predictor=cp_cfg,
+        code_predictor=dc.replace(cp_cfg, resident=True),  # pin resident on
         talker=dc.replace(
             cfg0.talker,
             transformer=dc.replace(
