@@ -313,6 +313,17 @@ def predict_subcodes_resident(
     on the XLA path (same as predict_subcodes_fused).  Sampled outputs are
     a different (still per-seed deterministic) random stream than the
     per-step path — see the fused_mtp module docstring."""
+    import os
+
+    if os.environ.get("QTTS_MTP_B1_ONEHOT") == "1":
+        # hardware escape hatch: route B=1 through the batched kernel's
+        # one-hot/streamed-table gather instead of the computed-index
+        # embed-row DMA.  Same per-step noise chain (split(key, n) ->
+        # gumbel over V), so results are bit-equal; only the gather
+        # transport differs (tested).
+        return predict_subcodes_resident_batched(
+            cfg, params, pred_embed_tables, last_hidden, code0_embed, key, sp
+        )
     from ..ops.fused_mtp import fused_mtp_chain
 
     t = cfg.transformer

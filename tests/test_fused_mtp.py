@@ -310,6 +310,29 @@ def test_dispatch_and_gates(chain_cfg_params, monkeypatch):
     assert not calls
 
 
+def test_b1_onehot_escape_hatch_bit_equal(chain_cfg_params, monkeypatch):
+    """QTTS_MTP_B1_ONEHOT=1 (batched kernel at B=1, one-hot gather) must be
+    BIT-equal to the row-DMA B=1 kernel: identical noise chain, gathers are
+    exact either way."""
+    cfg, qparams, tables = chain_cfg_params
+    rng = np.random.default_rng(21)
+    hidden = jnp.asarray(rng.standard_normal((1, 1024)) * 0.5, jnp.float32)
+    c0e = jnp.asarray(rng.standard_normal((1, 1024)) * 0.02, jnp.float32)
+    sp = SamplingParams.create(temperature=0.8, top_k=50, top_p=0.9)
+    key = jax.random.PRNGKey(5)
+    subs_a, sums_a = predict_subcodes_resident(
+        cfg, qparams, tables, hidden, c0e, key, sp
+    )
+    monkeypatch.setenv("QTTS_MTP_B1_ONEHOT", "1")
+    subs_b, sums_b = predict_subcodes_resident(
+        cfg, qparams, tables, hidden, c0e, key, sp
+    )
+    np.testing.assert_array_equal(np.asarray(subs_a), np.asarray(subs_b))
+    np.testing.assert_allclose(
+        np.asarray(sums_a), np.asarray(sums_b), atol=1e-5, rtol=1e-5
+    )
+
+
 def test_batched_resident_matches_single_rows(chain_cfg_params):
     """Each row of the batched chain == a B=1 resident run with that row's
     key (per-row noise chains -> occupancy invariance by construction)."""
