@@ -533,6 +533,55 @@ def test_resident_through_spec_loop(chain_cfg_params, monkeypatch):
     assert outs[0].shape[-1] == 16
 
 
+def test_resident_int4_trunk(chain_cfg_params):
+    """int4 nibble-packed trunk units (the B=32 serving pack) through both
+    resident kernels, vs the per-step int4 fused path (greedy)."""
+    from leaxer_qwen3_tts_tpu.models.code_predictor import (
+        predict_subcodes_resident_batched,
+    )
+
+    cfg, _, tables = chain_cfg_params
+    raw = init_code_predictor_params(cfg, jax.random.PRNGKey(3))
+    from leaxer_qwen3_tts_tpu.ops.quant import fuse_params, quantize_params
+
+    q4 = prepare_fused_step(
+        cfg, dict(raw), bits=4
+    )  # int4 pack from RAW weights (engine mtp_quantize order)
+    q4 = {**quantize_params(fuse_params({"m": q4}))["m"],
+          "fused_step": q4["fused_step"]}
+    assert q4["fused_step"].units.shape[2] == 512  # H/2 nibble rows
+
+    rng = np.random.default_rng(22)
+    hidden = jnp.asarray(rng.standard_normal((1, 1024)) * 0.5, jnp.float32)
+    c0e = jnp.asarray(rng.standard_normal((1, 1024)) * 0.02, jnp.float32)
+    sp = SamplingParams.create(temperature=0.0)
+    sample_fn = lambda k, lg: sample_token(k, lg, sp)
+    key = jax.random.PRNGKey(0)
+
+    subs_f, sums_f = predict_subcodes(
+        cfg, q4, tables, hidden, c0e, key, sample_fn
+    )  # per-step fused (int4 units)
+    subs_r, sums_r = predict_subcodes_resident(
+        cfg, q4, tables, hidden, c0e, key, sp
+    )
+    agree = float((np.asarray(subs_f) == np.asarray(subs_r)).mean())
+    assert agree >= 3 / 4, (subs_f, subs_r)
+
+    # batched int4 rows == B=1 int4 rows
+    keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(300, 302))
+    h2 = jnp.concatenate([hidden, hidden])
+    c2 = jnp.concatenate([c0e, c0e])
+    sp_s = SamplingParams.create(temperature=0.8, top_k=50, top_p=0.9)
+    subs_b, _ = predict_subcodes_resident_batched(
+        cfg, q4, tables, h2, c2, keys, sp_s
+    )
+    subs_1, _ = predict_subcodes_resident(
+        cfg, q4, tables, hidden, c0e, keys[0], sp_s
+    )
+    agree = float((np.asarray(subs_b)[0] == np.asarray(subs_1)[0]).mean())
+    assert agree >= 3 / 4
+
+
 def test_supports_resident_gates(chain_cfg_params, monkeypatch):
     cfg, qparams, _ = chain_cfg_params
     fw = qparams["fused_step"]
