@@ -307,12 +307,12 @@ def predict_subcodes_resident(
     key: jax.Array,  # [2] or per-row [1, 2]
     sp,  # SamplingParams (scalar or [1] knobs)
 ) -> Tuple[jax.Array, jax.Array]:
-    """Resident-trunk chain: the whole 15-step loop is ONE Pallas kernel
-    (ops/fused_mtp.py) with the 6-layer trunk held in VMEM and the sampler
-    run in-kernel from precomputed Gumbel noise.  The 2-token prefix stays
-    on the XLA path (same as predict_subcodes_fused).  Sampled outputs are
-    a different (still per-seed deterministic) random stream than the
-    per-step path — see the fused_mtp module docstring."""
+    """Resident-trunk chain: the whole 15-step loop — 2-token prefix
+    included — is ONE Pallas kernel (ops/fused_mtp.py) with the 6-layer
+    trunk held in VMEM and the sampler run in-kernel from precomputed
+    Gumbel noise.  Sampled outputs are a different (still per-seed
+    deterministic) random stream than the per-step path — see the
+    fused_mtp module docstring."""
     import os
 
     if os.environ.get("QTTS_MTP_B1_ONEHOT") == "1":
@@ -332,17 +332,6 @@ def predict_subcodes_resident(
     V = cfg.subcode_vocab_size
     interpret = jax.default_backend() != "tpu"
 
-    cache = init_kv_cache(t, B, cfg.max_seq_len)
-    valid = jnp.zeros((B, cfg.max_seq_len), bool)
-    prefix = jnp.stack(
-        [last_hidden.astype(t.jnp_dtype), code0_embed.astype(t.jnp_dtype)], axis=1
-    )
-    positions = jnp.broadcast_to(jnp.arange(2, dtype=jnp.int32), (B, 2))
-    hidden, cache, valid = transformer_forward(
-        t, params["transformer"], prefix, positions, cache, valid
-    )
-    h_last = hidden[:, 1]
-
     k = key[0] if key.ndim == 2 else key
     gkeys = jax.random.split(k, n)
     gumbel = jax.vmap(lambda kk: jax.random.gumbel(kk, (1, V), jnp.float32))(
@@ -355,14 +344,14 @@ def predict_subcodes_resident(
         params["transformer"]["final_norm"],
         params["heads"],
         pred_embed_tables,
-        h_last,
-        cache.k,
-        cache.v,
+        last_hidden,
+        code0_embed,
         gumbel,
         sp.temperature,
         sp.top_k,
         sp.top_p,
         interpret=interpret,
+        cache_dtype=t.jnp_dtype,
     )
     return subcodes, sub_sum.astype(last_hidden.dtype)
 
@@ -377,11 +366,12 @@ def predict_subcodes_resident_batched(
     sp,  # SamplingParams (scalar or [B] knobs)
 ) -> Tuple[jax.Array, jax.Array]:
     """Batched resident chain (ops/fused_mtp.fused_mtp_chain_batched): the
-    trunk loads ONCE for the whole batch's 15 steps — the serving batch's
-    dominant weight read collapses (15 x trunk -> trunk + heads + tables).
-    Per-row keys give each slot its own noise chain (pool occupancy
-    invariance); a scalar key draws one shared [B, V] noise block per step
-    like the multi-dispatch path's shared categorical."""
+    trunk loads ONCE for the whole batch's 15 steps — prefix included —
+    so the serving batch's dominant weight read collapses (15 x trunk ->
+    trunk + heads + tables).  Per-row keys give each slot its own noise
+    chain (pool occupancy invariance); a scalar key draws one shared
+    [B, V] noise block per step like the multi-dispatch path's shared
+    categorical."""
     from ..ops.fused_mtp import fused_mtp_chain_batched
 
     t = cfg.transformer
@@ -389,17 +379,6 @@ def predict_subcodes_resident_batched(
     n = cfg.num_steps
     V = cfg.subcode_vocab_size
     interpret = jax.default_backend() != "tpu"
-
-    cache = init_kv_cache(t, B, cfg.max_seq_len)
-    valid = jnp.zeros((B, cfg.max_seq_len), bool)
-    prefix = jnp.stack(
-        [last_hidden.astype(t.jnp_dtype), code0_embed.astype(t.jnp_dtype)], axis=1
-    )
-    positions = jnp.broadcast_to(jnp.arange(2, dtype=jnp.int32), (B, 2))
-    hidden, cache, valid = transformer_forward(
-        t, params["transformer"], prefix, positions, cache, valid
-    )
-    h_last = hidden[:, 1]
 
     if key.ndim == 2:  # [B, 2]: row b's noise from row b's chain only
         ks = jax.vmap(lambda kk: jax.random.split(kk, n))(key)  # [B, n, 2]
@@ -419,14 +398,14 @@ def predict_subcodes_resident_batched(
         params["transformer"]["final_norm"],
         params["heads"],
         pred_embed_tables,
-        h_last,
-        cache.k,
-        cache.v,
+        last_hidden,
+        code0_embed,
         gumbel,
         sp.temperature,
         sp.top_k,
         sp.top_p,
         interpret=interpret,
+        cache_dtype=t.jnp_dtype,
     )
     return subcodes, sub_sum.astype(last_hidden.dtype)
 

@@ -15,6 +15,14 @@ Reference contract unchanged (tts_onnx.cpp:851-872 / :734-757): growing
 2..17-token sequence, step-indexed heads and embedding tables, the sum of
 the 15 sub-embeddings feeds the next talker input.
 
+The 2-token prefix ([talker_hidden, codec_embed(code0)]) ALSO runs
+in-kernel: the first resident-chain revision primed the KV cache with an
+XLA ``transformer_forward`` — one more full trunk read (~78 MB int8) per
+frame plus a dispatch and two cache DMAs, all to compute 2 positions of a
+6-layer model whose weights are already sitting in VMEM.  Folding the
+prefix into the kernel makes the trunk truly load-once: per-frame MTP
+weight traffic is trunk + 15 heads + embeds, nothing else.
+
 In-kernel sampling (``gumbel_topk_topp_sample`` below is shared by the
 kernel and the XLA reference, so tests compare twins):
 
@@ -184,10 +192,11 @@ def _make_chain_kernel(
     w4: bool,
     n_groups: int,
 ):
-    """Kernel body: fori over the n_steps chain; per trunk step, fori over
-    layers with the unit loop unrolled (the manual-DMA kernel's schedule,
-    ops/fused_step._make_kernel_manual, reading a RESIDENT weight ref
-    instead of a streamed 2-slot scratch)."""
+    """Kernel body: 2 prefix trunk steps (positions 0-1, cache built from a
+    zeroed scratch), then fori over the n_steps chain; per trunk step, fori
+    over layers with the unit loop unrolled (the manual-DMA kernel's
+    schedule, ops/fused_step._make_kernel_manual, reading a RESIDENT weight
+    ref instead of a streamed 2-slot scratch)."""
     H = cfg.hidden_size
     nq, nk, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     g = nq // nk
@@ -204,8 +213,9 @@ def _make_chain_kernel(
         temp_ref,  # SMEM [1] f32
         topk_ref,  # SMEM [1] i32
         topp_ref,  # SMEM [1] f32
-        h0_ref,  # [1, H] f32 — final-normed hidden at the code0 position
-        cos_ref,  # [n, 1, d//2] f32 — rope rows for positions 2..2+n-1
+        lh_ref,  # [1, H] f32 — talker hidden (prefix token 0)
+        c0_ref,  # [1, H] f32 — codec_embed(code0) (prefix token 1)
+        cos_ref,  # [n + 1, 1, d//2] f32 — rope rows for positions 0..n
         sin_ref,
         w_ref,  # [L, U, KU, N_UNIT] int8 — RESIDENT trunk units
         s_ref,  # [L, U, G, N_UNIT] f32
@@ -218,8 +228,6 @@ def _make_chain_kernel(
         hs_ref,  # [n, 1, V] f32 — head output scales
         tab_hbm,  # ANY [n, Vt, H] — step embed tables (row-DMA gather)
         g_ref,  # [n, 1, V] f32 — Gumbel noise rows
-        kc0_ref,  # [L, nk, T, d] — prefix cache (2 slots filled)
-        vc0_ref,
         subc_out,  # [1, n] i32
         ssum_out,  # [1, H] f32
         x_s,  # scratch [1, H] f32
@@ -238,22 +246,20 @@ def _make_chain_kernel(
         top_k = topk_ref[0]
         top_p = topp_ref[0]
 
-        # --- init: prefix cache into scratch, accumulators, head-0 DMA ---
-        kc_s[:] = kc0_ref[:]
-        vc_s[:] = vc0_ref[:]
+        # --- init: zeroed cache scratch, accumulators, head-0 DMA ---
+        kc_s[:] = jnp.zeros_like(kc_s[:])
+        vc_s[:] = jnp.zeros_like(vc_s[:])
         ssum_out[:] = jnp.zeros_like(ssum_out[:])
         subc_out[:] = jnp.zeros_like(subc_out[:])
-        hp_s[:] = h0_ref[:]
         pltpu.make_async_copy(hq_hbm.at[0], head_vm.at[0], sems.at[0]).start()
 
-        def trunk_step(j, emb_f32):
-            """One incremental trunk pass on token emb at pos 2+j; leaves
-            the final-normed hidden in hp_s.  Same op sequence as
+        def trunk_step(pos, emb_f32):
+            """One incremental trunk pass on token emb at position pos;
+            leaves the final-normed hidden in hp_s.  Same op sequence as
             _make_kernel_manual, weights read from the resident ref."""
-            pos = 2 + j
             x_s[:] = emb_f32
-            cos = cos_ref[j]  # [1, d//2]
-            sin = sin_ref[j]
+            cos = cos_ref[pos]  # [1, d//2]
+            sin = sin_ref[pos]
 
             # layers UNROLLED (L <= 6 under the VMEM gate): every weight,
             # norm and cache index is static — only the step index j and
@@ -330,6 +336,12 @@ def _make_chain_kernel(
 
             hp_s[:] = _rms(x_s[:], fn_ref[:], eps)
 
+        # --- in-kernel prefix: talker hidden at pos 0, code0 embed at pos 1
+        # (the trunk is already resident — an XLA prefill would re-read all
+        # of it from HBM).  Leaves h0 in hp_s for the step-0 head.
+        trunk_step(0, lh_ref[:])
+        trunk_step(1, c0_ref[:])
+
         def chain_body(j, carry):
             slot = lax.rem(j, 2)
             pltpu.make_async_copy(
@@ -370,7 +382,7 @@ def _make_chain_kernel(
 
             @pl.when(j < n - 1)  # final step only samples
             def _advance():
-                trunk_step(j, emb_f32)
+                trunk_step(j + 2, emb_f32)
 
             return carry
 
@@ -389,10 +401,11 @@ def _make_chain_kernel_batched(
     n_groups: int,
 ):
     """Batched variant: [B, H] activations, per-row sampling knobs/noise,
-    caches DMA'd ANY->scratch once, embed gathers as one-hot GEMMs against
-    a double-buffered streamed table (no per-row DMA).  Weight traffic per
-    frame collapses from B-amortized 15 x trunk to trunk-once + heads +
-    tables — the serving batch's MTP read was ~3/4 of its frame bytes."""
+    in-kernel prefix (cache built in a zeroed scratch — see the B=1 kernel),
+    embed gathers as one-hot GEMMs against a double-buffered streamed table
+    (no per-row DMA).  Weight traffic per frame collapses from B-amortized
+    15 x trunk to trunk-once + heads + tables — the serving batch's MTP
+    read was ~3/4 of its frame bytes."""
     H = cfg.hidden_size
     nq, nk, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     g = nq // nk
@@ -409,8 +422,9 @@ def _make_chain_kernel_batched(
         temp_ref,  # [B, 1] f32 (VMEM — per-row knobs)
         topk_ref,  # [B, 1] i32
         topp_ref,  # [B, 1] f32
-        h0_ref,  # [B, H] f32
-        cos_ref,  # [n, 1, d//2] f32
+        lh_ref,  # [B, H] f32 — talker hidden (prefix token 0)
+        c0_ref,  # [B, H] f32 — codec_embed(code0) (prefix token 1)
+        cos_ref,  # [n + 1, 1, d//2] f32
         sin_ref,
         w_ref,  # [L, U, KU, N_UNIT] int8 — RESIDENT
         s_ref,
@@ -423,8 +437,6 @@ def _make_chain_kernel_batched(
         hs_ref,  # [n, 1, V] f32
         tab_hbm,  # ANY [n, Vt, H] — streamed whole tables
         g_ref,  # [n, B, V] f32
-        kc0_any,  # ANY [L, B, nk, T, d]
-        vc0_any,
         subc_out,  # [B, n] i32
         ssum_out,  # [B, H] f32
         x_s,  # [B, H] f32
@@ -437,25 +449,19 @@ def _make_chain_kernel_batched(
         vc_s,
         head_vm,  # [2, H, V]
         tab_vm,  # [2, Vt, H]
-        sems,  # DMA (6,): 0-1 heads, 2-3 tables, 4-5 cache-in
+        sems,  # DMA (4,): 0-1 heads, 2-3 tables
     ):
-        kin = pltpu.make_async_copy(kc0_any, kc_s, sems.at[4])
-        vin = pltpu.make_async_copy(vc0_any, vc_s, sems.at[5])
-        kin.start()
-        vin.start()
+        kc_s[:] = jnp.zeros_like(kc_s[:])
+        vc_s[:] = jnp.zeros_like(vc_s[:])
         ssum_out[:] = jnp.zeros_like(ssum_out[:])
         subc_out[:] = jnp.zeros_like(subc_out[:])
-        hp_s[:] = h0_ref[:]
         pltpu.make_async_copy(hq_hbm.at[0], head_vm.at[0], sems.at[0]).start()
         pltpu.make_async_copy(tab_hbm.at[0], tab_vm.at[0], sems.at[2]).start()
-        kin.wait()
-        vin.wait()
 
-        def trunk_step(j, emb_f32):
-            pos = 2 + j
+        def trunk_step(pos, emb_f32):
             x_s[:] = emb_f32
-            cos = cos_ref[j]  # [1, d//2]
-            sin = sin_ref[j]
+            cos = cos_ref[pos]  # [1, d//2]
+            sin = sin_ref[pos]
 
             # layers UNROLLED: static weight/norm/cache indices (see B=1)
             for l in range(cfg.num_layers):
@@ -529,6 +535,10 @@ def _make_chain_kernel_batched(
 
             hp_s[:] = _rms(x_s[:], fn_ref[:], eps)
 
+        # in-kernel prefix (see the B=1 kernel): overlaps the head-0 DMA
+        trunk_step(0, lh_ref[:])
+        trunk_step(1, c0_ref[:])
+
         def chain_body(j, carry):
             slot = lax.rem(j, 2)
             pltpu.make_async_copy(
@@ -577,7 +587,7 @@ def _make_chain_kernel_batched(
 
             @pl.when(j < n - 1)
             def _advance():
-                trunk_step(j, emb_f32)
+                trunk_step(j + 2, emb_f32)
 
             return carry
 
@@ -601,26 +611,26 @@ def fused_mtp_chain_batched(
     final_norm: jax.Array,
     heads,
     tables: jax.Array,
-    h0: jax.Array,  # [B, H]
-    k_cache: jax.Array,  # [L, B, nk, T, d]
-    v_cache: jax.Array,
+    last_hidden: jax.Array,  # [B, H] — talker hidden (prefix token 0)
+    code0_embed: jax.Array,  # [B, H] — codec_embed(code0) (prefix token 1)
     gumbel: jax.Array,  # [n, B, V] f32
     temperature: jax.Array,  # scalar or [B]
     top_k: jax.Array,
     top_p: jax.Array,
     interpret: bool = False,
+    cache_dtype=jnp.float32,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Batched resident chain.  Returns (subcodes [B, n] i32,
-    sub_sum [B, H] f32)."""
+    """Batched resident chain (prefix in-kernel).  Returns
+    (subcodes [B, n] i32, sub_sum [B, H] f32)."""
     L = fw.attn_norm.shape[0]
-    B, H = h0.shape
-    T = k_cache.shape[3]
+    B, H = last_hidden.shape
     nk, d = cfg.num_kv_heads, cfg.head_dim
     qd, kvd, I = cfg.q_dim, cfg.kv_dim, cfg.intermediate_size
     KU = fw.units.shape[2]
     w4 = KU == H // 2
     n_groups = fw.scales.shape[2]
     n, _, V = gumbel.shape
+    T = n + 2  # prefix (2) + chain writes at 2..n
     Vt = tables.shape[1]
 
     if isinstance(heads, QuantizedLinear):
@@ -633,7 +643,7 @@ def fused_mtp_chain_batched(
     freqs = 1.0 / (
         cfg.rope_theta ** (jnp.arange(half, dtype=jnp.float32) / half)
     )
-    angles = (2.0 + jnp.arange(n, dtype=jnp.float32))[:, None] * freqs[None, :]
+    angles = jnp.arange(n + 1, dtype=jnp.float32)[:, None] * freqs[None, :]
     cos = jnp.cos(angles)[:, None, :]
     sin = jnp.sin(angles)[:, None, :]
 
@@ -654,9 +664,10 @@ def fused_mtp_chain_batched(
         vm((B, 1)),  # temperature
         vm((B, 1)),  # top_k
         vm((B, 1)),  # top_p
-        vm((B, H)),
-        vm((n, 1, half)),
-        vm((n, 1, half)),
+        vm((B, H)),  # last_hidden
+        vm((B, H)),  # code0_embed
+        vm((n + 1, 1, half)),
+        vm((n + 1, 1, half)),
         vm((L, U, KU, N_UNIT)),
         vm((L, U, n_groups, N_UNIT)),
         vm((L, 1, H)),
@@ -668,8 +679,6 @@ def fused_mtp_chain_batched(
         vm((n, 1, V)),
         any_spec,  # tables
         vm((n, B, V)),  # gumbel
-        any_spec,  # kc0
-        any_spec,  # vc0
     ]
     out_specs = [vm((B, n)), vm((B, H))]
     out_shape = [
@@ -683,17 +692,18 @@ def fused_mtp_chain_batched(
         pltpu.VMEM((B, qd), jnp.float32),
         pltpu.VMEM((B, 2 * I), jnp.float32),
         pltpu.VMEM((B, H), jnp.float32),
-        pltpu.VMEM((L, B, nk, T, d), k_cache.dtype),
-        pltpu.VMEM((L, B, nk, T, d), v_cache.dtype),
+        pltpu.VMEM((L, B, nk, T, d), cache_dtype),
+        pltpu.VMEM((L, B, nk, T, d), cache_dtype),
         pltpu.VMEM((2, H, V), hq.dtype),
         pltpu.VMEM((2, Vt, H), tables.dtype),
-        pltpu.SemaphoreType.DMA((6,)),
+        pltpu.SemaphoreType.DMA((4,)),
     ]
     args = [
         knob(temperature, jnp.float32),
         knob(top_k, jnp.int32),
         knob(top_p, jnp.float32),
-        h0.astype(jnp.float32),
+        last_hidden.astype(jnp.float32),
+        code0_embed.astype(jnp.float32),
         cos,
         sin,
         fw.units,
@@ -707,8 +717,6 @@ def fused_mtp_chain_batched(
         hs,
         tables,
         gumbel.astype(jnp.float32),
-        k_cache,
-        v_cache,
     ]
     compiler_params = None
     if not interpret and pltpu is not None:
@@ -735,20 +743,19 @@ def fused_mtp_chain(
     final_norm: jax.Array,  # [H] — trunk final-norm weight (head input)
     heads,  # QuantizedLinear [n, H, V] int8 | raw [n, H, V] array
     tables: jax.Array,  # [n, Vt, H] — step embedding tables
-    h0: jax.Array,  # [1, H] — final-normed hidden at the code0 position
-    k_cache: jax.Array,  # [L, 1, nk, T, d] — prefix cache (2 slots filled)
-    v_cache: jax.Array,
+    last_hidden: jax.Array,  # [1, H] — talker hidden (prefix token 0)
+    code0_embed: jax.Array,  # [1, H] — codec_embed(code0) (prefix token 1)
     gumbel: jax.Array,  # [n, 1, V] f32 — per-step Gumbel noise
     temperature: jax.Array,
     top_k: jax.Array,
     top_p: jax.Array,
     interpret: bool = False,
+    cache_dtype=jnp.float32,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Run the whole sub-code chain in one kernel.
+    """Run the whole sub-code chain — prefix included — in one kernel.
 
     Returns (subcodes [1, n] int32, sub_sum [1, H] f32)."""
     L = fw.attn_norm.shape[0]
-    T = k_cache.shape[3]
     H = cfg.hidden_size
     nk, d = cfg.num_kv_heads, cfg.head_dim
     qd, kvd, I = cfg.q_dim, cfg.kv_dim, cfg.intermediate_size
@@ -756,6 +763,7 @@ def fused_mtp_chain(
     w4 = KU == H // 2
     n_groups = fw.scales.shape[2]
     n, _, V = gumbel.shape
+    T = n + 2  # prefix (2) + chain writes at 2..n
 
     if isinstance(heads, QuantizedLinear):
         hq, hs = heads.q, heads.scale.astype(jnp.float32)  # [n,H,V],[n,1,V]
@@ -767,12 +775,9 @@ def fused_mtp_chain(
     freqs = 1.0 / (
         cfg.rope_theta ** (jnp.arange(half, dtype=jnp.float32) / half)
     )
-    angles = (2.0 + jnp.arange(n, dtype=jnp.float32))[:, None] * freqs[None, :]
-    cos = jnp.cos(angles)[:, None, :]  # [n, 1, half]
+    angles = jnp.arange(n + 1, dtype=jnp.float32)[:, None] * freqs[None, :]
+    cos = jnp.cos(angles)[:, None, :]  # [n + 1, 1, half]
     sin = jnp.sin(angles)[:, None, :]
-
-    kc = k_cache.reshape(L, nk, T, d)
-    vc = v_cache.reshape(L, nk, T, d)
 
     kernel, U = _make_chain_kernel(cfg, n, V, T, w4, n_groups)
 
@@ -786,9 +791,10 @@ def fused_mtp_chain(
         pl.BlockSpec(memory_space=_SMEM),  # temp
         pl.BlockSpec(memory_space=_SMEM),  # top_k
         pl.BlockSpec(memory_space=_SMEM),  # top_p
-        vm((1, H)),  # h0
-        vm((n, 1, half)),  # cos
-        vm((n, 1, half)),  # sin
+        vm((1, H)),  # last_hidden
+        vm((1, H)),  # code0_embed
+        vm((n + 1, 1, half)),  # cos
+        vm((n + 1, 1, half)),  # sin
         vm((L, U, KU, N_UNIT)),  # trunk units — RESIDENT
         vm((L, U, n_groups, N_UNIT)),  # scales
         vm((L, 1, H)),  # attn_norm
@@ -800,8 +806,6 @@ def fused_mtp_chain(
         vm((n, 1, V)),  # head scales
         any_spec,  # tables (row-DMA)
         vm((n, 1, V)),  # gumbel
-        vm((L, nk, T, d)),  # kc0
-        vm((L, nk, T, d)),  # vc0
     ]
     out_specs = [vm((1, n)), vm((1, H))]
     out_shape = [
@@ -815,8 +819,8 @@ def fused_mtp_chain(
         pltpu.VMEM((1, qd), jnp.float32),  # attn_s
         pltpu.VMEM((1, 2 * I), jnp.float32),  # gu_s
         pltpu.VMEM((1, H), jnp.float32),  # hp_s
-        pltpu.VMEM((L, nk, T, d), kc.dtype),  # kc_s
-        pltpu.VMEM((L, nk, T, d), vc.dtype),  # vc_s
+        pltpu.VMEM((L, nk, T, d), cache_dtype),  # kc_s
+        pltpu.VMEM((L, nk, T, d), cache_dtype),  # vc_s
         pltpu.VMEM((2, H, V), hq.dtype),  # head double buffer
         pltpu.VMEM((1, H), tables.dtype),  # emb row
         pltpu.SemaphoreType.DMA((3,)),
@@ -825,7 +829,8 @@ def fused_mtp_chain(
         jnp.reshape(jnp.asarray(temperature, jnp.float32), (-1,))[:1],
         jnp.reshape(jnp.asarray(top_k, jnp.int32), (-1,))[:1],
         jnp.reshape(jnp.asarray(top_p, jnp.float32), (-1,))[:1],
-        h0.astype(jnp.float32),
+        last_hidden.astype(jnp.float32),
+        code0_embed.astype(jnp.float32),
         cos,
         sin,
         fw.units,
@@ -839,8 +844,6 @@ def fused_mtp_chain(
         hs,
         tables,
         gumbel.astype(jnp.float32),
-        kc,
-        vc,
     ]
     compiler_params = None
     if not interpret and pltpu is not None:

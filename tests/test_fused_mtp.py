@@ -157,53 +157,50 @@ def test_resident_matches_fused_greedy(chain_cfg_params):
 
 def test_resident_chain_matches_xla_twin_sampled(chain_cfg_params):
     """Sampled-mode exactness: the kernel (interpret) vs a step-by-step XLA
-    twin that mirrors its ops — same fused_decode_step trunk, same bf16 head
-    matmul, the SAME gumbel_topk_topp_sample on the same noise rows."""
-    from leaxer_qwen3_tts_tpu.models.layers import (
-        init_kv_cache,
-        rms_norm,
-        transformer_forward,
-    )
+    twin that mirrors its ops — same fused_decode_step trunk (prefix
+    included, from a zero cache — the kernel builds its own prefix now),
+    same bf16 head matmul, the SAME gumbel_topk_topp_sample on the same
+    noise rows."""
+    from leaxer_qwen3_tts_tpu.models.layers import rms_norm
     from leaxer_qwen3_tts_tpu.ops.fused_step import fused_decode_step
     from leaxer_qwen3_tts_tpu.ops.quant import index_weight
 
     cfg, qparams, tables = chain_cfg_params
     t = cfg.transformer
     n, V = cfg.num_steps, cfg.subcode_vocab_size
+    L, nk, d = t.num_layers, t.num_kv_heads, t.head_dim
+    T = n + 2
     rng = np.random.default_rng(2)
     hidden = jnp.asarray(rng.standard_normal((1, 1024)) * 0.5, jnp.float32)
     c0e = jnp.asarray(rng.standard_normal((1, 1024)) * 0.02, jnp.float32)
     temp, top_k, top_p = jnp.float32(0.8), jnp.int32(50), jnp.float32(0.9)
     key = jax.random.PRNGKey(7)
 
-    # shared prefix + noise (what predict_subcodes_resident computes)
-    cache = init_kv_cache(t, 1, cfg.max_seq_len)
-    valid = jnp.zeros((1, cfg.max_seq_len), bool)
-    prefix = jnp.stack([hidden.astype(t.jnp_dtype), c0e.astype(t.jnp_dtype)],
-                       axis=1)
-    pos2 = jnp.broadcast_to(jnp.arange(2, dtype=jnp.int32), (1, 2))
-    h, cache, valid = transformer_forward(
-        t, qparams["transformer"], prefix, pos2, cache, valid
-    )
-    h_last = h[:, 1]
     gkeys = jax.random.split(key, n)
     gumbel = jax.vmap(
         lambda kk: jax.random.gumbel(kk, (1, V), jnp.float32)
     )(gkeys)
 
-    # kernel (interpret)
+    # kernel (interpret) — prefix runs in-kernel
     subs_k, sum_k = fused_mtp_chain(
         t, qparams["fused_step"], qparams["transformer"]["final_norm"],
-        qparams["heads"], tables, h_last, cache.k, cache.v, gumbel,
+        qparams["heads"], tables, hidden, c0e, gumbel,
         temp, top_k, top_p, interpret=True,
     )
 
-    # XLA twin
+    # XLA twin: same trunk op sequence, prefix from a zero cache
     heads = qparams["heads"]
     fw = qparams["fused_step"]
     fnorm = qparams["transformer"]["final_norm"]
-    kc, vc = cache.k, cache.v
-    hp = h_last
+    kc = jnp.zeros((L, 1, nk, T, d), jnp.float32)
+    vc = jnp.zeros((L, 1, nk, T, d), jnp.float32)
+    x_out, kc, vc = fused_decode_step(
+        t, fw, hidden, jnp.int32(0), kc, vc, interpret=True
+    )
+    x_out, kc, vc = fused_decode_step(
+        t, fw, c0e, jnp.int32(1), kc, vc, interpret=True
+    )
+    hp = rms_norm(x_out, fnorm, t.rms_norm_eps).astype(jnp.float32)
     subs, ssum = [], jnp.zeros((1, 1024), jnp.float32)
     for j in range(n):
         w = index_weight(heads, j)
