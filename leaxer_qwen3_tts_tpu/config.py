@@ -315,6 +315,13 @@ class TTSModelConfig:
     speaker_encoder: Optional[SpeakerEncoderConfig] = SpeakerEncoderConfig()
     mel: MelConfig = MelConfig()
     draft: Optional[DraftConfig] = None
+    # whole-frame fused decode (ops/fused_frame.py): ONE Pallas dispatch per
+    # 12 Hz frame — code0 suppress+sample, the resident MTP chain, the next-
+    # input sum and the manual-DMA talker step + lm_head all in-kernel.
+    # None = QTTS_FRAME_FUSED env (default off until hardware-validated);
+    # True/False pins it.  Sequential B=1 only; engages when the talker is
+    # fused-eligible (vmem bucket) and the MTP trunk passes supports_resident.
+    frame_fused: "bool | None" = None
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2)

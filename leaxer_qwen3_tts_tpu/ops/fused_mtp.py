@@ -197,17 +197,7 @@ def _make_chain_kernel(
     over layers with the unit loop unrolled (the manual-DMA kernel's
     schedule, ops/fused_step._make_kernel_manual, reading a RESIDENT weight
     ref instead of a streamed 2-slot scratch)."""
-    H = cfg.hidden_size
-    nq, nk, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
-    g = nq // nk
-    qd, kvd = cfg.q_dim, cfg.kv_dim
-    I = cfg.intermediate_size
-    eps = cfg.rms_norm_eps
-    n_qkv, n_wo, n_gu, n_wd = _unit_counts(cfg)
-    U = n_qkv + n_wo + n_gu + n_wd
-    b2, b3 = n_qkv + n_wo, n_qkv + n_wo + n_gu
-    nn = H // N_UNIT
-    n = n_steps
+    run_chain, U = _chain_core(cfg, n_steps, V, T, w4, n_groups)
 
     def kernel(
         temp_ref,  # SMEM [1] f32
@@ -242,10 +232,48 @@ def _make_chain_kernel(
         emb_vm,  # scratch [1, H] tables dtype
         sems,  # DMA semaphores (3,)
     ):
-        temp = temp_ref[0]
-        top_k = topk_ref[0]
-        top_p = topp_ref[0]
+        run_chain(
+            temp_ref[0], topk_ref[0], topp_ref[0], lh_ref[:], c0_ref[:],
+            cos_ref, sin_ref, w_ref, s_ref, an_ref, mn_ref, qn_ref, kn_ref,
+            fn_ref, hq_hbm, hs_ref, tab_hbm, g_ref, subc_out, ssum_out,
+            x_s, h_s, qkv_s, attn_s, gu_s, hp_s, kc_s, vc_s, head_vm,
+            emb_vm, sems,
+        )
 
+    return kernel, U
+
+
+def _chain_core(
+    cfg: TransformerConfig,
+    n_steps: int,
+    V: int,
+    T: int,
+    w4: bool,
+    n_groups: int,
+):
+    """The B=1 resident-chain body (in-kernel prefix + sampled chain),
+    extracted so the whole-frame kernel (ops/fused_frame.py) can run the
+    SAME op sequence inside its own grid.  All refs belong to the caller;
+    ``lh``/``c0`` are [1, H] f32 VALUES; the trunk ref ``w_ref`` may be a
+    VMEM input block or a caller-filled scratch."""
+    H = cfg.hidden_size
+    nq, nk, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    g = nq // nk
+    qd, kvd = cfg.q_dim, cfg.kv_dim
+    I = cfg.intermediate_size
+    eps = cfg.rms_norm_eps
+    n_qkv, n_wo, n_gu, n_wd = _unit_counts(cfg)
+    U = n_qkv + n_wo + n_gu + n_wd
+    b2, b3 = n_qkv + n_wo, n_qkv + n_wo + n_gu
+    nn = H // N_UNIT
+    n = n_steps
+
+    def run_chain(
+        temp, top_k, top_p, lh, c0, cos_ref, sin_ref, w_ref, s_ref,
+        an_ref, mn_ref, qn_ref, kn_ref, fn_ref, hq_hbm, hs_ref, tab_hbm,
+        g_ref, subc_out, ssum_out, x_s, h_s, qkv_s, attn_s, gu_s, hp_s,
+        kc_s, vc_s, head_vm, emb_vm, sems,
+    ):
         # --- init: zeroed cache scratch, accumulators, head-0 DMA ---
         kc_s[:] = jnp.zeros_like(kc_s[:])
         vc_s[:] = jnp.zeros_like(vc_s[:])
@@ -339,8 +367,8 @@ def _make_chain_kernel(
         # --- in-kernel prefix: talker hidden at pos 0, code0 embed at pos 1
         # (the trunk is already resident — an XLA prefill would re-read all
         # of it from HBM).  Leaves h0 in hp_s for the step-0 head.
-        trunk_step(0, lh_ref[:])
-        trunk_step(1, c0_ref[:])
+        trunk_step(0, lh)
+        trunk_step(1, c0)
 
         def chain_body(j, carry):
             slot = lax.rem(j, 2)
@@ -388,7 +416,7 @@ def _make_chain_kernel(
 
         lax.fori_loop(0, n, chain_body, 0)
 
-    return kernel, U
+    return run_chain, U
 
 
 def _make_chain_kernel_batched(

@@ -827,16 +827,8 @@ def _make_kernel_manual(cfg: TransformerConfig, T: int, w4: bool = False,
     scales, K/V cache) still ride the Pallas pipeline — at L grid steps
     their per-step overhead is negligible and the pipeline prefetches layer
     l+1's cache during layer l's compute."""
-    H = cfg.hidden_size
-    nq, nk, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
-    g = nq // nk
-    qd, kvd = cfg.q_dim, cfg.kv_dim
-    I = cfg.intermediate_size
-    eps = cfg.rms_norm_eps
-    n_qkv, n_wo, n_gu, n_wd = _unit_counts(cfg)
-    U = n_qkv + n_wo + n_gu + n_wd
-    b2, b3 = n_qkv + n_wo, n_qkv + n_wo + n_gu
-    nn = H // N_UNIT
+    run_layer, U = _manual_layer_core(cfg, T, w4=w4, n_groups=n_groups,
+                                      kvq=kvq)
 
     def kernel(*refs):
         (pos_ref,  # SMEM [1] int32
@@ -866,22 +858,56 @@ def _make_kernel_manual(cfg: TransformerConfig, T: int, w4: bool = False,
 
         l = pl.program_id(0)
         L = pl.num_programs(0)
-        pos = pos_ref[0]
 
+        @pl.when(l == 0)
+        def _init():
+            x_s[:] = x_ref[:]
+            pltpu.make_async_copy(
+                w_hbm.at[0, 0], w_vm.at[0], sems.at[0]
+            ).start()
+
+        run_layer(
+            l, L, pos_ref[0], cos_ref[:], sin_ref[:], w_hbm, s_ref,
+            an_ref, mn_ref, qn_ref, kn_ref, kc_in, vc_in, ks_in, vs_in,
+            kc_out, vc_out, ks_out, vs_out,
+            x_s, h_s, qkv_s, attn_s, gu_s, w_vm, sems,
+        )
+        x_out[:] = x_s[:]
+
+    return kernel, U
+
+
+def _manual_layer_core(cfg: TransformerConfig, T: int, w4: bool = False,
+                       n_groups: int = 1, kvq: bool = False):
+    """The per-layer body of the manual-DMA unit schedule (see
+    _make_kernel_manual), extracted so the whole-frame kernel
+    (ops/fused_frame.py) can run the SAME op sequence per talker layer
+    inside its own grid.  ``run_layer`` reads/writes the caller's refs:
+    x_s carries the residual stream across layers; w_vm is the 2-slot
+    double-buffered unit scratch whose (l*U+u) parity protocol requires
+    unit (0, 0)'s DMA to be started by the caller's l==0 init."""
+    H = cfg.hidden_size
+    nq, nk, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    g = nq // nk
+    qd, kvd = cfg.q_dim, cfg.kv_dim
+    I = cfg.intermediate_size
+    eps = cfg.rms_norm_eps
+    n_qkv, n_wo, n_gu, n_wd = _unit_counts(cfg)
+    U = n_qkv + n_wo + n_gu + n_wd
+    b2, b3 = n_qkv + n_wo, n_qkv + n_wo + n_gu
+    nn = H // N_UNIT
+
+    def run_layer(l, L, pos, cos, sin, w_hbm, s_ref, an_ref, mn_ref,
+                  qn_ref, kn_ref, kc_in, vc_in, ks_in, vs_in,
+                  kc_out, vc_out, ks_out, vs_out,
+                  x_s, h_s, qkv_s, attn_s, gu_s, w_vm, sems):
         def dma_unit(li, ui, sl):
             return pltpu.make_async_copy(
                 w_hbm.at[li, ui], w_vm.at[sl], sems.at[sl]
             )
 
-        @pl.when(l == 0)
-        def _init():
-            x_s[:] = x_ref[:]
-            dma_unit(0, 0, 0).start()
-
         def attention():
             qkv = qkv_s[:]
-            cos = cos_ref[:]
-            sin = sin_ref[:]
             q = qkv[0, :qd].reshape(nq, d)
             k = qkv[0, qd : qd + kvd].reshape(nk, d)
             v = qkv[0, qd + kvd :].reshape(nk, d)
@@ -993,9 +1019,7 @@ def _make_kernel_manual(cfg: TransformerConfig, T: int, w4: bool = False,
                     :, n_off : n_off + N_UNIT
                 ] + matmul(gu_s[:, k_off : k_off + H])
 
-        x_out[:] = x_s[:]
-
-    return kernel, U
+    return run_layer, U
 
 
 def _pick_mode(T: int) -> str:
