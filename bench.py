@@ -286,6 +286,47 @@ def main() -> None:
             else:
                 os.environ["QTTS_MTP_RESIDENT"] = prev_resident
 
+    # --- whole-frame-kernel A/B (opt-in): same decode with
+    # QTTS_FRAME_FUSED=1 (ops/fused_frame.py — one dispatch per frame) ------
+    frame_fused_ms = None
+    if os.environ.get("BENCH_FRAME_AB") == "1":
+        prev_ff = os.environ.get("QTTS_FRAME_FUSED")
+        prev_res = os.environ.get("QTTS_MTP_RESIDENT")
+        try:
+            os.environ["QTTS_FRAME_FUSED"] = "1"
+            os.environ["QTTS_MTP_RESIDENT"] = "1"  # gate needs resident fit
+            fns_ff = make_generate_fns(
+                cfg, batch=batch, max_len=frames + 32, chunk_len=chunk
+            )
+            st_ff, bd_ff = fns_ff.prefill(params, ids, lens, key)
+            st_ff, fr_ff, _ = fns_ff.decode(
+                params, st_ff, bd_ff.trailing, bd_ff.trailing_len,
+                bd_ff.tts_pad_embed, sp,
+            )
+            sync(fr_ff)  # compile
+            nff = max(2, n_chunks // 2)
+            t0 = time.perf_counter()
+            for _ in range(nff):
+                st_ff, fr_ff, _ = fns_ff.decode(
+                    params, st_ff, bd_ff.trailing, bd_ff.trailing_len,
+                    bd_ff.tts_pad_embed, sp,
+                )
+            sync(fr_ff)
+            frame_fused_ms = round(
+                (time.perf_counter() - t0) / (nff * chunk) * 1e3, 2
+            )
+            log(f"whole-frame kernel (QTTS_FRAME_FUSED=1): "
+                f"{frame_fused_ms:.2f} ms/frame")
+        except Exception as e:
+            log(f"frame-fused A/B probe failed: {e}")
+        finally:
+            for k, v in (("QTTS_FRAME_FUSED", prev_ff),
+                         ("QTTS_MTP_RESIDENT", prev_res)):
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
+
     # --- multi-stream serving throughput (batched, same params) -------------
     serving = {}
     if batch == 1 and os.environ.get("BENCH_SKIP_SERVING") != "1":
@@ -719,6 +760,8 @@ def main() -> None:
         result[f"serving_rtf_batch{Bs}"] = round(rtf_b, 1)
     if perstep_frame_ms is not None:
         result["perstep_mtp_ms_per_frame"] = perstep_frame_ms
+    if frame_fused_ms is not None:
+        result["frame_fused_ms_per_frame"] = frame_fused_ms
     if bf16_frame_ms is not None:
         result["bf16_decode_ms_per_frame"] = round(bf16_frame_ms, 2)
     if long_frame_ms is not None:

@@ -92,6 +92,7 @@ class TTSEngine:
         kv_quant: bool = False,
         mtp_quantize: Optional[str] = None,
         mtp_resident: Optional[bool] = None,
+        frame_fused: Optional[bool] = None,
     ):
         self._ready = False
         self._error = ""
@@ -164,6 +165,20 @@ class TTSEngine:
                     code_predictor=_dc.replace(
                         self.cfg.code_predictor, resident=bool(mtp_resident)
                     ),
+                )
+            if frame_fused is not None:
+                # pin the whole-frame fused kernel (ops/fused_frame.py) on/
+                # off; None keeps the QTTS_FRAME_FUSED env default.
+                # Sequential-only — never combined with spec_k (the kernel's
+                # in-kernel logits transport differs from the verify path's).
+                import dataclasses as _dc
+
+                if frame_fused and self.spec_k is not None:
+                    raise EngineError(
+                        "frame_fused is sequential-only: unset spec_k"
+                    )
+                self.cfg = _dc.replace(
+                    self.cfg, frame_fused=bool(frame_fused)
                 )
             if kv_quant:
                 # int8 KV cache with per-slot scales on the TALKER only (the

@@ -55,6 +55,13 @@ def build_parser() -> argparse.ArgumentParser:
              "default: QTTS_MTP_RESIDENT env",
     )
     p.add_argument(
+        "--frame-fused", choices=["on", "off"],
+        help="pin the whole-frame fused kernel (code0 sample + resident "
+             "MTP chain + talker step + lm_head in ONE dispatch per frame; "
+             "ops/fused_frame.py, sequential B=1 only); default: "
+             "QTTS_FRAME_FUSED env",
+    )
+    p.add_argument(
         "--kv-quant", action="store_true",
         help="int8 KV cache (per-slot scales): halves cache bandwidth for "
              "long-form and large-batch serving",
@@ -114,7 +121,9 @@ def main(argv=None) -> int:
                        spec_k=args.spec_k, kv_quant=args.kv_quant,
                        mtp_quantize=args.mtp_quantize,
                        mtp_resident=(None if args.mtp_resident is None
-                                     else args.mtp_resident == "on"))
+                                     else args.mtp_resident == "on"),
+                       frame_fused=(None if args.frame_fused is None
+                                    else args.frame_fused == "on"))
     if not engine.is_ready():
         print(f"Error: {engine.get_error()}", file=sys.stderr)
         return 1

@@ -77,6 +77,155 @@ def init_state_from_prefill(
     )
 
 
+def _frame_fused_enabled() -> bool:
+    """Whole-frame fused kernel (ops/fused_frame.py) for B=1 sequential
+    decode.  Default OFF until validated on hardware (the resident chain's
+    probe pattern); QTTS_FRAME_FUSED overrides, cfg.frame_fused pins."""
+    import os
+
+    return os.environ.get("QTTS_FRAME_FUSED", "0") != "0"
+
+
+def _frame_fused_eligible(cfg, params, state, sp, uniform_fill, mesh) -> bool:
+    """Static (trace-time) gate for the whole-frame kernel: B=1 sequential
+    decode, fused talker in a vmem-mode bucket, resident-eligible MTP
+    trunk.  All conditions are shape/config properties — no traced data."""
+    if sp is None or mesh is not None or not uniform_fill:
+        return False
+    if state.last_hidden.shape[0] != 1:
+        return False
+    on = cfg.frame_fused if cfg.frame_fused is not None else _frame_fused_enabled()
+    if not on:
+        return False
+    tp = params.get("talker", {})
+    cp = params.get("code_predictor", {})
+    if cfg.talker.decode_impl != "fused" or "fused_step" not in tp:
+        return False
+    if "fused_step" not in cp or "fused_tp" in tp:
+        return False
+    from ..ops.fused_frame import supports_frame
+
+    return supports_frame(
+        cp["fused_step"], state.cache.max_len, cfg.talker.transformer,
+        state.cache.quantized,
+    )
+
+
+def _compute_drip(state: GenerateState, trailing, trailing_len,
+                  tts_pad_embed) -> jax.Array:
+    """This frame's text-drip embedding [B, H] (reference tts_onnx.cpp:
+    823-842).  One-hot contraction, NOT take_along_axis: dynamic gathers
+    lower to the TPU scalar core and cost ~0.5 ms inside the decode scan
+    (measured; runtime/speculative.py has the ablation numbers).  The
+    mask-sum is bit-exact (x * 1.0 + 0.0 == x)."""
+    T = trailing.shape[1]
+    drip_idx = jnp.minimum(state.step, T - 1)  # [B] per-stream drip cursor
+    oh = (
+        drip_idx[:, None] == jnp.arange(T, dtype=jnp.int32)[None, :]
+    ).astype(trailing.dtype)  # [B, T]
+    drip = jnp.einsum(
+        "bt,bth->bh", oh, trailing, preferred_element_type=jnp.float32
+    ).astype(trailing.dtype)  # [B, H]
+    use_text = state.step < trailing_len  # [B]
+    return jnp.where(
+        use_text[:, None], drip, tts_pad_embed[None, :].astype(drip.dtype)
+    )
+
+
+def _frame_step_fused(
+    cfg: TTSModelConfig,
+    params: dict,
+    suppress: jax.Array,
+    trailing: jax.Array,
+    trailing_len: jax.Array,
+    tts_pad_embed: jax.Array,
+    sp: SamplingParams,
+    state: GenerateState,
+) -> Tuple[GenerateState, Tuple[jax.Array, jax.Array]]:
+    """One frame through the whole-frame kernel (ops/fused_frame.py): the
+    code0 sample, resident MTP chain, next-input sum, talker step and
+    lm_head all run in ONE Pallas dispatch.  Greedy-identical to the
+    multi-dispatch path; sampled draws are a different per-seed-
+    deterministic stream (in-kernel Gumbel sampler — see fused_frame)."""
+    from ..ops.fused_frame import fused_frame_step
+
+    emb = params["embeddings"]
+    tp, cp = params["talker"], params["code_predictor"]
+    key, k_code0, k_pred = split_keys(state.key, 3)
+    kk0 = k_code0[0] if k_code0.ndim == 2 else k_code0
+    kkp = k_pred[0] if k_pred.ndim == 2 else k_pred
+    Vc = cfg.talker.codec_vocab_size
+    V = cfg.code_predictor.subcode_vocab_size
+    n = cfg.code_predictor.num_steps
+    g0 = jax.random.gumbel(kk0, (1, Vc), jnp.float32)
+    gkeys = jax.random.split(kkp, n)
+    gmtp = jax.vmap(lambda kk: jax.random.gumbel(kk, (1, V), jnp.float32))(
+        gkeys
+    )
+    drip = _compute_drip(state, trailing, trailing_len, tts_pad_embed)
+    cache = state.cache
+    kvq = cache.quantized
+    interpret = jax.default_backend() != "tpu"
+
+    outs = fused_frame_step(
+        cfg.talker.transformer,
+        cfg.code_predictor.transformer,
+        tp["fused_step"],
+        tp["transformer"]["final_norm"],
+        tp["lm_head"],
+        emb["codec_embed"],
+        cp["fused_step"],
+        cp["transformer"]["final_norm"],
+        cp["heads"],
+        emb["pred_embed"],
+        state.last_logits,
+        state.last_hidden,
+        suppress,
+        drip,
+        state.pos[0],
+        cache.k,
+        cache.v,
+        g0,
+        gmtp,
+        sp.temperature,
+        sp.top_k,
+        sp.top_p,
+        sp.forbid_eos,
+        k_scale=cache.k_scale if kvq else None,
+        v_scale=cache.v_scale if kvq else None,
+        interpret=interpret,
+        mtp_cache_dtype=cfg.code_predictor.transformer.jnp_dtype,
+    )
+    code0, subcodes, logits2, hidden2 = outs[:4]
+    if kvq:
+        kc, vc, ksc, vsc = outs[4:]
+        new_cache = KVCache(k=kc, v=vc, length=cache.length + 1,
+                            k_scale=ksc, v_scale=vsc)
+    else:
+        kc, vc = outs[4:]
+        new_cache = KVCache(k=kc, v=vc, length=cache.length + 1)
+
+    is_eos = code0 == CODEC_EOS
+    frame_valid = (~state.done) & (~is_eos)
+    done = state.done | is_eos
+    frame = jnp.concatenate([code0[:, None], subcodes], axis=1)  # [1, 16]
+    frame = jnp.where(frame_valid[:, None], frame, 0)
+    new_valid = lax.dynamic_update_slice(
+        state.valid_mask, jnp.ones((1, 1), bool), (0, state.pos[0])
+    )
+    new_state = GenerateState(
+        cache=new_cache,
+        valid_mask=new_valid,
+        last_logits=logits2,
+        last_hidden=hidden2.astype(state.last_hidden.dtype),
+        pos=state.pos + 1,
+        step=state.step + 1,
+        done=done,
+        key=key,
+    )
+    return new_state, (frame, frame_valid)
+
+
 def _frame_step(
     cfg: TTSModelConfig,
     params: dict,
@@ -90,6 +239,11 @@ def _frame_step(
     mesh=None,
 ) -> Tuple[GenerateState, Tuple[jax.Array, jax.Array]]:
     """One 12 Hz frame.  Returns (state', (frame_codes [B,16], frame_valid [B]))."""
+    if _frame_fused_eligible(cfg, params, state, sp, uniform_fill, mesh):
+        return _frame_step_fused(
+            cfg, params, suppress, trailing, trailing_len, tts_pad_embed,
+            sp, state,
+        )
     emb = params["embeddings"]
     key, k_code0, k_pred = split_keys(state.key, 3)
 
@@ -118,20 +272,7 @@ def _frame_step(
     frame = jnp.where(frame_valid[:, None], frame, 0)
 
     # --- next talker input: codec sum + text drip (reference :823-842) ---
-    # one-hot contraction, NOT take_along_axis: dynamic gathers lower to the
-    # TPU scalar core and cost ~0.5 ms inside the decode scan (measured;
-    # runtime/speculative.py has the ablation numbers).  The mask-sum is
-    # bit-exact (x * 1.0 + 0.0 == x).
-    T = trailing.shape[1]
-    drip_idx = jnp.minimum(state.step, T - 1)  # [B] per-stream drip cursor
-    oh = (
-        drip_idx[:, None] == jnp.arange(T, dtype=jnp.int32)[None, :]
-    ).astype(trailing.dtype)  # [B, T]
-    drip = jnp.einsum(
-        "bt,bth->bh", oh, trailing, preferred_element_type=jnp.float32
-    ).astype(trailing.dtype)  # [B, H]
-    use_text = state.step < trailing_len  # [B]
-    drip = jnp.where(use_text[:, None], drip, tts_pad_embed[None, :].astype(drip.dtype))
+    drip = _compute_drip(state, trailing, trailing_len, tts_pad_embed)
     next_embed = (code0_embed + sub_sum + drip).astype(code0_embed.dtype)
 
     # --- talker decode step ---

@@ -188,10 +188,10 @@ def bench_tp(t: TransformerConfig, T: int) -> dict:
 
 def bench_resident() -> dict:
     """Isolated A/B of the WHOLE 15-step MTP chain on the real 0.6B shape:
-    per-step fused kernels (predict_subcodes_fused) vs the resident-trunk
-    single-kernel chain (ops/fused_mtp.py), both with the 2-token XLA
-    prefix included.  Also checks greedy agreement and sampled determinism
-    on hardware."""
+    per-step fused kernels (predict_subcodes_fused, 2-token XLA prefix) vs
+    the resident-trunk single-kernel chain (ops/fused_mtp.py, prefix
+    in-kernel).  Also checks greedy agreement and sampled determinism on
+    hardware."""
     import functools
 
     from leaxer_qwen3_tts_tpu.config import CodePredictorConfig
@@ -350,6 +350,185 @@ def bench_resident() -> dict:
     return out
 
 
+def bench_frame() -> dict:
+    """Whole-frame kernel A/B on the real 0.6B shapes: ONE pallas_call per
+    frame (ops/fused_frame.py — code0 sample + resident MTP chain + talker
+    step + lm_head) vs the composed multi-dispatch path (sample_token +
+    resident chain + manual talker kernel + XLA lm_head).  Chained scan,
+    single sync; determinism + greedy-agreement checks included."""
+    from leaxer_qwen3_tts_tpu.config import (
+        CodePredictorConfig,
+        TransformerConfig,
+    )
+    from leaxer_qwen3_tts_tpu.models.code_predictor import (
+        predict_subcodes_resident,
+    )
+    from leaxer_qwen3_tts_tpu.models.layers import rms_norm
+    from leaxer_qwen3_tts_tpu.ops.fused_frame import fused_frame_step
+    from leaxer_qwen3_tts_tpu.ops.quant import QuantizedLinear, dense
+    from leaxer_qwen3_tts_tpu.runtime.sampling import (
+        SamplingParams,
+        make_codec_suppress_mask,
+        sample_token,
+        split_keys,
+    )
+
+    talker = TransformerConfig(dtype="bfloat16")  # 0.6B: 28L, H=1024
+    mcfg = CodePredictorConfig(impl="fused")  # 6L, H=1024, V=2048
+    mtp_t = mcfg.transformer
+    T, Vc = 512, 3072
+    H, n, V = 1024, mcfg.num_steps, mcfg.subcode_vocab_size
+    rng = np.random.default_rng(0)
+    tfw = make_weights(talker, rng)
+    mfw = make_weights(mtp_t, rng)
+    lm = QuantizedLinear(*jax.device_put([
+        rng.integers(-64, 64, (H, Vc), np.int8),
+        np.full((1, Vc), 0.002, np.float32),
+    ]))
+    heads = QuantizedLinear(*jax.device_put([
+        rng.integers(-64, 64, (n, H, V), np.int8),
+        np.full((n, 1, V), 0.002, np.float32),
+    ]))
+    import ml_dtypes
+
+    codec, tables, fnorm_t, fnorm_m, lh0, ll0, drip = jax.device_put([
+        (rng.standard_normal((Vc, H)) * 0.02).astype(ml_dtypes.bfloat16),
+        (rng.standard_normal((n, V, H)) * 0.02).astype(ml_dtypes.bfloat16),
+        np.ones(H, np.float32),
+        np.ones(H, np.float32),
+        (rng.standard_normal((1, H)) * 0.5).astype(np.float32),
+        (rng.standard_normal((1, Vc)) * 2.0).astype(np.float32),
+        np.zeros((1, H), np.float32),
+    ])
+    suppress = make_codec_suppress_mask(Vc)
+    mtp_params = {
+        "fused_step": mfw,
+        "transformer": {"final_norm": fnorm_m},
+        "heads": heads,
+    }
+
+    out = {}
+    n_frames = 192
+
+    def run_arms(kvq: bool):
+        cdt = np.int8 if kvq else np.float32
+        kc, vc = jax.device_put([
+            np.zeros((talker.num_layers, 1, talker.num_kv_heads, T, 128),
+                     cdt),
+            np.zeros((talker.num_layers, 1, talker.num_kv_heads, T, 128),
+                     cdt),
+        ])
+        scales = None
+        if kvq:
+            scales = tuple(jax.device_put([
+                np.full((talker.num_layers, 1, talker.num_kv_heads, T),
+                        1e-3, np.float32),
+                np.full((talker.num_layers, 1, talker.num_kv_heads, T),
+                        1e-3, np.float32),
+            ]))
+        sp = SamplingParams.create(temperature=0.8, top_k=50, top_p=0.95)
+
+        @jax.jit
+        def run_frame(ll, lh, kc, vc, ks, vs, key):
+            def body(carry, _):
+                ll, lh, kc, vc, ks, vs, pos, key = carry
+                key, k0, kp = split_keys(key, 3)
+                g0 = jax.random.gumbel(k0, (1, Vc), jnp.float32)
+                gm = jax.vmap(
+                    lambda kk: jax.random.gumbel(kk, (1, V), jnp.float32)
+                )(jax.random.split(kp, n))
+                outs = fused_frame_step(
+                    talker, mtp_t, tfw, fnorm_t, lm, codec, mfw, fnorm_m,
+                    heads, tables, ll, lh, suppress, drip, pos, kc, vc,
+                    g0, gm, sp.temperature, sp.top_k, sp.top_p,
+                    jnp.bool_(True),
+                    k_scale=ks, v_scale=vs,
+                    mtp_cache_dtype=jnp.bfloat16,
+                )
+                code0, subs, ll2, lh2 = outs[:4]
+                if kvq:
+                    kc2, vc2, ks2, vs2 = outs[4:]
+                else:
+                    kc2, vc2 = outs[4:]
+                    ks2 = vs2 = ks
+                frame = jnp.concatenate([code0[:, None], subs], axis=1)
+                pos = jax.lax.rem(pos + 1, T)
+                return (ll2, lh2.astype(lh.dtype), kc2, vc2, ks2, vs2,
+                        pos, key), frame
+
+            init = (ll, lh, kc, vc,
+                    scales[0] if kvq else None,
+                    scales[1] if kvq else None,
+                    jnp.asarray(0, jnp.int32), key)
+            _, frames = jax.lax.scan(body, init, None, length=n_frames)
+            return frames
+
+        @jax.jit
+        def run_composed(ll, lh, kc, vc, ks, vs, key):
+            def body(carry, _):
+                ll, lh, kc, vc, ks, vs, pos, key = carry
+                key, k0, kp = split_keys(key, 3)
+                logits0 = ll + suppress[None, :]
+                code0 = sample_token(k0, logits0, sp)
+                c0e = jnp.take(codec, code0, axis=0).astype(jnp.float32)
+                subs, ssum = predict_subcodes_resident(
+                    mcfg, mtp_params, tables, lh, c0e, kp, sp
+                )
+                x = c0e + ssum + drip
+                if kvq:
+                    xo, kc2, vc2, ks2, vs2 = fused_decode_step(
+                        talker, tfw, x, pos, kc, vc, ks, vs
+                    )
+                else:
+                    xo, kc2, vc2 = fused_decode_step(
+                        talker, tfw, x, pos, kc, vc
+                    )
+                    ks2 = vs2 = ks
+                hid = rms_norm(xo, fnorm_t, talker.rms_norm_eps)
+                ll2 = dense(hid, lm)
+                frame = jnp.concatenate([code0[:, None], subs], axis=1)
+                pos = jax.lax.rem(pos + 1, T)
+                return (ll2, hid.astype(lh.dtype), kc2, vc2, ks2, vs2,
+                        pos, key), frame
+
+            init = (ll, lh, kc, vc,
+                    scales[0] if kvq else None,
+                    scales[1] if kvq else None,
+                    jnp.asarray(0, jnp.int32), key)
+            _, frames = jax.lax.scan(body, init, None, length=n_frames)
+            return frames
+
+        tag = " kvq" if kvq else ""
+        for name, fn in (("frame", run_frame), ("composed", run_composed)):
+            args = (ll0, lh0, kc, vc,
+                    scales[0] if kvq else None,
+                    scales[1] if kvq else None,
+                    jax.random.PRNGKey(5))
+            t0 = time.perf_counter()
+            frames = fn(*args)
+            sync(frames)
+            compile_s = time.perf_counter() - t0
+            best = float("inf")
+            for _ in range(3):
+                t1 = time.perf_counter()
+                frames = fn(*args)
+                sync(frames)
+                best = min(best, time.perf_counter() - t1)
+            ms = best / n_frames * 1e3
+            out[f"{name}{tag}"] = ms
+            print(f"frame{tag} {name}: {ms:.3f} ms/frame "
+                  f"(compile {compile_s:.1f}s, best of 3)", flush=True)
+            if name == "frame":
+                f2 = fn(*args)
+                sync(f2)
+                assert np.array_equal(np.asarray(frames), np.asarray(f2)), \
+                    "frame kernel nondeterministic on HW"
+
+    run_arms(kvq=False)
+    run_arms(kvq=True)
+    return out
+
+
 def main():
     t0 = time.perf_counter()
     sync(jax.device_put(np.zeros(8, np.float32)))
@@ -357,6 +536,10 @@ def main():
 
     if "--resident" in os.sys.argv:
         bench_resident()
+        return
+
+    if "--frame" in os.sys.argv:
+        bench_frame()
         return
 
     if "--tp" in os.sys.argv:
