@@ -54,6 +54,11 @@ for name, kw in (
     ("int8+kvq", dict(quantize="int8", kv_quant=True)),
     ("int8+kvq+spec4", dict(quantize="int8", kv_quant=True, spec_k=4, spec_iters=8)),
     ("bf16-fused", dict()),  # quantize=None -> bits=16 packs (r4)
+    # whole-frame kernel, engine path (r4c; needs resident-eligible MTP)
+    ("int8+frame-fused", dict(quantize="int8", mtp_resident=True,
+                              frame_fused=True)),
+    ("int8+kvq+frame-fused", dict(quantize="int8", kv_quant=True,
+                                  mtp_resident=True, frame_fused=True)),
 ):
     if SMOKE_ONLY not in (None, "engine"):
         break
