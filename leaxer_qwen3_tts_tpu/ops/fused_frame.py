@@ -61,7 +61,13 @@ from .fused_mtp import (
     _chain_core,
     gumbel_topk_topp_sample,
 )
-from .fused_step import N_UNIT, FusedStepWeights, _manual_layer_core, _rms
+from .fused_step import (
+    N_UNIT,
+    FusedStepWeights,
+    _manual_layer_core,
+    _ring,
+    _rms,
+)
 from .quant import QuantizedLinear
 
 # fixed VMEM beyond the resident trunk: lm_head scratch (<=6 MB bf16),
@@ -98,9 +104,10 @@ def _make_frame_kernel(
     mw4: bool,
     m_groups: int,
     kvq: bool,
+    ring: int,
 ):
     run_layer, Ut = _manual_layer_core(tcfg, T, w4=tw4, n_groups=t_groups,
-                                       kvq=kvq)
+                                       kvq=kvq, ring=ring)
     run_chain, Um = _chain_core(mcfg, n, V, n + 2, mw4, m_groups)
     t_eps = tcfg.rms_norm_eps
 
@@ -147,12 +154,13 @@ def _make_frame_kernel(
 
         @pl.when(l == 0)
         def _prologue():
-            # big DMAs first: talker unit (0,0) for the layer walk, the
+            # big DMAs first: the talker unit ring for the layer walk, the
             # resident MTP trunk, and the lm_head — all overlap the
             # sampler + chain compute below
-            pltpu.make_async_copy(
-                tw_hbm.at[0, 0], tw_vm.at[0], tsems.at[0]
-            ).start()
+            for gi in range(ring - 1):
+                pltpu.make_async_copy(
+                    tw_hbm.at[0, gi], tw_vm.at[gi], tsems.at[gi]
+                ).start()
             trunk_in = pltpu.make_async_copy(mw_hbm, mw_vm, fsems.at[0])
             trunk_in.start()
             pltpu.make_async_copy(lm_hbm, lm_vm, fsems.at[1]).start()
@@ -298,8 +306,9 @@ def fused_frame_step(
     kc = k_cache.reshape(L, nk, T, d)
     vc = v_cache.reshape(L, nk, T, d)
 
+    ring = _ring()
     kernel, Ut, Um = _make_frame_kernel(
-        tcfg, mcfg, T, Vc, n, V, tw4, t_groups, mw4, m_groups, kvq
+        tcfg, mcfg, T, Vc, n, V, tw4, t_groups, mw4, m_groups, kvq, ring
     )
 
     def const(shape):
@@ -382,8 +391,8 @@ def fused_frame_step(
         pltpu.VMEM((1, qd + 2 * kvd), jnp.float32),  # qkv_s
         pltpu.VMEM((1, qd), jnp.float32),  # attn_s
         pltpu.VMEM((1, 2 * I), jnp.float32),  # gu_s
-        pltpu.VMEM((2, KUt, N_UNIT), tfw.units.dtype),  # talker unit buf
-        pltpu.SemaphoreType.DMA((2,)),  # tsems
+        pltpu.VMEM((ring, KUt, N_UNIT), tfw.units.dtype),  # talker unit ring
+        pltpu.SemaphoreType.DMA((ring,)),  # tsems
         pltpu.VMEM((1, Hm), jnp.float32),  # mx_s
         pltpu.VMEM((1, Hm), jnp.float32),  # mh_s
         pltpu.VMEM((1, qdm + 2 * kvdm), jnp.float32),  # mqkv_s

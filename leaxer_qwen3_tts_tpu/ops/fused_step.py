@@ -807,7 +807,8 @@ def _matmul_unit(w_unit, scale, w4: bool, n_groups: int):
 
 
 def _make_kernel_manual(cfg: TransformerConfig, T: int, w4: bool = False,
-                        n_groups: int = 1, kvq: bool = False):
+                        n_groups: int = 1, kvq: bool = False,
+                        ring: int = 2):
     """MANUAL double-buffered weight streaming (round-3 verdict #5).
 
     The auto kernel's grid is (L, U): every weight unit is one Mosaic grid
@@ -815,12 +816,14 @@ def _make_kernel_manual(cfg: TransformerConfig, T: int, w4: bool = False,
     overhead — ~0.5 ms/frame on the 0.6B talker (28 x 15 steps), the gap
     between 1.40 ms measured and the 0.53 ms DMA floor.  Here the grid is
     (L,): the unit loop is UNROLLED inside the kernel and the int8 units
-    stream HBM->VMEM through an explicitly double-buffered 2-slot scratch
-    with DMA semaphores — the DMA for unit g+1 issues before the wait for
-    unit g, so weight transfer overlaps the unit-g matmul exactly as the
-    Pallas pipeline would, minus the per-step machinery.  Unit offsets and
-    phase boundaries become STATIC (the auto kernel recomputes them from
-    program_id with jnp.where chains every step).
+    stream HBM->VMEM through an explicitly double-buffered ``ring``-slot
+    scratch with DMA semaphores — the DMA for unit g+ring-1 issues before
+    the wait for unit g, so up to ring-1 transfers overlap the unit-g
+    matmul.  ring=2 is the classic double buffer; deeper rings keep more
+    DMAs outstanding (QTTS_FUSED_RING — transport-only, bit-identical
+    results).  Unit offsets and phase boundaries are STATIC (the auto
+    kernel recomputes them from program_id with jnp.where chains every
+    step).
 
     VMEM-cache mode only (T <= 512 — the headline decode shape); the hbm/
     win long-form modes keep the auto kernel.  Layer-block inputs (norms,
@@ -828,7 +831,7 @@ def _make_kernel_manual(cfg: TransformerConfig, T: int, w4: bool = False,
     their per-step overhead is negligible and the pipeline prefetches layer
     l+1's cache during layer l's compute."""
     run_layer, U = _manual_layer_core(cfg, T, w4=w4, n_groups=n_groups,
-                                      kvq=kvq)
+                                      kvq=kvq, ring=ring)
 
     def kernel(*refs):
         (pos_ref,  # SMEM [1] int32
@@ -862,9 +865,10 @@ def _make_kernel_manual(cfg: TransformerConfig, T: int, w4: bool = False,
         @pl.when(l == 0)
         def _init():
             x_s[:] = x_ref[:]
-            pltpu.make_async_copy(
-                w_hbm.at[0, 0], w_vm.at[0], sems.at[0]
-            ).start()
+            for gi in range(ring - 1):
+                pltpu.make_async_copy(
+                    w_hbm.at[0, gi], w_vm.at[gi], sems.at[gi]
+                ).start()
 
         run_layer(
             l, L, pos_ref[0], cos_ref[:], sin_ref[:], w_hbm, s_ref,
@@ -878,14 +882,14 @@ def _make_kernel_manual(cfg: TransformerConfig, T: int, w4: bool = False,
 
 
 def _manual_layer_core(cfg: TransformerConfig, T: int, w4: bool = False,
-                       n_groups: int = 1, kvq: bool = False):
+                       n_groups: int = 1, kvq: bool = False, ring: int = 2):
     """The per-layer body of the manual-DMA unit schedule (see
     _make_kernel_manual), extracted so the whole-frame kernel
     (ops/fused_frame.py) can run the SAME op sequence per talker layer
     inside its own grid.  ``run_layer`` reads/writes the caller's refs:
-    x_s carries the residual stream across layers; w_vm is the 2-slot
-    double-buffered unit scratch whose (l*U+u) parity protocol requires
-    unit (0, 0)'s DMA to be started by the caller's l==0 init."""
+    x_s carries the residual stream across layers; w_vm is the ring-slot
+    unit scratch whose (l*U+u) mod-ring protocol requires units
+    (0, 0..ring-2)'s DMAs to be started by the caller's l==0 init."""
     H = cfg.hidden_size
     nq, nk, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     g = nq // nk
@@ -896,6 +900,7 @@ def _manual_layer_core(cfg: TransformerConfig, T: int, w4: bool = False,
     U = n_qkv + n_wo + n_gu + n_wd
     b2, b3 = n_qkv + n_wo, n_qkv + n_wo + n_gu
     nn = H // N_UNIT
+    assert 2 <= ring <= U + 1, f"ring {ring} outside [2, U+1={U + 1}]"
 
     def run_layer(l, L, pos, cos, sin, w_hbm, s_ref, an_ref, mn_ref,
                   qn_ref, kn_ref, kc_in, vc_in, ks_in, vs_in,
@@ -971,16 +976,19 @@ def _manual_layer_core(cfg: TransformerConfig, T: int, w4: bool = False,
             attn_s[:] = out.reshape(1, qd)
 
         for u in range(U):
-            sl = jax.lax.rem(l * U + u, 2)
-            nsl = jax.lax.rem(l * U + u + 1, 2)
-            # issue the NEXT unit's DMA before waiting on this one: the
-            # transfer overlaps this unit's matmul (classic double buffer)
-            if u + 1 < U:
-                dma_unit(l, u + 1, nsl).start()
+            sl = jax.lax.rem(l * U + u, ring)
+            # issue unit g+ring-1's DMA before waiting on unit g: up to
+            # ring-1 transfers stay outstanding behind this unit's matmul
+            # (ring=2 is the classic double buffer)
+            pre = u + ring - 1
+            li, ui = divmod(pre, U)
+            nsl = jax.lax.rem(l * U + pre, ring)
+            if li == 0:
+                dma_unit(l, ui, nsl).start()
             else:
-                @pl.when(l + 1 < L)
-                def _prefetch_next_layer():
-                    dma_unit(l + 1, 0, nsl).start()
+                @pl.when(l + li < L)
+                def _prefetch_next_layer(li=li, ui=ui, nsl=nsl):
+                    dma_unit(l + li, ui, nsl).start()
             dma_unit(l, u, sl).wait()
 
             # static phase boundaries (the auto kernel re-derives these from
@@ -1045,6 +1053,15 @@ def _manual_enabled() -> bool:
     return os.environ.get("QTTS_FUSED_MANUAL", "1") != "0"
 
 
+def _ring() -> int:
+    """DMA ring depth for the manual kernels (QTTS_FUSED_RING, default 2 —
+    the classic double buffer).  Deeper rings keep more unit transfers
+    outstanding; transport-only, results are bit-identical."""
+    import os
+
+    return max(2, min(8, int(os.environ.get("QTTS_FUSED_RING", "2"))))
+
+
 def fused_decode_step(
     cfg: TransformerConfig,
     fw: FusedStepWeights,
@@ -1083,11 +1100,12 @@ def fused_decode_step(
         )
     manual = mode == "vmem" and _manual_enabled()
     return _fused_decode_step_jit(cfg, fw, x, pos, k_cache, v_cache,
-                                  k_scale, v_scale, interpret, mode, manual)
+                                  k_scale, v_scale, interpret, mode, manual,
+                                  _ring() if manual else 2)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "interpret", "mode", "manual")
+    jax.jit, static_argnames=("cfg", "interpret", "mode", "manual", "ring")
 )
 def _fused_decode_step_jit(
     cfg: TransformerConfig,
@@ -1101,6 +1119,7 @@ def _fused_decode_step_jit(
     interpret: bool,
     mode: str,
     manual: bool = False,
+    ring: int = 2,
 ):
     L = fw.attn_norm.shape[0]
     T = k_cache.shape[3]
@@ -1116,7 +1135,7 @@ def _fused_decode_step_jit(
     if manual:
         return _fused_decode_step_manual(
             cfg, fw, x, pos, k_cache, v_cache, k_scale, v_scale, interpret,
-            w4=w4, n_groups=n_groups,
+            w4=w4, n_groups=n_groups, ring=ring,
         )
     kernel, U = _make_kernel(cfg, T, mode=mode, w4=w4, n_groups=n_groups,
                              kvq=kvq)
@@ -1283,9 +1302,10 @@ def _fused_decode_step_manual(
     interpret: bool,
     w4: bool,
     n_groups: int,
+    ring: int = 2,
 ):
     """pallas_call wrapper for the manual-DMA kernel (grid (L,), weights in
-    HBM/ANY, double-buffered VMEM scratch — see _make_kernel_manual)."""
+    HBM/ANY, ring-slot VMEM scratch — see _make_kernel_manual)."""
     L = fw.attn_norm.shape[0]
     T = k_cache.shape[3]
     H = cfg.hidden_size
@@ -1293,7 +1313,8 @@ def _fused_decode_step_manual(
     qd, kvd, I = cfg.q_dim, cfg.kv_dim, cfg.intermediate_size
     kvq = k_scale is not None
     KU = fw.units.shape[2]
-    kernel, U = _make_kernel_manual(cfg, T, w4=w4, n_groups=n_groups, kvq=kvq)
+    kernel, U = _make_kernel_manual(cfg, T, w4=w4, n_groups=n_groups,
+                                    kvq=kvq, ring=ring)
 
     half = d // 2
     freqs = 1.0 / (cfg.rope_theta ** (jnp.arange(half, dtype=jnp.float32) / half))
@@ -1345,8 +1366,8 @@ def _fused_decode_step_manual(
         pltpu.VMEM((1, qd + 2 * kvd), jnp.float32),  # qkv_s
         pltpu.VMEM((1, qd), jnp.float32),  # attn_s
         pltpu.VMEM((1, 2 * I), jnp.float32),  # gu_s
-        pltpu.VMEM((2, KU, N_UNIT), fw.units.dtype),  # 2-slot unit buffer
-        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.VMEM((ring, KU, N_UNIT), fw.units.dtype),  # unit ring buffer
+        pltpu.SemaphoreType.DMA((ring,)),
     ]
     args = [
         jnp.asarray([pos], jnp.int32),

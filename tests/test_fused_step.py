@@ -547,3 +547,42 @@ def test_bf16_pack_matches_xla_forward():
     corr = np.corrcoef(h_fused.ravel(), h_ref.ravel())[0, 1]
     assert corr > 0.999, corr
     np.testing.assert_allclose(h_fused, h_ref, atol=0.05, rtol=0.05)
+
+
+def test_manual_ring_depth_bit_identical(monkeypatch):
+    """QTTS_FUSED_RING only changes the weight-unit DMA schedule: any ring
+    depth must be BIT-identical to the default double buffer."""
+    from leaxer_qwen3_tts_tpu.models.layers import init_transformer_params
+    from leaxer_qwen3_tts_tpu.ops.fused_step import (
+        fused_decode_step,
+        pack_fused_weights,
+    )
+
+    t = TransformerConfig(
+        hidden_size=1024, num_layers=2, num_heads=8, num_kv_heads=4,
+        head_dim=128, intermediate_size=3072, dtype="float32",
+    )
+    params = init_transformer_params(t, jax.random.PRNGKey(0))
+    fw = pack_fused_weights(t, params["layers"])
+
+    rng = np.random.default_rng(17)
+    L, nk, d, T = 2, 4, 128, 128
+    x = jnp.asarray(rng.standard_normal((1, 1024)) * 0.3, jnp.float32)
+    kc = jnp.asarray(
+        rng.standard_normal((L, 1, nk, T, d)).astype(np.float32) * 0.2
+    )
+    vc = jnp.asarray(
+        rng.standard_normal((L, 1, nk, T, d)).astype(np.float32) * 0.2
+    )
+    pos = jnp.asarray(7, jnp.int32)
+
+    monkeypatch.setenv("QTTS_FUSED_MANUAL", "1")
+    base = fused_decode_step(t, fw, x, pos, kc, vc, interpret=True)
+    for ring in ("4", "8"):
+        monkeypatch.setenv("QTTS_FUSED_RING", ring)
+        out = fused_decode_step(t, fw, x, pos, kc, vc, interpret=True)
+        for a, b in zip(out, base):
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b), err_msg=f"ring={ring}"
+            )
+    monkeypatch.delenv("QTTS_FUSED_RING")

@@ -542,6 +542,20 @@ def main():
         bench_frame()
         return
 
+    if "--ring" in os.sys.argv:
+        # DMA ring depth sweep on the manual kernel (transport-only —
+        # deeper rings keep more unit transfers outstanding).  If the
+        # 1.205-vs-0.53 floor gap is outstanding-transfer-bound this moves;
+        # if it is compute/VPU-bound it will not.
+        talker = TransformerConfig(dtype="bfloat16")
+        for ring in ("2", "4", "8"):
+            os.environ["QTTS_FUSED_RING"] = ring
+            print(f"--- ring={ring} ---", flush=True)
+            bench_shape(f"talker T=512 ring={ring}", talker, 512, kvq=False)
+            bench_shape(f"talker T=512 ring={ring}", talker, 512, kvq=True)
+        os.environ.pop("QTTS_FUSED_RING", None)
+        return
+
     if "--tp" in os.sys.argv:
         bench_tp(TransformerConfig(dtype="bfloat16"), 512)
         return
