@@ -523,9 +523,81 @@ def bench_frame() -> dict:
                 sync(f2)
                 assert np.array_equal(np.asarray(frames), np.asarray(f2)), \
                     "frame kernel nondeterministic on HW"
+        return run_frame, run_composed
 
     run_arms(kvq=False)
     run_arms(kvq=True)
+
+    # greedy frame agreement frame-fused vs composed (FALSIFIABILITY §5):
+    # argmax is transport-invariant up to the documented bf16-lhs lm_head
+    # difference — expect agreement ~1.0, deviations localize there
+    nonlocal_sp = SamplingParams.create(temperature=0.0)
+
+    def greedy_arms():
+        kc, vc = jax.device_put([
+            np.zeros((talker.num_layers, 1, talker.num_kv_heads, T, 128),
+                     np.float32),
+            np.zeros((talker.num_layers, 1, talker.num_kv_heads, T, 128),
+                     np.float32),
+        ])
+        sp = nonlocal_sp
+
+        @jax.jit
+        def g_frame(ll, lh, kc, vc, key):
+            def body(carry, _):
+                ll, lh, kc, vc, pos, key = carry
+                key, k0, kp = split_keys(key, 3)
+                g0 = jax.random.gumbel(k0, (1, Vc), jnp.float32)
+                gm = jax.vmap(
+                    lambda kk: jax.random.gumbel(kk, (1, V), jnp.float32)
+                )(jax.random.split(kp, n))
+                outs = fused_frame_step(
+                    talker, mtp_t, tfw, fnorm_t, lm, codec, mfw, fnorm_m,
+                    heads, tables, ll, lh, suppress, drip, pos, kc, vc,
+                    g0, gm, sp.temperature, sp.top_k, sp.top_p,
+                    jnp.bool_(True), mtp_cache_dtype=jnp.bfloat16,
+                )
+                code0, subs, ll2, lh2, kc2, vc2 = outs
+                frame = jnp.concatenate([code0[:, None], subs], axis=1)
+                return (ll2, lh2.astype(lh.dtype), kc2, vc2,
+                        jax.lax.rem(pos + 1, T), key), frame
+
+            init = (ll, lh, kc, vc, jnp.asarray(0, jnp.int32), key)
+            _, frames = jax.lax.scan(body, init, None, length=64)
+            return frames
+
+        @jax.jit
+        def g_comp(ll, lh, kc, vc, key):
+            def body(carry, _):
+                ll, lh, kc, vc, pos, key = carry
+                key, k0, kp = split_keys(key, 3)
+                logits0 = ll + suppress[None, :]
+                code0 = sample_token(k0, logits0, sp)
+                c0e = jnp.take(codec, code0, axis=0).astype(jnp.float32)
+                subs, ssum = predict_subcodes_resident(
+                    mcfg, mtp_params, tables, lh, c0e, kp, sp
+                )
+                x = c0e + ssum + drip
+                xo, kc2, vc2 = fused_decode_step(talker, tfw, x, pos, kc, vc)
+                hid = rms_norm(xo, fnorm_t, talker.rms_norm_eps)
+                ll2 = dense(hid, lm)
+                frame = jnp.concatenate([code0[:, None], subs], axis=1)
+                return (ll2, hid.astype(lh.dtype), kc2, vc2,
+                        jax.lax.rem(pos + 1, T), key), frame
+
+            init = (ll, lh, kc, vc, jnp.asarray(0, jnp.int32), key)
+            _, frames = jax.lax.scan(body, init, None, length=64)
+            return frames
+
+        fa = g_frame(ll0, lh0, kc, vc, jax.random.PRNGKey(9))
+        fb = g_comp(ll0, lh0, kc, vc, jax.random.PRNGKey(9))
+        sync(fa)
+        sync(fb)
+        agree = float((np.asarray(fa) == np.asarray(fb)).mean())
+        print(f"greedy frame agreement frame-fused vs composed: "
+              f"{agree:.4f}", flush=True)
+
+    greedy_arms()
     return out
 
 
