@@ -103,10 +103,14 @@ def _twin(tcfg, mcfg, tq, mq, codec, tables, ll, lh, sup, drip, pos,
     hid = rms_norm(x_out, tq["transformer"]["final_norm"],
                    tcfg.transformer.rms_norm_eps)
     lm = tq["lm_head"]
+    if hasattr(lm, "q"):  # QuantizedLinear
+        lw, lsc = lm.q, lm.scale.reshape(1, Vc)
+    else:  # raw head (quantize=None config)
+        lw, lsc = lm, jnp.ones((1, Vc), jnp.float32)
     logits = (
-        jnp.dot(hid.astype(jnp.bfloat16), lm.q.astype(jnp.bfloat16),
+        jnp.dot(hid.astype(jnp.bfloat16), lw.astype(jnp.bfloat16),
                 preferred_element_type=jnp.float32)
-        * lm.scale.reshape(1, Vc)
+        * lsc
     )
     return c0, subs, logits, hid, outs[1:]
 
@@ -332,3 +336,59 @@ def test_supports_frame_gates(frame_setup):
     assert supports_frame(mfw, 128, tcfg.transformer, kvq=True)
     bf = mfw._replace(units=mfw.units.astype(jnp.bfloat16))
     assert not supports_frame(bf, 512, tcfg.transformer, kvq=False)
+
+
+def test_frame_kernel_bf16_talker_int8_mtp(frame_setup):
+    """The quality-exact mixed config through the frame kernel: bf16
+    (bits=16) talker units + int8 MTP trunk — the engine's
+    quantize=None + mtp_quantize=int8 pairing (only the 15-step MTP
+    trunk is quantized; the talker stays full-precision)."""
+    from leaxer_qwen3_tts_tpu.models.talker import init_talker_params
+    from leaxer_qwen3_tts_tpu.ops.fused_step import pack_fused_weights
+
+    tcfg, mcfg, _, mq, codec, tables = frame_setup
+    raw = init_talker_params(tcfg, jax.random.PRNGKey(5))
+    tfw16 = pack_fused_weights(
+        tcfg.transformer, raw["transformer"]["layers"], bits=16
+    )
+    assert tfw16.units.dtype == jnp.bfloat16
+    lm16 = raw["lm_head"]  # raw bf16/f32 head (no quantization)
+    tq16 = {
+        "fused_step": tfw16,
+        "transformer": {"final_norm": raw["transformer"]["final_norm"]},
+        "lm_head": lm16,
+    }
+
+    L, nk, d = 2, 4, 128
+    T = 64
+    n, V, Vc = mcfg.num_steps, mcfg.subcode_vocab_size, 256
+    rng = np.random.default_rng(8)
+    ll = jnp.asarray(rng.standard_normal((1, Vc)) * 2.0, jnp.float32)
+    lh = jnp.asarray(rng.standard_normal((1, 1024)) * 0.5, jnp.float32)
+    sup = jnp.zeros(Vc, jnp.float32)
+    drip = jnp.asarray(rng.standard_normal((1, 1024)) * 0.02, jnp.float32)
+    kc = jnp.zeros((L, 1, nk, T, d), jnp.float32)
+    vc = jnp.zeros((L, 1, nk, T, d), jnp.float32)
+    g0, gm = _noise(jax.random.PRNGKey(11), Vc, n, V)
+    temp, top_k, top_p = jnp.float32(0.7), jnp.int32(40), jnp.float32(0.9)
+
+    code0, subs, logits, hid, kc_o, vc_o = fused_frame_step(
+        tcfg.transformer, mcfg.transformer, tfw16,
+        raw["transformer"]["final_norm"], lm16, codec,
+        mq["fused_step"], mq["transformer"]["final_norm"], mq["heads"],
+        tables, ll, lh, sup, drip, jnp.int32(5), kc, vc, g0, gm,
+        temp, top_k, top_p, jnp.bool_(False), interpret=True,
+    )
+    c0_t, subs_t, logits_t, hid_t, caches_t = _twin(
+        tcfg, mcfg, {"fused_step": tfw16,
+                     "transformer": {"final_norm":
+                                     raw["transformer"]["final_norm"]},
+                     "lm_head": lm16},
+        mq, codec, tables, ll, lh, sup, drip, 5,
+        kc, vc, g0, gm, temp, top_k, top_p,
+    )
+    assert int(code0[0]) == c0_t
+    np.testing.assert_array_equal(np.asarray(subs), np.asarray(subs_t))
+    np.testing.assert_allclose(
+        np.asarray(logits), np.asarray(logits_t), atol=1e-4, rtol=1e-4
+    )
