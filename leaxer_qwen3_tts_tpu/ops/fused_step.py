@@ -808,7 +808,7 @@ def _matmul_unit(w_unit, scale, w4: bool, n_groups: int):
 
 def _make_kernel_manual(cfg: TransformerConfig, T: int, w4: bool = False,
                         n_groups: int = 1, kvq: bool = False,
-                        ring: int = 2):
+                        ring: int = 2, mode: str = "vmem"):
     """MANUAL double-buffered weight streaming (round-3 verdict #5).
 
     The auto kernel's grid is (L, U): every weight unit is one Mosaic grid
@@ -831,7 +831,7 @@ def _make_kernel_manual(cfg: TransformerConfig, T: int, w4: bool = False,
     their per-step overhead is negligible and the pipeline prefetches layer
     l+1's cache during layer l's compute."""
     run_layer, U = _manual_layer_core(cfg, T, w4=w4, n_groups=n_groups,
-                                      kvq=kvq, ring=ring)
+                                      kvq=kvq, ring=ring, mode=mode)
 
     def kernel(*refs):
         (pos_ref,  # SMEM [1] int32
@@ -843,11 +843,11 @@ def _make_kernel_manual(cfg: TransformerConfig, T: int, w4: bool = False,
          an_ref, mn_ref,  # [1, 1, H] f32
          qn_ref, kn_ref) = refs[:10]  # [1, 1, d] f32
         i = 10
-        kc_in, vc_in = refs[i : i + 2]  # [1, nk, T, d] layer blocks
+        kc_in, vc_in = refs[i : i + 2]  # vmem: layer blocks; win: ANY full
         i += 2
         ks_in = vs_in = None
         if kvq:
-            ks_in, vs_in = refs[i : i + 2]  # [1, nk, T] layer blocks
+            ks_in, vs_in = refs[i : i + 2]  # [1, nk, T] blocks | ANY full
             i += 2
         x_out = refs[i]
         kc_out, vc_out = refs[i + 1 : i + 3]
@@ -858,6 +858,14 @@ def _make_kernel_manual(cfg: TransformerConfig, T: int, w4: bool = False,
             i += 2
         (x_s, h_s, qkv_s, attn_s, gu_s, w_vm) = refs[i : i + 6]
         sems = refs[i + 6]
+        i += 7
+        win = None
+        if mode == "win":
+            n_w = 8 if kvq else 4
+            win = tuple(refs[i : i + n_w])
+            if not kvq:
+                win = win + (None, None, None, None)
+            win = win + (refs[i + n_w],)  # csems
 
         l = pl.program_id(0)
         L = pl.num_programs(0)
@@ -874,7 +882,7 @@ def _make_kernel_manual(cfg: TransformerConfig, T: int, w4: bool = False,
             l, L, pos_ref[0], cos_ref[:], sin_ref[:], w_hbm, s_ref,
             an_ref, mn_ref, qn_ref, kn_ref, kc_in, vc_in, ks_in, vs_in,
             kc_out, vc_out, ks_out, vs_out,
-            x_s, h_s, qkv_s, attn_s, gu_s, w_vm, sems,
+            x_s, h_s, qkv_s, attn_s, gu_s, w_vm, sems, win=win,
         )
         x_out[:] = x_s[:]
 
@@ -882,14 +890,21 @@ def _make_kernel_manual(cfg: TransformerConfig, T: int, w4: bool = False,
 
 
 def _manual_layer_core(cfg: TransformerConfig, T: int, w4: bool = False,
-                       n_groups: int = 1, kvq: bool = False, ring: int = 2):
+                       n_groups: int = 1, kvq: bool = False, ring: int = 2,
+                       mode: str = "vmem"):
     """The per-layer body of the manual-DMA unit schedule (see
     _make_kernel_manual), extracted so the whole-frame kernel
     (ops/fused_frame.py) can run the SAME op sequence per talker layer
     inside its own grid.  ``run_layer`` reads/writes the caller's refs:
     x_s carries the residual stream across layers; w_vm is the ring-slot
     unit scratch whose (l*U+u) mod-ring protocol requires units
-    (0, 0..ring-2)'s DMAs to be started by the caller's l==0 init."""
+    (0, 0..ring-2)'s DMAs to be started by the caller's l==0 init.
+
+    mode="vmem": per-layer cache blocks ride the caller's Pallas pipeline
+    (T <= 512).  mode="win": caches stay in HBM/ANY and attention streams
+    WINDOW-slot chunks through ``win``-supplied double-buffered scratch
+    with online softmax — the manual-schedule counterpart of the auto
+    kernel's long-form path (same math, grid (L,) instead of (L, U))."""
     H = cfg.hidden_size
     nq, nk, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     g = nq // nk
@@ -900,16 +915,60 @@ def _manual_layer_core(cfg: TransformerConfig, T: int, w4: bool = False,
     U = n_qkv + n_wo + n_gu + n_wd
     b2, b3 = n_qkv + n_wo, n_qkv + n_wo + n_gu
     nn = H // N_UNIT
+    SLOT_W = 32 if kvq else 8
     assert 2 <= ring <= U + 1, f"ring {ring} outside [2, U+1={U + 1}]"
+    assert mode in ("vmem", "win")
 
     def run_layer(l, L, pos, cos, sin, w_hbm, s_ref, an_ref, mn_ref,
                   qn_ref, kn_ref, kc_in, vc_in, ks_in, vs_in,
                   kc_out, vc_out, ks_out, vs_out,
-                  x_s, h_s, qkv_s, attn_s, gu_s, w_vm, sems):
+                  x_s, h_s, qkv_s, attn_s, gu_s, w_vm, sems, win=None):
         def dma_unit(li, ui, sl):
             return pltpu.make_async_copy(
                 w_hbm.at[li, ui], w_vm.at[sl], sems.at[sl]
             )
+
+        if mode == "win":
+            (k_vm, v_vm, slot_k, slot_v, ks_vm, vs_vm, slot_ks, slot_vs,
+             csems) = win
+            # start the RMW slot window + the first attention window NOW —
+            # they stream while the qkv units run (the auto kernel issues
+            # these at its u == 0 grid step)
+            w0 = pl.multiple_of((pos // SLOT_W) * SLOT_W, SLOT_W)
+            pltpu.make_async_copy(
+                kc_in.at[l, :, pl.ds(w0, SLOT_W), :], slot_k, csems.at[4]
+            ).start()
+            pltpu.make_async_copy(
+                vc_in.at[l, :, pl.ds(w0, SLOT_W), :], slot_v, csems.at[5]
+            ).start()
+            if kvq:
+                w0s = pl.multiple_of((pos // 128) * 128, 128)
+                pltpu.make_async_copy(
+                    ks_in.at[l, :, pl.ds(w0s, 128)], slot_ks, csems.at[12]
+                ).start()
+                pltpu.make_async_copy(
+                    vs_in.at[l, :, pl.ds(w0s, 128)], slot_vs, csems.at[13]
+                ).start()
+
+            @pl.when(pos > 0)
+            def _first_window():
+                pltpu.make_async_copy(
+                    kc_in.at[l, :, pl.ds(0, WINDOW), :], k_vm.at[0],
+                    csems.at[0],
+                ).start()
+                pltpu.make_async_copy(
+                    vc_in.at[l, :, pl.ds(0, WINDOW), :], v_vm.at[0],
+                    csems.at[2],
+                ).start()
+                if kvq:
+                    pltpu.make_async_copy(
+                        ks_in.at[l, :, pl.ds(0, WINDOW)], ks_vm.at[0],
+                        csems.at[8],
+                    ).start()
+                    pltpu.make_async_copy(
+                        vs_in.at[l, :, pl.ds(0, WINDOW)], vs_vm.at[0],
+                        csems.at[10],
+                    ).start()
 
         def attention():
             qkv = qkv_s[:]
@@ -934,6 +993,11 @@ def _manual_layer_core(cfg: TransformerConfig, T: int, w4: bool = False,
                 k_store, v_store = k_qr, v_qr
             else:
                 k_store, v_store = k, v
+
+            if mode == "win":
+                _attention_win(l, pos, q, k, v, k_store, v_store,
+                               k_sc if kvq else None, v_sc if kvq else None)
+                return
             slot = jax.lax.broadcasted_iota(jnp.int32, (1, nk, T, d), 2)
             K_new = jnp.where(
                 slot == pos,
@@ -974,6 +1038,154 @@ def _manual_layer_core(cfg: TransformerConfig, T: int, w4: bool = False,
                 preferred_element_type=jnp.float32,
             )
             attn_s[:] = out.reshape(1, qd)
+
+        def _attention_win(l, pos, q, k, v, k_store, v_store, k_sc, v_sc):
+            """Streamed attention over [0, pos) + register diagonal — the
+            auto win kernel's math verbatim (online softmax, WINDOW-chunk
+            double buffering, RMW slot write-back)."""
+            (k_vm, v_vm, slot_k, slot_v, ks_vm, vs_vm, slot_ks, slot_vs,
+             csems) = win
+            w0 = pl.multiple_of((pos // SLOT_W) * SLOT_W, SLOT_W)
+            pltpu.make_async_copy(
+                kc_in.at[l, :, pl.ds(w0, SLOT_W), :], slot_k, csems.at[4]
+            ).wait()
+            pltpu.make_async_copy(
+                vc_in.at[l, :, pl.ds(w0, SLOT_W), :], slot_v, csems.at[5]
+            ).wait()
+            wslot = (
+                jax.lax.broadcasted_iota(jnp.int32, (nk, SLOT_W, d), 1) + w0
+            )
+            slot_k[:] = jnp.where(
+                wslot == pos, k_store[:, None, :].astype(slot_k.dtype),
+                slot_k[:],
+            )
+            slot_v[:] = jnp.where(
+                wslot == pos, v_store[:, None, :].astype(slot_v.dtype),
+                slot_v[:],
+            )
+            kout = pltpu.make_async_copy(
+                slot_k, kc_out.at[l, :, pl.ds(w0, SLOT_W), :], csems.at[6]
+            )
+            vout = pltpu.make_async_copy(
+                slot_v, vc_out.at[l, :, pl.ds(w0, SLOT_W), :], csems.at[7]
+            )
+            kout.start()
+            vout.start()
+            souts = []
+            if kvq:
+                w0s = pl.multiple_of((pos // 128) * 128, 128)
+                pltpu.make_async_copy(
+                    ks_in.at[l, :, pl.ds(w0s, 128)], slot_ks, csems.at[12]
+                ).wait()
+                pltpu.make_async_copy(
+                    vs_in.at[l, :, pl.ds(w0s, 128)], slot_vs, csems.at[13]
+                ).wait()
+                sslot = (
+                    jax.lax.broadcasted_iota(jnp.int32, (nk, 128), 1) + w0s
+                )
+                slot_ks[:] = jnp.where(sslot == pos, k_sc, slot_ks[:])
+                slot_vs[:] = jnp.where(sslot == pos, v_sc, slot_vs[:])
+                kso = pltpu.make_async_copy(
+                    slot_ks, ks_out.at[l, :, pl.ds(w0s, 128)], csems.at[14]
+                )
+                vso = pltpu.make_async_copy(
+                    slot_vs, vs_out.at[l, :, pl.ds(w0s, 128)], csems.at[15]
+                )
+                kso.start()
+                vso.start()
+                souts = [kso, vso]
+
+            qg = q.reshape(nk, g, d)
+            inv_sqrt_d = 1.0 / (d**0.5)
+            n_win = pl.cdiv(pos, WINDOW)
+
+            def win_body(i, carry):
+                m, s, acc = carry
+                buf = jax.lax.rem(i, 2)
+                nxt = jax.lax.rem(i + 1, 2)
+                off_next = pl.multiple_of((i + 1) * WINDOW, WINDOW)
+
+                @pl.when(i + 1 < n_win)
+                def _():
+                    pltpu.make_async_copy(
+                        kc_in.at[l, :, pl.ds(off_next, WINDOW), :],
+                        k_vm.at[nxt], csems.at[nxt],
+                    ).start()
+                    pltpu.make_async_copy(
+                        vc_in.at[l, :, pl.ds(off_next, WINDOW), :],
+                        v_vm.at[nxt], csems.at[2 + nxt],
+                    ).start()
+                    if kvq:
+                        pltpu.make_async_copy(
+                            ks_in.at[l, :, pl.ds(off_next, WINDOW)],
+                            ks_vm.at[nxt], csems.at[8 + nxt],
+                        ).start()
+                        pltpu.make_async_copy(
+                            vs_in.at[l, :, pl.ds(off_next, WINDOW)],
+                            vs_vm.at[nxt], csems.at[10 + nxt],
+                        ).start()
+
+                off_i = pl.multiple_of(i * WINDOW, WINDOW)
+                pltpu.make_async_copy(
+                    kc_in.at[l, :, pl.ds(off_i, WINDOW), :], k_vm.at[buf],
+                    csems.at[buf],
+                ).wait()
+                pltpu.make_async_copy(
+                    vc_in.at[l, :, pl.ds(off_i, WINDOW), :], v_vm.at[buf],
+                    csems.at[2 + buf],
+                ).wait()
+                K_w = k_vm[buf].astype(jnp.float32)
+                V_w = v_vm[buf].astype(jnp.float32)
+                sc = jax.lax.dot_general(
+                    qg, K_w, (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                ) * inv_sqrt_d
+                if kvq:
+                    pltpu.make_async_copy(
+                        ks_in.at[l, :, pl.ds(off_i, WINDOW)], ks_vm.at[buf],
+                        csems.at[8 + buf],
+                    ).wait()
+                    pltpu.make_async_copy(
+                        vs_in.at[l, :, pl.ds(off_i, WINDOW)], vs_vm.at[buf],
+                        csems.at[10 + buf],
+                    ).wait()
+                    sc = sc * ks_vm[buf][:, None, :]
+                gslot = (
+                    jax.lax.broadcasted_iota(jnp.int32, (nk, g, WINDOW), 2)
+                    + i * WINDOW
+                )
+                sc = jnp.where(gslot < pos, sc, -1e30)
+                m_new = jnp.maximum(m, jnp.max(sc, axis=-1, keepdims=True))
+                alpha = jnp.exp(m - m_new)
+                e = jnp.exp(sc - m_new)
+                s_new = s * alpha + jnp.sum(e, axis=-1, keepdims=True)
+                ew = e * vs_vm[buf][:, None, :] if kvq else e
+                acc_new = acc * alpha + jax.lax.dot_general(
+                    ew, V_w, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )
+                return m_new, s_new, acc_new
+
+            m0 = jnp.full((nk, g, 1), -1e30, jnp.float32)
+            s0 = jnp.zeros((nk, g, 1), jnp.float32)
+            a0 = jnp.zeros((nk, g, d), jnp.float32)
+            m, s, acc = jax.lax.fori_loop(0, n_win, win_body, (m0, s0, a0))
+
+            # diagonal term: the new slot (this step's k, v from registers)
+            sc_d = (
+                jnp.sum(qg * k[:, None, :], axis=-1, keepdims=True)
+                * inv_sqrt_d
+            )
+            m2 = jnp.maximum(m, sc_d)
+            alpha = jnp.exp(m - m2)
+            e_d = jnp.exp(sc_d - m2)
+            s = s * alpha + e_d
+            acc = acc * alpha + e_d * v[:, None, :]
+            attn_s[:] = (acc / s).reshape(1, qd)
+            kout.wait()
+            vout.wait()
+            for so in souts:
+                so.wait()
 
         for u in range(U):
             sl = jax.lax.rem(l * U + u, ring)
@@ -1062,6 +1274,16 @@ def _ring() -> int:
     return max(2, min(8, int(os.environ.get("QTTS_FUSED_RING", "2"))))
 
 
+def _win_manual_enabled() -> bool:
+    """Manual-schedule WINDOWED kernel for long-form buckets
+    (QTTS_FUSED_WIN_MANUAL=1).  Default OFF until hardware-validated
+    (tools/manual_probe.py --win) — the resident chain's gating pattern;
+    the auto (L, U) pipeline stays the long-form default meanwhile."""
+    import os
+
+    return os.environ.get("QTTS_FUSED_WIN_MANUAL", "0") == "1"
+
+
 def fused_decode_step(
     cfg: TransformerConfig,
     fw: FusedStepWeights,
@@ -1098,7 +1320,9 @@ def fused_decode_step(
             f"int8 KV fused decode needs the bucket ({T}) 128-aligned "
             f"(scale slot windows); round the bucket up (engine does this)"
         )
-    manual = mode == "vmem" and _manual_enabled()
+    manual = (mode == "vmem" and _manual_enabled()) or (
+        mode == "win" and _win_manual_enabled()
+    )
     return _fused_decode_step_jit(cfg, fw, x, pos, k_cache, v_cache,
                                   k_scale, v_scale, interpret, mode, manual,
                                   _ring() if manual else 2)
@@ -1135,7 +1359,7 @@ def _fused_decode_step_jit(
     if manual:
         return _fused_decode_step_manual(
             cfg, fw, x, pos, k_cache, v_cache, k_scale, v_scale, interpret,
-            w4=w4, n_groups=n_groups, ring=ring,
+            w4=w4, n_groups=n_groups, ring=ring, mode=mode,
         )
     kernel, U = _make_kernel(cfg, T, mode=mode, w4=w4, n_groups=n_groups,
                              kvq=kvq)
@@ -1303,9 +1527,11 @@ def _fused_decode_step_manual(
     w4: bool,
     n_groups: int,
     ring: int = 2,
+    mode: str = "vmem",
 ):
     """pallas_call wrapper for the manual-DMA kernel (grid (L,), weights in
-    HBM/ANY, ring-slot VMEM scratch — see _make_kernel_manual)."""
+    HBM/ANY, ring-slot VMEM scratch — see _make_kernel_manual).  mode="win"
+    keeps the caches in HBM/ANY (aliased in-place) and streams windows."""
     L = fw.attn_norm.shape[0]
     T = k_cache.shape[3]
     H = cfg.hidden_size
@@ -1313,8 +1539,9 @@ def _fused_decode_step_manual(
     qd, kvd, I = cfg.q_dim, cfg.kv_dim, cfg.intermediate_size
     kvq = k_scale is not None
     KU = fw.units.shape[2]
+    SLOT_W = 32 if kvq else 8
     kernel, U = _make_kernel_manual(cfg, T, w4=w4, n_groups=n_groups,
-                                    kvq=kvq, ring=ring)
+                                    kvq=kvq, ring=ring, mode=mode)
 
     half = d // 2
     freqs = 1.0 / (cfg.rope_theta ** (jnp.arange(half, dtype=jnp.float32) / half))
@@ -1326,10 +1553,14 @@ def _fused_decode_step_manual(
     vc = v_cache.reshape(L, nk, T, d)
 
     norm_block = lambda l: (l, 0, 0)
-    cache_spec = pl.BlockSpec((1, nk, T, d), lambda l: (l, 0, 0, 0),
-                              memory_space=_VMEM)
-    scale_spec = pl.BlockSpec((1, nk, T), lambda l: (l, 0, 0),
-                              memory_space=_VMEM)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    if mode == "win":
+        cache_spec = scale_spec = any_spec
+    else:
+        cache_spec = pl.BlockSpec((1, nk, T, d), lambda l: (l, 0, 0, 0),
+                                  memory_space=_VMEM)
+        scale_spec = pl.BlockSpec((1, nk, T), lambda l: (l, 0, 0),
+                                  memory_space=_VMEM)
     in_specs = [
         pl.BlockSpec(memory_space=_SMEM),  # pos
         pl.BlockSpec((1, H), lambda l: (0, 0), memory_space=_VMEM),
@@ -1369,6 +1600,27 @@ def _fused_decode_step_manual(
         pltpu.VMEM((ring, KU, N_UNIT), fw.units.dtype),  # unit ring buffer
         pltpu.SemaphoreType.DMA((ring,)),
     ]
+    aliases = {}
+    if mode == "win":
+        # caches alias input->output (in-place update from the RMW window);
+        # window scratch per the auto kernel's win path
+        scratch += [
+            pltpu.VMEM((2, nk, WINDOW, d), kc.dtype),  # k_vm
+            pltpu.VMEM((2, nk, WINDOW, d), vc.dtype),  # v_vm
+            pltpu.VMEM((nk, SLOT_W, d), kc.dtype),  # slot_k
+            pltpu.VMEM((nk, SLOT_W, d), vc.dtype),  # slot_v
+        ]
+        if kvq:
+            scratch += [
+                pltpu.VMEM((2, nk, WINDOW), jnp.float32),  # ks_vm
+                pltpu.VMEM((2, nk, WINDOW), jnp.float32),  # vs_vm
+                pltpu.VMEM((nk, 128), jnp.float32),  # slot_ks
+                pltpu.VMEM((nk, 128), jnp.float32),  # slot_vs
+            ]
+        scratch += [pltpu.SemaphoreType.DMA((16 if kvq else 8,))]  # csems
+        base = 10
+        aliases = ({base: 1, base + 1: 2, base + 2: 3, base + 3: 4}
+                   if kvq else {base: 1, base + 1: 2})
     args = [
         jnp.asarray([pos], jnp.int32),
         x.astype(jnp.float32),
@@ -1397,6 +1649,7 @@ def _fused_decode_step_manual(
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=scratch,
+        input_output_aliases=aliases,
         interpret=interpret,
         compiler_params=compiler_params,
     )(*args)

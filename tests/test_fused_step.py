@@ -586,3 +586,77 @@ def test_manual_ring_depth_bit_identical(monkeypatch):
                 np.asarray(a), np.asarray(b), err_msg=f"ring={ring}"
             )
     monkeypatch.delenv("QTTS_FUSED_RING")
+
+
+@pytest.mark.parametrize("kvq", [False, True])
+def test_manual_win_matches_auto_win(kvq, monkeypatch):
+    """The manual-schedule WINDOWED kernel (grid (L,), unit ring, streamed
+    online-softmax attention) == the auto (L, U)-grid win pipeline on a
+    long-form bucket: same math, different transport."""
+    from leaxer_qwen3_tts_tpu.models.layers import (
+        init_transformer_params,
+        quantize_kv,
+    )
+    from leaxer_qwen3_tts_tpu.ops.fused_step import (
+        fused_decode_step,
+        pack_fused_weights,
+    )
+
+    t = TransformerConfig(
+        hidden_size=1024, num_layers=2, num_heads=8, num_kv_heads=4,
+        head_dim=128, intermediate_size=3072, dtype="float32",
+        kv_cache_quant=kvq,
+    )
+    params = init_transformer_params(t, jax.random.PRNGKey(0))
+    fw = pack_fused_weights(t, params["layers"])
+
+    rng = np.random.default_rng(23)
+    L, nk, d, T = 2, 4, 128, 1024
+    pos_i = 700  # past the first 512-window; exercises streaming + RMW
+    x = jnp.asarray(rng.standard_normal((1, 1024)) * 0.3, jnp.float32)
+    kc_f = rng.standard_normal((L, 1, nk, T, d)).astype(np.float32) * 0.2
+    vc_f = rng.standard_normal((L, 1, nk, T, d)).astype(np.float32) * 0.2
+    kc_f[:, :, :, pos_i:] = 0.0
+    vc_f[:, :, :, pos_i:] = 0.0
+    if kvq:
+        qk, sk = quantize_kv(jnp.asarray(kc_f))
+        qv, sv = quantize_kv(jnp.asarray(vc_f))
+        args = (qk, qv, sk, sv)
+    else:
+        args = (jnp.asarray(kc_f), jnp.asarray(vc_f))
+    pos = jnp.asarray(pos_i, jnp.int32)
+
+    monkeypatch.delenv("QTTS_FUSED_WIN_MANUAL", raising=False)
+    out_a = fused_decode_step(t, fw, x, pos, *args, interpret=True,
+                              mode="win")
+    monkeypatch.setenv("QTTS_FUSED_WIN_MANUAL", "1")
+    out_m = fused_decode_step(t, fw, x, pos, *args, interpret=True,
+                              mode="win")
+    # ring depth stays transport-only in win mode too
+    monkeypatch.setenv("QTTS_FUSED_RING", "4")
+    out_r = fused_decode_step(t, fw, x, pos, *args, interpret=True,
+                              mode="win")
+    monkeypatch.delenv("QTTS_FUSED_RING")
+    monkeypatch.delenv("QTTS_FUSED_WIN_MANUAL")
+
+    np.testing.assert_allclose(
+        np.asarray(out_m[0]), np.asarray(out_a[0]), atol=2e-2
+    )
+    corr = np.corrcoef(
+        np.asarray(out_m[0]).ravel(), np.asarray(out_a[0]).ravel()
+    )[0, 1]
+    assert corr > 0.99999, corr
+    for a, b in zip(out_r, out_m):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # untouched slots bit-exact; the written slot matches to store rounding
+    mask = np.ones(T, bool)
+    mask[pos_i] = False
+    for j in (1, 2):
+        np.testing.assert_array_equal(
+            np.asarray(out_m[j])[:, :, :, mask],
+            np.asarray(out_a[j])[:, :, :, mask],
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_m[j])[:, :, :, pos_i],
+            np.asarray(out_a[j])[:, :, :, pos_i], atol=1e-2,
+        )

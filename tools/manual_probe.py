@@ -63,19 +63,18 @@ def bench_shape(name: str, t: TransformerConfig, T: int, kvq: bool,
     rng = np.random.default_rng(0)
     fw = make_weights(t, rng, bf16=bf16, w4=w4)
     L, nk, d = t.num_layers, t.num_kv_heads, t.head_dim
-    cdt = np.int8 if kvq else np.float32
-    kc, vc, x = jax.device_put([
-        np.zeros((L, 1, nk, T, d), cdt),
-        np.zeros((L, 1, nk, T, d), cdt),
-        rng.standard_normal((1, t.hidden_size)).astype(np.float32) * 0.1,
-    ])
+    cdt = jnp.int8 if kvq else jnp.float32
+    # caches materialize ON DEVICE (zeros/full): at long-form T the host
+    # transfer would cost minutes over the tunnel for all-zero bytes
+    kc = jnp.zeros((L, 1, nk, T, d), cdt)
+    vc = jnp.zeros((L, 1, nk, T, d), cdt)
+    x = jax.device_put(
+        rng.standard_normal((1, t.hidden_size)).astype(np.float32) * 0.1
+    )
     scales = None
     if kvq:
-        ks, vs = jax.device_put([
-            np.full((L, 1, nk, T), 1e-3, np.float32),
-            np.full((L, 1, nk, T), 1e-3, np.float32),
-        ])
-        scales = (ks, vs)
+        scales = (jnp.full((L, 1, nk, T), 1e-3, jnp.float32),
+                  jnp.full((L, 1, nk, T), 1e-3, jnp.float32))
 
     out = {}
     for arm in ("auto", "manual"):
@@ -612,6 +611,23 @@ def main():
 
     if "--frame" in os.sys.argv:
         bench_frame()
+        return
+
+    if "--win" in os.sys.argv:
+        # long-form windowed kernel A/B: auto (L, U)-grid pipeline vs the
+        # manual-schedule win kernel (QTTS_FUSED_WIN_MANUAL=1) at a 2560
+        # bucket — the vmem manual kernel's ~12-19% should transfer if the
+        # win path is also grid-overhead-bound
+        talker = TransformerConfig(dtype="bfloat16")
+        os.environ["QTTS_FUSED_MODE"] = "win"
+        for wm in ("0", "1"):
+            os.environ["QTTS_FUSED_WIN_MANUAL"] = wm
+            name = "win-manual" if wm == "1" else "win-auto"
+            print(f"--- {name} ---", flush=True)
+            bench_shape(f"talker T=2560 {name}", talker, 2560, kvq=False)
+            bench_shape(f"talker T=2560 {name}", talker, 2560, kvq=True)
+        os.environ.pop("QTTS_FUSED_MODE", None)
+        os.environ.pop("QTTS_FUSED_WIN_MANUAL", None)
         return
 
     if "--ring" in os.sys.argv:
