@@ -63,6 +63,7 @@ from .fused_mtp import (
 )
 from .fused_step import (
     N_UNIT,
+    WINDOW,
     FusedStepWeights,
     _manual_layer_core,
     _ring,
@@ -80,10 +81,14 @@ def supports_frame(mfw: FusedStepWeights, T: int, cfg: TransformerConfig,
                    kvq: bool = False) -> bool:
     """True when the whole-frame kernel fits: int8/int4 MTP trunk resident
     within the VMEM budget, talker bucket in vmem mode (T <= 512,
-    128-aligned under int8 KV)."""
+    128-aligned under int8 KV) or win mode (any 512-multiple — the
+    long-form path streams cache windows)."""
     if mfw.units.dtype != jnp.int8:
         return False  # bf16 trunks never fit (fused_mtp.supports_resident)
-    if T > 512 or (kvq and T % 128 != 0):
+    if T <= 512:
+        if kvq and T % 128 != 0:
+            return False
+    elif T % WINDOW != 0:
         return False
     from .fused_step import supports
 
@@ -105,9 +110,10 @@ def _make_frame_kernel(
     m_groups: int,
     kvq: bool,
     ring: int,
+    mode: str,
 ):
     run_layer, Ut = _manual_layer_core(tcfg, T, w4=tw4, n_groups=t_groups,
-                                       kvq=kvq, ring=ring)
+                                       kvq=kvq, ring=ring, mode=mode)
     run_chain, Um = _chain_core(mcfg, n, V, n + 2, mw4, m_groups)
     t_eps = tcfg.rms_norm_eps
 
@@ -144,6 +150,14 @@ def _make_frame_kernel(
          mhead_vm, memb_vm, mw_vm, msems) = refs[i : i + 13]
         i += 13
         (c0e_vm, lm_vm, fsems) = refs[i : i + 3]
+        i += 3
+        win = None
+        if mode == "win":
+            n_w = 8 if kvq else 4
+            win = tuple(refs[i : i + n_w])
+            if not kvq:
+                win = win + (None, None, None, None)
+            win = win + (refs[i + n_w],)  # csems
 
         l = pl.program_id(0)
         L = pl.num_programs(0)
@@ -201,7 +215,7 @@ def _make_frame_kernel(
             l, L, pos, cost_ref[:], sint_ref[:], tw_hbm, ts_ref,
             tan_ref, tmn_ref, tqn_ref, tkn_ref, kc_in, vc_in, ks_in, vs_in,
             kc_out, vc_out, ks_out, vs_out,
-            x_s, h_s, qkv_s, attn_s, gu_s, tw_vm, tsems,
+            x_s, h_s, qkv_s, attn_s, gu_s, tw_vm, tsems, win=win,
         )
 
         @pl.when(l == L - 1)
@@ -307,8 +321,11 @@ def fused_frame_step(
     vc = v_cache.reshape(L, nk, T, d)
 
     ring = _ring()
+    mode = "vmem" if T <= 512 else "win"
+    SLOT_W = 32 if kvq else 8
     kernel, Ut, Um = _make_frame_kernel(
-        tcfg, mcfg, T, Vc, n, V, tw4, t_groups, mw4, m_groups, kvq, ring
+        tcfg, mcfg, T, Vc, n, V, tw4, t_groups, mw4, m_groups, kvq, ring,
+        mode,
     )
 
     def const(shape):
@@ -316,12 +333,15 @@ def fused_frame_step(
                             memory_space=_VMEM)
 
     norm_block = lambda l: (l, 0, 0)
-    cache_spec = pl.BlockSpec((1, nk, T, d), lambda l: (l, 0, 0, 0),
-                              memory_space=_VMEM)
-    scale_spec = pl.BlockSpec((1, nk, T), lambda l: (l, 0, 0),
-                              memory_space=_VMEM)
     smem = pl.BlockSpec(memory_space=_SMEM)
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    if mode == "win":
+        cache_spec = scale_spec = any_spec
+    else:
+        cache_spec = pl.BlockSpec((1, nk, T, d), lambda l: (l, 0, 0, 0),
+                                  memory_space=_VMEM)
+        scale_spec = pl.BlockSpec((1, nk, T), lambda l: (l, 0, 0),
+                                  memory_space=_VMEM)
 
     in_specs = [
         smem, smem, smem, smem, smem,  # pos, forbid, temp, topk, topp
@@ -410,6 +430,26 @@ def fused_frame_step(
         pltpu.VMEM((H, Vc), lmq.dtype),  # lm_vm
         pltpu.SemaphoreType.DMA((3,)),  # fsems
     ]
+    aliases = {}
+    if mode == "win":
+        scratch += [
+            pltpu.VMEM((2, nk, WINDOW, d), kc.dtype),  # k_vm
+            pltpu.VMEM((2, nk, WINDOW, d), vc.dtype),  # v_vm
+            pltpu.VMEM((nk, SLOT_W, d), kc.dtype),  # slot_k
+            pltpu.VMEM((nk, SLOT_W, d), vc.dtype),  # slot_v
+        ]
+        if kvq:
+            scratch += [
+                pltpu.VMEM((2, nk, WINDOW), jnp.float32),  # ks_vm
+                pltpu.VMEM((2, nk, WINDOW), jnp.float32),  # vs_vm
+                pltpu.VMEM((nk, 128), jnp.float32),  # slot_ks
+                pltpu.VMEM((nk, 128), jnp.float32),  # slot_vs
+            ]
+        scratch += [pltpu.SemaphoreType.DMA((16 if kvq else 8,))]  # csems
+        kc_idx = 20  # 5 smem + 9 const + 5 talker layer blocks + tw ANY
+        aliases = {kc_idx: 4, kc_idx + 1: 5}
+        if kvq:
+            aliases.update({kc_idx + 2: 6, kc_idx + 3: 7})
     args = [
         jnp.asarray([pos], jnp.int32),
         jnp.asarray([forbid_eos], jnp.int32).reshape(-1)[:1],
@@ -465,6 +505,7 @@ def fused_frame_step(
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=scratch,
+        input_output_aliases=aliases,
         interpret=interpret,
         compiler_params=compiler_params,
     )(*args)

@@ -331,7 +331,8 @@ def test_supports_frame_gates(frame_setup):
     tcfg, mcfg, tq, mq, codec, tables = frame_setup
     mfw = mq["fused_step"]
     assert supports_frame(mfw, 512, tcfg.transformer, kvq=False)
-    assert not supports_frame(mfw, 1024, tcfg.transformer, kvq=False)
+    assert supports_frame(mfw, 1024, tcfg.transformer, kvq=False)  # win
+    assert not supports_frame(mfw, 1000, tcfg.transformer, kvq=False)
     assert not supports_frame(mfw, 96, tcfg.transformer, kvq=True)
     assert supports_frame(mfw, 128, tcfg.transformer, kvq=True)
     bf = mfw._replace(units=mfw.units.astype(jnp.bfloat16))
@@ -392,3 +393,60 @@ def test_frame_kernel_bf16_talker_int8_mtp(frame_setup):
     np.testing.assert_allclose(
         np.asarray(logits), np.asarray(logits_t), atol=1e-4, rtol=1e-4
     )
+
+
+@pytest.mark.parametrize("kvq", [False, True])
+def test_frame_kernel_win_mode_matches_twin(frame_setup, kvq, monkeypatch):
+    """Long-form (T > 512, win mode) whole-frame kernel == the composed
+    twin (the manual win talker step is parity-pinned vs the auto win
+    pipeline separately in test_fused_step)."""
+    tcfg, mcfg, tq, mq, codec, tables = frame_setup
+    L, nk, d = 2, 4, 128
+    T = 1024
+    n, V, Vc = mcfg.num_steps, mcfg.subcode_vocab_size, 256
+    rng = np.random.default_rng(31)
+    ll = jnp.asarray(rng.standard_normal((1, Vc)) * 2.0, jnp.float32)
+    lh = jnp.asarray(rng.standard_normal((1, 1024)) * 0.5, jnp.float32)
+    sup = jnp.zeros(Vc, jnp.float32)
+    drip = jnp.asarray(rng.standard_normal((1, 1024)) * 0.02, jnp.float32)
+    pos = 700  # past the first window
+    if kvq:
+        kc = jnp.zeros((L, 1, nk, T, d), jnp.int8)
+        vc = jnp.zeros((L, 1, nk, T, d), jnp.int8)
+        ks = jnp.ones((L, 1, nk, T), jnp.float32)
+        vs = jnp.ones((L, 1, nk, T), jnp.float32)
+        extra = dict(k_scale=ks, v_scale=vs)
+        twin_extra = dict(ks=ks, vs=vs)
+    else:
+        kc = jnp.zeros((L, 1, nk, T, d), jnp.float32)
+        vc = jnp.zeros((L, 1, nk, T, d), jnp.float32)
+        extra, twin_extra = {}, {}
+    g0, gm = _noise(jax.random.PRNGKey(13), Vc, n, V)
+    temp, top_k, top_p = jnp.float32(0.8), jnp.int32(50), jnp.float32(0.9)
+
+    # the twin's fused_decode_step must take the SAME (manual win) path
+    monkeypatch.setenv("QTTS_FUSED_WIN_MANUAL", "1")
+    outs = fused_frame_step(
+        tcfg.transformer, mcfg.transformer, tq["fused_step"],
+        tq["transformer"]["final_norm"], tq["lm_head"], codec,
+        mq["fused_step"], mq["transformer"]["final_norm"], mq["heads"],
+        tables, ll, lh, sup, drip, jnp.int32(pos), kc, vc, g0, gm,
+        temp, top_k, top_p, jnp.bool_(True), interpret=True, **extra,
+    )
+    code0, subs, logits, hid = outs[:4]
+    c0_t, subs_t, logits_t, hid_t, caches_t = _twin(
+        tcfg, mcfg, tq, mq, codec, tables, ll, lh, sup, drip, pos,
+        kc, vc, g0, gm, temp, top_k, top_p, **twin_extra,
+    )
+    monkeypatch.delenv("QTTS_FUSED_WIN_MANUAL")
+    assert int(code0[0]) == c0_t
+    np.testing.assert_array_equal(np.asarray(subs), np.asarray(subs_t))
+    np.testing.assert_allclose(
+        np.asarray(logits), np.asarray(logits_t), atol=1e-4, rtol=1e-4
+    )
+    for got, want in zip(outs[4:], caches_t):
+        # K rows carry rope(rms(x)) — f32 low-bit divergence in the chain
+        # sum amplifies to ~1e-4 absolute here
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=5e-4, rtol=1e-4
+        )
