@@ -174,7 +174,8 @@ def main() -> None:
     key = jax.random.PRNGKey(1)
     sp = SamplingParams.create(temperature=0.8, forbid_eos=True)
 
-    fns = make_generate_fns(cfg, batch=batch, max_len=frames + 32, chunk_len=chunk)
+    fns = make_generate_fns(cfg, batch=batch, max_len=frames + 32,
+                            chunk_len=chunk, params=params)
     voc = jax.jit(
         lambda p, codes: vocoder_forward(cfg.vocoder, p, codes)
     )
@@ -230,7 +231,8 @@ def main() -> None:
 
     # --- TTFA: small first chunk (prefill + ttfa_chunk frames + vocode) -----
     fns_s = make_generate_fns(
-        cfg, batch=batch, max_len=frames + 32, chunk_len=ttfa_chunk
+        cfg, batch=batch, max_len=frames + 32, chunk_len=ttfa_chunk,
+        params=params,
     )
     state_s, bundle_s = fns_s.prefill(params, ids, lens, key)
     state_s, fr_s, _ = fns_s.decode(
@@ -257,7 +259,8 @@ def main() -> None:
         try:
             os.environ["QTTS_MTP_RESIDENT"] = "0"
             fns_ab = make_generate_fns(
-                cfg, batch=batch, max_len=frames + 32, chunk_len=chunk
+                cfg, batch=batch, max_len=frames + 32, chunk_len=chunk,
+                params=params,
             )
             st_ab, bd_ab = fns_ab.prefill(params, ids, lens, key)
             st_ab, fr_ab, _ = fns_ab.decode(
@@ -296,7 +299,8 @@ def main() -> None:
             os.environ["QTTS_FRAME_FUSED"] = "1"
             os.environ["QTTS_MTP_RESIDENT"] = "1"  # gate needs resident fit
             fns_ff = make_generate_fns(
-                cfg, batch=batch, max_len=frames + 32, chunk_len=chunk
+                cfg, batch=batch, max_len=frames + 32, chunk_len=chunk,
+                params=params,
             )
             st_ff, bd_ff = fns_ff.prefill(params, ids, lens, key)
             st_ff, fr_ff, _ = fns_ff.decode(
@@ -337,7 +341,8 @@ def main() -> None:
                 # the batched fused talker + MTP kernels now cover B <= 32
                 blen = ((frames + 32 + 127) // 128) * 128
                 fnsb = make_generate_fns(
-                    cfg, batch=Bs, max_len=blen, chunk_len=chunk
+                    cfg, batch=Bs, max_len=blen, chunk_len=chunk,
+                    params=params,
                 )
                 idsb = jnp.full((Bs, T), 100, jnp.int32)
                 lensb = jnp.full((Bs,), T, jnp.int32)
@@ -428,7 +433,8 @@ def main() -> None:
     long_frame_ms = None
     if os.environ.get("BENCH_SKIP_LONGFORM") != "1":
         try:
-            fnsl = make_generate_fns(cfg, batch=1, max_len=2560, chunk_len=chunk)
+            fnsl = make_generate_fns(cfg, batch=1, max_len=2560,
+                                     chunk_len=chunk, params=params)
             stl, bdl = fnsl.prefill(params, ids[:1], lens[:1], key)
             # fast-forward to the EXPENSIVE end of a 2048-frame request (the
             # windowed kernel streams K/V only up to the fill level, so a
@@ -476,7 +482,8 @@ def main() -> None:
             try:
                 blen = ((frames + 32 + 127) // 128) * 128
                 fnsq = make_generate_fns(
-                    kvq_cfg, batch=Bs, max_len=blen, chunk_len=chunk
+                    kvq_cfg, batch=Bs, max_len=blen, chunk_len=chunk,
+                    params=params,
                 )
                 idsb = jnp.full((Bs, T), 100, jnp.int32)
                 lensb = jnp.full((Bs,), T, jnp.int32)
@@ -509,7 +516,7 @@ def main() -> None:
                 log(f"kvq serving probe (B={Bs}) failed: {e}")
         try:
             fnsl = make_generate_fns(kvq_cfg, batch=1, max_len=2560,
-                                     chunk_len=chunk)
+                                     chunk_len=chunk, params=params)
             stl, bdl = fnsl.prefill(params, ids[:1], lens[:1], key)
             fill = jnp.asarray(2000, jnp.int32)
             stl = stl._replace(
@@ -541,7 +548,8 @@ def main() -> None:
             # single-stream decode with the int8 KV cache: halved talker
             # cache traffic (manual kernel isolated 1.205 -> 0.708 ms/step)
             fnsk = make_generate_fns(
-                kvq_cfg, batch=1, max_len=frames + 32, chunk_len=chunk
+                kvq_cfg, batch=1, max_len=frames + 32, chunk_len=chunk,
+                params=params,
             )
             stk, bdk = fnsk.prefill(params, ids[:1], lens[:1], key)
             stk, frk, _ = fnsk.decode(
@@ -632,7 +640,7 @@ def main() -> None:
             try:
                 sfns = make_spec_generate_fns(
                     cfg, max_len=spec_len, k=SPEC_K, num_iters=SPEC_ITERS,
-                    draft_fn=draft, force_accept=force,
+                    draft_fn=draft, force_accept=force, params=pp,
                 )
                 st, bd, f0, v0 = sfns.prefill(pp, ids, lens, key, sp_greedy)
                 st, fr, vd = sfns.decode(

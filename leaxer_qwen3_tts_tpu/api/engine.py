@@ -593,6 +593,7 @@ class TTSEngine:
             self._fns_cache[key] = make_generate_fns(
                 self.cfg,
                 batch=batch,
+                params=self.params,
                 max_len=kv_bucket,
                 chunk_len=chunk_len,
                 lang_id=lang_id,
@@ -658,7 +659,7 @@ class TTSEngine:
                 self.cfg, max_len=max_len, k=self.spec_k,
                 num_iters=num_iters, batch=batch, lang_id=lang_id,
                 has_speaker=has_speaker, has_instruct=i_bucket > 0,
-                draft_fn=draft_fn,
+                draft_fn=draft_fn, params=self.params,
             )
         return self._fns_cache[key]
 
@@ -863,9 +864,13 @@ class TTSEngine:
 
         ckey = ("spec2seq", self.kv_ladder[bidx])
         if ckey not in self._fns_cache:
+            from ..runtime.generate import resident_jit_options
+
             cfg = self.cfg
             self._fns_cache[ckey] = jax.jit(
-                lambda p, s, tr, tl, pad: spec_to_seq(cfg, p, s, tr, tl, pad)
+                lambda p, s, tr, tl, pad: spec_to_seq(cfg, p, s, tr, tl, pad),
+                compiler_options=resident_jit_options(
+                    cfg, batch=1, params=self.params),
             )
         state = self._fns_cache[ckey](
             self.params, spec_state, bundle.trailing, bundle.trailing_len,

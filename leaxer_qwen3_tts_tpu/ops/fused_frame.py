@@ -190,13 +190,19 @@ def _make_frame_kernel(
             )[0]
             code0_out[:] = jnp.full((1, 1), c0, jnp.int32)
 
-            # codec embed row (one [1, H] DMA at the sampled row)
+            # codec embed row: Mosaic needs 8-aligned slices on the tiled
+            # sublane dim, so the table arrives as [Vc//8, 8, H] — DMA the
+            # aligned block holding c0, select the row in VMEM
             row = pltpu.make_async_copy(
-                codec_hbm.at[pl.ds(c0, 1), :], c0e_vm, fsems.at[2]
+                codec_hbm.at[lax.div(c0, 8)], c0e_vm, fsems.at[2]
             )
             row.start()
             row.wait()
-            c0e = c0e_vm[:].astype(jnp.float32)
+            ce8 = c0e_vm[:].astype(jnp.float32)  # [8, H]
+            rsel = (
+                lax.broadcasted_iota(jnp.int32, (8, 1), 0) == lax.rem(c0, 8)
+            )
+            c0e = jnp.sum(jnp.where(rsel, ce8, 0.0), axis=0, keepdims=True)
 
             # --- resident MTP chain (prefix + n steps, in-kernel) ---
             trunk_in.wait()
@@ -288,8 +294,20 @@ def fused_frame_step(
     n, _, V = gumbel.shape
     Tm = n + 2
     Vc = last_logits.shape[-1]
-    Vt = tables.shape[1]
     pos = jnp.minimum(jnp.asarray(pos, jnp.int32), T - 1)
+
+    # aligned-block row gathers (see _chain_core): both embed tables are
+    # reshaped so the kernel DMAs 8-row blocks off untiled leading dims
+    Vt = tables.shape[1]
+    if Vt % 8:
+        tables = jnp.pad(tables, ((0, 0), (0, -Vt % 8), (0, 0)))
+        Vt = tables.shape[1]
+    tables = tables.reshape(n, Vt // 8, 8, tables.shape[-1])
+    Vct = codec_table.shape[0]
+    if Vct % 8:
+        codec_table = jnp.pad(codec_table, ((0, -Vct % 8), (0, 0)))
+        Vct = codec_table.shape[0]
+    codec_table = codec_table.reshape(Vct // 8, 8, H)
 
     if isinstance(lm_head, QuantizedLinear):
         lmq, lms = lm_head.q, lm_head.scale.astype(jnp.float32).reshape(1, Vc)
@@ -423,10 +441,10 @@ def fused_frame_step(
         pltpu.VMEM((Lm, nkm, Tm, dm), mtp_cache_dtype),  # mkc_s
         pltpu.VMEM((Lm, nkm, Tm, dm), mtp_cache_dtype),  # mvc_s
         pltpu.VMEM((2, Hm, V), mhq.dtype),  # MTP head double buffer
-        pltpu.VMEM((1, Hm), tables.dtype),  # MTP emb row
+        pltpu.VMEM((8, Hm), tables.dtype),  # MTP emb 8-row block
         pltpu.VMEM((Lm, Um, KUm, N_UNIT), mfw.units.dtype),  # trunk scratch
         pltpu.SemaphoreType.DMA((3,)),  # msems
-        pltpu.VMEM((1, H), codec_table.dtype),  # c0e_vm
+        pltpu.VMEM((8, H), codec_table.dtype),  # c0e_vm (8-row block)
         pltpu.VMEM((H, Vc), lmq.dtype),  # lm_vm
         pltpu.SemaphoreType.DMA((3,)),  # fsems
     ]

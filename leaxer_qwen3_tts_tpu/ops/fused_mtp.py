@@ -79,6 +79,30 @@ _BISECT_ITERS = 40  # f32 bisection: interval shrinks 2^-40 — below ulp of
 # any realistic logit/prob spacing, so the threshold set matches the
 # sort-based masks (runtime/sampling.py) except on exact float ties
 
+import os as _os
+
+# XLA charges a Pallas kernel's VMEM input/scratch blocks against its
+# scoped-vmem stack, whose default cap (16 MiB, --xla_tpu_scoped_vmem_limit
+# _kib) rejects the ~78 MB resident trunk — observed on v5e: "Scoped
+# allocation with size 87.49M and limit 16.00M".  Mosaic's own
+# CompilerParams(vmem_limit_bytes=...) bounds only Mosaic's internal check;
+# it does NOT raise the XLA-side stack limit.  Any jit whose program embeds
+# a resident/frame kernel must pass these executable build options
+# (jax.jit(..., compiler_options=resident_compiler_options())).  TPU-only:
+# other backends reject the unknown flag.
+_SCOPED_VMEM_KIB = int(_os.environ.get("QTTS_SCOPED_VMEM_KIB", "117760"))
+
+
+def resident_compiler_options() -> dict | None:
+    """compiler_options for jits embedding a VMEM-resident kernel, or None
+    off-TPU (CPU/interpret paths must not see the TPU-only flag)."""
+    try:
+        if jax.default_backend() not in ("tpu", "axon"):
+            return None
+    except Exception:  # pragma: no cover
+        return None
+    return {"xla_tpu_scoped_vmem_limit_kib": str(_SCOPED_VMEM_KIB)}
+
 # Total-VMEM budget for the resident kernels (v5e has 128 MB; leave slack
 # for the compiler's own allocations below the 110/120 MB scoped limits)
 RESIDENT_MAX_BYTES = 112 * 1024 * 1024
@@ -216,7 +240,7 @@ def _make_chain_kernel(
         fn_ref,  # [1, H] f32 — final norm (head input)
         hq_hbm,  # ANY [n, H, V] int8|bf16 — step heads, double-buffered
         hs_ref,  # [n, 1, V] f32 — head output scales
-        tab_hbm,  # ANY [n, Vt, H] — step embed tables (row-DMA gather)
+        tab_hbm,  # ANY [n, Vt//8, 8, H] — step embed tables (block gather)
         g_ref,  # [n, 1, V] f32 — Gumbel noise rows
         subc_out,  # [1, n] i32
         ssum_out,  # [1, H] f32
@@ -281,11 +305,14 @@ def _chain_core(
         subc_out[:] = jnp.zeros_like(subc_out[:])
         pltpu.make_async_copy(hq_hbm.at[0], head_vm.at[0], sems.at[0]).start()
 
-        def trunk_step(pos, emb_f32):
-            """One incremental trunk pass on token emb at position pos;
-            leaves the final-normed hidden in hp_s.  Same op sequence as
-            _make_kernel_manual, weights read from the resident ref."""
-            x_s[:] = emb_f32
+        def trunk_step(pos):
+            """One incremental trunk pass on the token preloaded in x_s at
+            position pos; leaves the final-normed hidden in hp_s.  Same op
+            sequence as _make_kernel_manual, weights read from the resident
+            ref.  Instantiated ONCE (inside the merged loop below): the
+            6-layer unrolled body dominates the Mosaic module size, and
+            three static copies (prefix x2 + chain) pushed the whole-frame
+            kernel past the remote-compile body limit."""
             cos = cos_ref[pos]  # [1, d//2]
             sin = sin_ref[pos]
 
@@ -364,57 +391,80 @@ def _chain_core(
 
             hp_s[:] = _rms(x_s[:], fn_ref[:], eps)
 
-        # --- in-kernel prefix: talker hidden at pos 0, code0 embed at pos 1
-        # (the trunk is already resident — an XLA prefill would re-read all
-        # of it from HBM).  Leaves h0 in hp_s for the step-0 head.
-        trunk_step(0, lh)
-        trunk_step(1, c0)
+        # --- merged prefix + chain loop: it = 0,1 run the in-kernel prefix
+        # (talker hidden at pos 0, code0 embed at pos 1 — the trunk is
+        # already resident; an XLA prefill would re-read all of it from
+        # HBM); it = 2..n+1 sample sub-code j = it-2 from the previous
+        # trunk output (hp_s) and advance the trunk at pos = it.  One loop
+        # means trunk_step's unrolled body is emitted once.
+        def body(it, carry):
+            @pl.when(it == 0)
+            def _prefix0():
+                x_s[:] = lh
 
-        def chain_body(j, carry):
-            slot = lax.rem(j, 2)
-            pltpu.make_async_copy(
-                hq_hbm.at[j], head_vm.at[slot], sems.at[slot]
-            ).wait()
+            @pl.when(it == 1)
+            def _prefix1():
+                x_s[:] = c0
 
-            @pl.when(j + 1 < n)
-            def _prefetch_next_head():
-                nsl = 1 - slot
+            @pl.when(it >= 2)
+            def _sample():
+                j = it - 2
+                slot = lax.rem(j, 2)
                 pltpu.make_async_copy(
-                    hq_hbm.at[j + 1], head_vm.at[nsl], sems.at[nsl]
-                ).start()
+                    hq_hbm.at[j], head_vm.at[slot], sems.at[slot]
+                ).wait()
 
-            hw = head_vm[slot].astype(jnp.bfloat16)  # [H, V]
-            logits = (
-                lax.dot_general(
-                    hp_s[:].astype(jnp.bfloat16), hw,
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
+                @pl.when(j + 1 < n)
+                def _prefetch_next_head():
+                    nsl = 1 - slot
+                    pltpu.make_async_copy(
+                        hq_hbm.at[j + 1], head_vm.at[nsl], sems.at[nsl]
+                    ).start()
+
+                hw = head_vm[slot].astype(jnp.bfloat16)  # [H, V]
+                logits = (
+                    lax.dot_general(
+                        hp_s[:].astype(jnp.bfloat16), hw,
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    * hs_ref[j]
+                )  # [1, V]
+                sub = gumbel_topk_topp_sample(
+                    logits, g_ref[j], temp, top_k, top_p
+                )[0]  # scalar
+
+                lane = lax.broadcasted_iota(jnp.int32, (1, n), 1)
+                subc_out[:] = jnp.where(lane == j, sub, subc_out[:])
+
+                # embed row gather: Mosaic requires slices on the
+                # (8,128)-tiled sublane dim to be 8-aligned, so the table
+                # arrives reshaped to [n, Vt//8, 8, H] — DMA the aligned
+                # 8-row block holding `sub` (dynamic indices only on
+                # untiled leading dims), then select the row in VMEM
+                row = pltpu.make_async_copy(
+                    tab_hbm.at[j, lax.div(sub, 8)], emb_vm, sems.at[2]
                 )
-                * hs_ref[j]
-            )  # [1, V]
-            sub = gumbel_topk_topp_sample(
-                logits, g_ref[j], temp, top_k, top_p
-            )[0]  # scalar
+                row.start()
+                row.wait()
+                emb8 = emb_vm[:].astype(jnp.float32)  # [8, H]
+                rsel = (
+                    lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+                    == lax.rem(sub, 8)
+                )
+                emb_f32 = jnp.sum(
+                    jnp.where(rsel, emb8, 0.0), axis=0, keepdims=True
+                )
+                ssum_out[:] = ssum_out[:] + emb_f32
+                x_s[:] = emb_f32  # next trunk input
 
-            lane = lax.broadcasted_iota(jnp.int32, (1, n), 1)
-            subc_out[:] = jnp.where(lane == j, sub, subc_out[:])
-
-            # embed row gather: one [1, H] DMA from the step-j table
-            row = pltpu.make_async_copy(
-                tab_hbm.at[j, pl.ds(sub, 1), :], emb_vm, sems.at[2]
-            )
-            row.start()
-            row.wait()
-            emb_f32 = emb_vm[:].astype(jnp.float32)
-            ssum_out[:] = ssum_out[:] + emb_f32
-
-            @pl.when(j < n - 1)  # final step only samples
-            def _advance():
-                trunk_step(j + 2, emb_f32)
+            @pl.when(it <= n)  # it = n+1 only samples the final sub-code
+            def _trunk():
+                trunk_step(it)
 
             return carry
 
-        lax.fori_loop(0, n, chain_body, 0)
+        lax.fori_loop(0, n + 2, body, 0)
 
     return run_chain, U
 
@@ -486,8 +536,10 @@ def _make_chain_kernel_batched(
         pltpu.make_async_copy(hq_hbm.at[0], head_vm.at[0], sems.at[0]).start()
         pltpu.make_async_copy(tab_hbm.at[0], tab_vm.at[0], sems.at[2]).start()
 
-        def trunk_step(pos, emb_f32):
-            x_s[:] = emb_f32
+        def trunk_step(pos):
+            # input token preloaded in x_s (see the B=1 kernel: one static
+            # instantiation of the unrolled body keeps the Mosaic module
+            # small enough for the remote-compile body limit)
             cos = cos_ref[pos]  # [1, d//2]
             sin = sin_ref[pos]
 
@@ -519,22 +571,26 @@ def _make_chain_kernel_batched(
                 )
                 kc_s[l] = K_new
                 vc_s[l] = V_new
-                qg = q.reshape(B, nk, g, d)
+                # single batch dim (B*nk): Mosaic's tpu.matmul supports at
+                # most 1 batch dim (hardware verifier); same contractions
+                qg = q.reshape(B * nk, g, d)
+                Kf = K_new.astype(jnp.float32).reshape(B * nk, T, d)
+                Vf = V_new.astype(jnp.float32).reshape(B * nk, T, d)
                 scores = lax.dot_general(
-                    qg, K_new.astype(jnp.float32),
-                    (((3,), (3,)), ((0, 1), (0, 1))),
+                    qg, Kf,
+                    (((2,), (2,)), ((0,), (0,))),
                     preferred_element_type=jnp.float32,
-                ) * (1.0 / (d**0.5))  # [B, nk, g, T]
-                sl_i = lax.broadcasted_iota(jnp.int32, (B, nk, g, T), 3)
+                ) * (1.0 / (d**0.5))  # [B*nk, g, T]
+                sl_i = lax.broadcasted_iota(jnp.int32, (B * nk, g, T), 2)
                 scores = jnp.where(sl_i <= pos, scores, -1e30)
                 m = jnp.max(scores, axis=-1, keepdims=True)
                 e = jnp.exp(scores - m)
                 w = e / jnp.sum(e, axis=-1, keepdims=True)
                 out = lax.dot_general(
-                    w, V_new.astype(jnp.float32),
-                    (((3,), (2,)), ((0, 1), (0, 1))),
+                    w, Vf,
+                    (((2,), (1,)), ((0,), (0,))),
                     preferred_element_type=jnp.float32,
-                )  # [B, nk, g, d]
+                )  # [B*nk, g, d]
                 attn_s[:] = out.reshape(B, qd)
 
                 for u in range(n_qkv, b2):
@@ -563,63 +619,74 @@ def _make_chain_kernel_batched(
 
             hp_s[:] = _rms(x_s[:], fn_ref[:], eps)
 
-        # in-kernel prefix (see the B=1 kernel): overlaps the head-0 DMA
-        trunk_step(0, lh_ref[:])
-        trunk_step(1, c0_ref[:])
+        # merged prefix + chain loop (see the B=1 kernel): it = 0,1 run the
+        # in-kernel prefix; it = 2..n+1 sample sub-code j = it-2 and advance
+        # the trunk at pos = it — trunk_step emitted once.
+        def body(it, carry):
+            @pl.when(it == 0)
+            def _prefix0():
+                x_s[:] = lh_ref[:]
 
-        def chain_body(j, carry):
-            slot = lax.rem(j, 2)
-            pltpu.make_async_copy(
-                hq_hbm.at[j], head_vm.at[slot], sems.at[slot]
-            ).wait()
-            pltpu.make_async_copy(
-                tab_hbm.at[j], tab_vm.at[slot], sems.at[2 + slot]
-            ).wait()
+            @pl.when(it == 1)
+            def _prefix1():
+                x_s[:] = c0_ref[:]
 
-            @pl.when(j + 1 < n)
-            def _prefetch_next():
-                nsl = 1 - slot
+            @pl.when(it >= 2)
+            def _sample():
+                j = it - 2
+                slot = lax.rem(j, 2)
                 pltpu.make_async_copy(
-                    hq_hbm.at[j + 1], head_vm.at[nsl], sems.at[nsl]
-                ).start()
+                    hq_hbm.at[j], head_vm.at[slot], sems.at[slot]
+                ).wait()
                 pltpu.make_async_copy(
-                    tab_hbm.at[j + 1], tab_vm.at[nsl], sems.at[2 + nsl]
-                ).start()
+                    tab_hbm.at[j], tab_vm.at[slot], sems.at[2 + slot]
+                ).wait()
 
-            hw = head_vm[slot].astype(jnp.bfloat16)
-            logits = (
-                lax.dot_general(
-                    hp_s[:].astype(jnp.bfloat16), hw,
+                @pl.when(j + 1 < n)
+                def _prefetch_next():
+                    nsl = 1 - slot
+                    pltpu.make_async_copy(
+                        hq_hbm.at[j + 1], head_vm.at[nsl], sems.at[nsl]
+                    ).start()
+                    pltpu.make_async_copy(
+                        tab_hbm.at[j + 1], tab_vm.at[nsl], sems.at[2 + nsl]
+                    ).start()
+
+                hw = head_vm[slot].astype(jnp.bfloat16)
+                logits = (
+                    lax.dot_general(
+                        hp_s[:].astype(jnp.bfloat16), hw,
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    * hs_ref[j]
+                )  # [B, V]
+                sub = gumbel_topk_topp_sample(
+                    logits, g_ref[j], temp_ref[:], topk_ref[:], topp_ref[:]
+                )  # [B]
+
+                lane = lax.broadcasted_iota(jnp.int32, (B, n), 1)
+                subc_out[:] = jnp.where(lane == j, sub[:, None], subc_out[:])
+
+                # one-hot gather: exact row copy through the MXU (1.0 * x,
+                # one nonzero per row) in the TABLE's dtype
+                vio = lax.broadcasted_iota(jnp.int32, (B, V), 1)
+                oh = (vio == sub[:, None]).astype(tab_vm.dtype)
+                emb_f32 = lax.dot_general(
+                    oh, tab_vm[slot],
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                )
-                * hs_ref[j]
-            )  # [B, V]
-            sub = gumbel_topk_topp_sample(
-                logits, g_ref[j], temp_ref[:], topk_ref[:], topp_ref[:]
-            )  # [B]
+                )  # [B, H]
+                ssum_out[:] = ssum_out[:] + emb_f32
+                x_s[:] = emb_f32  # next trunk input
 
-            lane = lax.broadcasted_iota(jnp.int32, (B, n), 1)
-            subc_out[:] = jnp.where(lane == j, sub[:, None], subc_out[:])
-
-            # one-hot gather: exact row copy through the MXU (1.0 * x, one
-            # nonzero per row) in the TABLE's dtype
-            vio = lax.broadcasted_iota(jnp.int32, (B, V), 1)
-            oh = (vio == sub[:, None]).astype(tab_vm.dtype)
-            emb_f32 = lax.dot_general(
-                oh, tab_vm[slot],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [B, H]
-            ssum_out[:] = ssum_out[:] + emb_f32
-
-            @pl.when(j < n - 1)
-            def _advance():
-                trunk_step(j + 2, emb_f32)
+            @pl.when(it <= n)  # it = n+1 only samples the final sub-code
+            def _trunk():
+                trunk_step(it)
 
             return carry
 
-        lax.fori_loop(0, n, chain_body, 0)
+        lax.fori_loop(0, n + 2, body, 0)
 
     return kernel, U
 
@@ -770,7 +837,8 @@ def fused_mtp_chain(
     fw: FusedStepWeights,
     final_norm: jax.Array,  # [H] — trunk final-norm weight (head input)
     heads,  # QuantizedLinear [n, H, V] int8 | raw [n, H, V] array
-    tables: jax.Array,  # [n, Vt, H] — step embedding tables
+    tables: jax.Array,  # [n, Vt, H] — step embedding tables (reshaped to
+    # [n, Vt//8, 8, H] for the in-kernel aligned-block row gather)
     last_hidden: jax.Array,  # [1, H] — talker hidden (prefix token 0)
     code0_embed: jax.Array,  # [1, H] — codec_embed(code0) (prefix token 1)
     gumbel: jax.Array,  # [n, 1, V] f32 — per-step Gumbel noise
@@ -792,6 +860,13 @@ def fused_mtp_chain(
     n_groups = fw.scales.shape[2]
     n, _, V = gumbel.shape
     T = n + 2  # prefix (2) + chain writes at 2..n
+    Vt = tables.shape[1]
+    # aligned-block row gather: [n, Vt, H] -> [n, Vt//8, 8, H] (a bitcast —
+    # row-major layout is identical); the kernel DMAs 8-row blocks
+    if Vt % 8:
+        tables = jnp.pad(tables, ((0, 0), (0, -Vt % 8), (0, 0)))
+        Vt = tables.shape[1]
+    tables = tables.reshape(n, Vt // 8, 8, H)
 
     if isinstance(heads, QuantizedLinear):
         hq, hs = heads.q, heads.scale.astype(jnp.float32)  # [n,H,V],[n,1,V]
@@ -850,7 +925,7 @@ def fused_mtp_chain(
         pltpu.VMEM((L, nk, T, d), cache_dtype),  # kc_s
         pltpu.VMEM((L, nk, T, d), cache_dtype),  # vc_s
         pltpu.VMEM((2, H, V), hq.dtype),  # head double buffer
-        pltpu.VMEM((1, H), tables.dtype),  # emb row
+        pltpu.VMEM((8, H), tables.dtype),  # emb 8-row aligned block
         pltpu.SemaphoreType.DMA((3,)),
     ]
     args = [

@@ -77,6 +77,37 @@ def init_state_from_prefill(
     )
 
 
+def resident_jit_options(cfg, batch: int = 1, params=None) -> "dict | None":
+    """compiler_options for decode-program jits that may embed a VMEM-
+    resident Pallas kernel (resident MTP chain / whole-frame kernel).
+    XLA charges the kernel's VMEM blocks against its scoped-vmem stack cap
+    (16 MiB default), which rejects the ~78 MB resident trunk; the Mosaic
+    vmem_limit_bytes param does not raise that cap (observed on v5e).
+
+    Returns None when the kernel cannot engage in this program — neither
+    path enabled, off-TPU, or (when ``params`` is given) the packed trunk
+    fails ``supports_resident`` at this batch.  The raised cap measurably
+    perturbs XLA's choices for programs that don't need it (B=32 int8
+    serving regressed ~15% when it was applied unconditionally), so gate
+    it as tightly as the available information allows."""
+    from ..models.code_predictor import _resident_enabled
+    from ..ops.fused_mtp import resident_compiler_options, supports_resident
+
+    cp = cfg.code_predictor
+    resident = cp.resident if cp.resident is not None else _resident_enabled()
+    frame = (
+        cfg.frame_fused if cfg.frame_fused is not None
+        else _frame_fused_enabled()
+    )
+    if not (resident or frame):
+        return None
+    if params is not None:
+        fw = params.get("code_predictor", {}).get("fused_step")
+        if fw is None or not supports_resident(fw, batch=batch):
+            return None
+    return resident_compiler_options()
+
+
 def _frame_fused_enabled() -> bool:
     """Whole-frame fused kernel (ops/fused_frame.py) for B=1 sequential
     decode.  Default OFF until validated on hardware (the resident chain's
@@ -339,12 +370,15 @@ def make_generate_fns(
     donate: bool = True,
     uniform_fill: bool = True,
     mesh=None,
+    params=None,
 ) -> GenerateFns:
     """Build jitted prefill / decode-chunk functions.
 
     ``max_len`` is the KV-cache bucket (prompt + frames); ``chunk_len`` the frames
     per host dispatch.  The decode chunk donates the state so the KV cache is
-    updated in place in HBM.
+    updated in place in HBM.  ``params`` (optional) is only consulted to
+    decide whether the resident-kernel compiler options apply — pass it
+    when available so B>budget programs keep default XLA behavior.
     """
 
     def prefill_impl(params, text_ids, text_len, key, speaker_embed=None,
@@ -369,5 +403,10 @@ def make_generate_fns(
         )
 
     prefill = jax.jit(prefill_impl)
-    decode = jax.jit(decode_impl, donate_argnums=(1,) if donate else ())
+    decode = jax.jit(
+        decode_impl,
+        donate_argnums=(1,) if donate else (),
+        compiler_options=resident_jit_options(cfg, batch=batch,
+                                              params=params),
+    )
     return GenerateFns(prefill=prefill, decode=decode)

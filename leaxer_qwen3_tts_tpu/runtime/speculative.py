@@ -583,6 +583,7 @@ def make_spec_generate_fns(
     donate: bool = True,
     draft_fn: Callable[[SpecState, int], jax.Array] = repeat_draft,
     force_accept: bool = False,
+    params=None,
 ) -> SpecGenerateFns:
     """Jitted speculative prefill / decode for `batch` streams.
 
@@ -613,7 +614,14 @@ def make_spec_generate_fns(
             k, num_iters, draft_fn, force_accept=force_accept,
         )
 
+    from .generate import resident_jit_options
+
     return SpecGenerateFns(
         prefill=jax.jit(prefill_impl),
-        decode=jax.jit(decode_impl, donate_argnums=(1,) if donate else ()),
+        decode=jax.jit(
+            decode_impl,
+            donate_argnums=(1,) if donate else (),
+            compiler_options=resident_jit_options(cfg, batch=batch,
+                                                  params=params),
+        ),
     )

@@ -197,14 +197,21 @@ class ContinuousBatcher:
                     k, iters, draft_fn,
                 )
 
-            self._decode = jax.jit(dec, donate_argnums=(1,))
+            from ..runtime.generate import resident_jit_options
+
+            self._decode = jax.jit(
+                dec, donate_argnums=(1,),
+                compiler_options=resident_jit_options(
+                    cfg, batch=self.pool_size, params=engine.params),
+            )
         else:
             # uniform_fill=False: pool slots run at DIFFERENT fill levels, so
             # the cache write takes the per-sequence scatter path
             self._fns = make_generate_fns(cfg, batch=self.pool_size,
                                           max_len=self.kv_bucket,
                                           chunk_len=self.chunk_len,
-                                          uniform_fill=False)
+                                          uniform_fill=False,
+                                          params=engine.params)
             self._decode = self._fns.decode
         self._state = self._make_idle_state()
         B = self.pool_size
@@ -472,7 +479,7 @@ class ContinuousBatcher:
         if key not in self._prefill_cache:
             self._prefill_cache[key] = make_generate_fns(
                 self.cfg, batch=1, max_len=self.kv_bucket, chunk_len=1,
-                lang_id=lang_id,
+                lang_id=lang_id, params=self.engine.params,
             ).prefill
         return self._prefill_cache[key]
 
@@ -566,7 +573,7 @@ class ContinuousBatcher:
             self._prefill_cache[key] = make_spec_generate_fns(
                 self.cfg, max_len=self.kv_bucket, k=self.spec_k,
                 num_iters=self.spec_iters, batch=1, lang_id=lang_id,
-                donate=False,
+                donate=False, params=self.engine.params,
             ).prefill
         return self._prefill_cache[key]
 
@@ -1028,6 +1035,7 @@ class ContinuousBatcher:
         self._fns = make_generate_fns(
             cfg, batch=self.pool_size, max_len=self.kv_bucket,
             chunk_len=self.chunk_len, uniform_fill=False,
+            params=self.engine.params,
         )
         self._decode = self._fns.decode
         self._spec_fallback = True

@@ -8,6 +8,7 @@ tunnel measurement rules in docs/ROUND4_PLAN.md.
 Run: cd /root/repo && timeout 900 python tools/manual_probe.py
 """
 
+import functools
 import os
 import time
 
@@ -191,7 +192,7 @@ def bench_resident() -> dict:
     the resident-trunk single-kernel chain (ops/fused_mtp.py, prefix
     in-kernel).  Also checks greedy agreement and sampled determinism on
     hardware."""
-    import functools
+
 
     from leaxer_qwen3_tts_tpu.config import CodePredictorConfig
     from leaxer_qwen3_tts_tpu.models.code_predictor import (
@@ -220,9 +221,10 @@ def bench_resident() -> dict:
 
     raw, tables = build(jax.random.PRNGKey(0))
     qp = jax.jit(lambda p: quantize_params(fuse_params({"m": p}))["m"])(raw)
-    qp8 = jax.jit(
-        lambda p: prepare_fused_step(cfg, p, bits=8), donate_argnums=0
-    )(dict(qp))
+    # no donation: qp is reused for the int4 pack below (donating here
+    # deletes its buffers and the qp4 build dies on "Array has been
+    # deleted")
+    qp8 = jax.jit(lambda p: prepare_fused_step(cfg, p, bits=8))(dict(qp))
     rng = np.random.default_rng(0)
     hidden, c0e = jax.device_put([
         rng.standard_normal((1, H)).astype(np.float32) * 0.5,
@@ -232,10 +234,14 @@ def bench_resident() -> dict:
     n_it = 96
     out = {}
 
+    from leaxer_qwen3_tts_tpu.ops.fused_mtp import resident_compiler_options
+
     def chain_bench(name, fn, sp):
         sample_fn = lambda k, lg: sample_token(k, lg, sp)
+        copts = (resident_compiler_options()
+                 if fn is predict_subcodes_resident else None)
 
-        @jax.jit
+        @functools.partial(jax.jit, compiler_options=copts)
         def run(params, tables, hidden, c0e, key):
             def body(carry, _):
                 h, key = carry
@@ -293,8 +299,10 @@ def bench_resident() -> dict:
         hb = jnp.broadcast_to(hidden, (B, H))
         cb = jnp.broadcast_to(c0e, (B, H))
         keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(B))
+        copts = (resident_compiler_options()
+                 if fn is predict_subcodes_resident_batched else None)
 
-        @jax.jit
+        @functools.partial(jax.jit, compiler_options=copts)
         def run(params, tables, hb, cb, keys):
             def body(carry, _):
                 h, keys = carry
@@ -336,9 +344,7 @@ def bench_resident() -> dict:
                       sp_s, B, qp8)
 
     # int4 trunk fits the B=32 budget (39 MB resident)
-    qp4 = jax.jit(
-        lambda p: prepare_fused_step(cfg, p, bits=4), donate_argnums=0
-    )(dict(qp))
+    qp4 = jax.jit(lambda p: prepare_fused_step(cfg, p, bits=4))(dict(qp))
     from leaxer_qwen3_tts_tpu.ops.fused_mtp import supports_resident
 
     assert supports_resident(qp4["fused_step"], batch=32)
@@ -372,6 +378,9 @@ def bench_frame() -> dict:
         split_keys,
     )
 
+    from leaxer_qwen3_tts_tpu.ops.fused_mtp import resident_compiler_options
+
+    copts = resident_compiler_options()  # both arms embed resident kernels
     talker = TransformerConfig(dtype="bfloat16")  # 0.6B: 28L, H=1024
     mcfg = CodePredictorConfig(impl="fused")  # 6L, H=1024, V=2048
     mtp_t = mcfg.transformer
@@ -405,6 +414,8 @@ def bench_frame() -> dict:
         "transformer": {"final_norm": fnorm_m},
         "heads": heads,
     }
+    W = (tfw, mfw, lm, heads, codec, tables, fnorm_t, fnorm_m, suppress,
+         drip)
 
     out = {}
     n_frames = 192
@@ -427,8 +438,15 @@ def bench_frame() -> dict:
             ]))
         sp = SamplingParams.create(temperature=0.8, top_k=50, top_p=0.95)
 
-        @jax.jit
-        def run_frame(ll, lh, kc, vc, ks, vs, key):
+        # weights ride as ARGUMENTS, not closures: the axon remote compile
+        # serializes closure constants into the request body — closing over
+        # the ~160 MB of packed weights 413s the relay and bloats compile
+        # times (args-passed: 17 s; closure chain kernels: 45-270 s)
+        @functools.partial(jax.jit, compiler_options=copts)
+        def run_frame(W, ll, lh, kc, vc, ks, vs, key):
+            (tfw, mfw, lm, heads, codec, tables, fnorm_t, fnorm_m,
+             suppress, drip) = W
+
             def body(carry, _):
                 ll, lh, kc, vc, ks, vs, pos, key = carry
                 key, k0, kp = split_keys(key, 3)
@@ -462,8 +480,16 @@ def bench_frame() -> dict:
             _, frames = jax.lax.scan(body, init, None, length=n_frames)
             return frames
 
-        @jax.jit
-        def run_composed(ll, lh, kc, vc, ks, vs, key):
+        @functools.partial(jax.jit, compiler_options=copts)
+        def run_composed(W, ll, lh, kc, vc, ks, vs, key):
+            (tfw, mfw, lm, heads, codec, tables, fnorm_t, fnorm_m,
+             suppress, drip) = W
+            mtp_params = {
+                "fused_step": mfw,
+                "transformer": {"final_norm": fnorm_m},
+                "heads": heads,
+            }
+
             def body(carry, _):
                 ll, lh, kc, vc, ks, vs, pos, key = carry
                 key, k0, kp = split_keys(key, 3)
@@ -499,7 +525,7 @@ def bench_frame() -> dict:
 
         tag = " kvq" if kvq else ""
         for name, fn in (("frame", run_frame), ("composed", run_composed)):
-            args = (ll0, lh0, kc, vc,
+            args = (W, ll0, lh0, kc, vc,
                     scales[0] if kvq else None,
                     scales[1] if kvq else None,
                     jax.random.PRNGKey(5))
@@ -541,8 +567,11 @@ def bench_frame() -> dict:
         ])
         sp = nonlocal_sp
 
-        @jax.jit
-        def g_frame(ll, lh, kc, vc, key):
+        @functools.partial(jax.jit, compiler_options=copts)
+        def g_frame(W, ll, lh, kc, vc, key):
+            (tfw, mfw, lm, heads, codec, tables, fnorm_t, fnorm_m,
+             suppress, drip) = W
+
             def body(carry, _):
                 ll, lh, kc, vc, pos, key = carry
                 key, k0, kp = split_keys(key, 3)
@@ -565,8 +594,16 @@ def bench_frame() -> dict:
             _, frames = jax.lax.scan(body, init, None, length=64)
             return frames
 
-        @jax.jit
-        def g_comp(ll, lh, kc, vc, key):
+        @functools.partial(jax.jit, compiler_options=copts)
+        def g_comp(W, ll, lh, kc, vc, key):
+            (tfw, mfw, lm, heads, codec, tables, fnorm_t, fnorm_m,
+             suppress, drip) = W
+            mtp_params = {
+                "fused_step": mfw,
+                "transformer": {"final_norm": fnorm_m},
+                "heads": heads,
+            }
+
             def body(carry, _):
                 ll, lh, kc, vc, pos, key = carry
                 key, k0, kp = split_keys(key, 3)
@@ -588,8 +625,8 @@ def bench_frame() -> dict:
             _, frames = jax.lax.scan(body, init, None, length=64)
             return frames
 
-        fa = g_frame(ll0, lh0, kc, vc, jax.random.PRNGKey(9))
-        fb = g_comp(ll0, lh0, kc, vc, jax.random.PRNGKey(9))
+        fa = g_frame(W, ll0, lh0, kc, vc, jax.random.PRNGKey(9))
+        fb = g_comp(W, ll0, lh0, kc, vc, jax.random.PRNGKey(9))
         sync(fa)
         sync(fb)
         agree = float((np.asarray(fa) == np.asarray(fb)).mean())
