@@ -52,7 +52,7 @@ def build_parser() -> argparse.ArgumentParser:
         "--mtp-resident", choices=["on", "off"],
         help="pin the resident-trunk MTP chain kernel (all 15 sub-code "
              "steps in one kernel, trunk VMEM-resident; ops/fused_mtp.py); "
-             "default: QTTS_MTP_RESIDENT env",
+             "default: on for TPU; QTTS_MTP_RESIDENT env overrides",
     )
     p.add_argument(
         "--frame-fused", choices=["on", "off"],

@@ -183,7 +183,8 @@ class CodePredictorConfig:
     # sequence each step (same HBM bytes, fewer ops — see predict_subcodes_dense)
     impl: str = "cached"
     # resident-trunk chain (ops/fused_mtp.py) under impl="fused":
-    # None = QTTS_MTP_RESIDENT env (default off until hardware-validated);
+    # None = QTTS_MTP_RESIDENT env (default: ON on TPU — hardware-
+    # validated 2026-08-18 — OFF elsewhere);
     # True/False pins it (engine --mtp-resident).  Only engages when the
     # packed trunk fits the VMEM budget (supports_resident).
     resident: "bool | None" = None

@@ -51,12 +51,20 @@ def init_code_predictor_params(cfg: CodePredictorConfig, key: jax.Array) -> dict
 
 def _resident_enabled() -> bool:
     """Resident-trunk MTP chain (ops/fused_mtp.py) for fused decode when
-    the packed trunk fits VMEM.  Default OFF until the kernel is validated
-    on hardware (tools/manual_probe.py --resident) — flip the default to
-    "1" once the probe passes; QTTS_MTP_RESIDENT overrides either way."""
+    the packed trunk fits VMEM.  Default ON on TPU — hardware-validated
+    2026-08-18 (tools/manual_probe.py --resident: greedy agreement 1.0 vs
+    per-step, B=1 1.28 vs 2.60 ms/chain, wins at every batch; full bench
+    2.32 vs 3.11 ms/frame — docs/ROUND4_RESULTS.md).  OFF elsewhere: the
+    CPU interpret path is a numerics-test surface, far slower than the
+    XLA per-step kernels.  QTTS_MTP_RESIDENT overrides either way."""
     import os
 
-    return os.environ.get("QTTS_MTP_RESIDENT", "0") != "0"
+    v = os.environ.get("QTTS_MTP_RESIDENT")
+    if v is not None:
+        return v != "0"
+    import jax
+
+    return jax.default_backend() == "tpu"
 
 
 def predict_subcodes(

@@ -110,8 +110,12 @@ def resident_jit_options(cfg, batch: int = 1, params=None) -> "dict | None":
 
 def _frame_fused_enabled() -> bool:
     """Whole-frame fused kernel (ops/fused_frame.py) for B=1 sequential
-    decode.  Default OFF until validated on hardware (the resident chain's
-    probe pattern); QTTS_FRAME_FUSED overrides, cfg.frame_fused pins."""
+    decode.  Hardware-measured 2026-08-18 (manual_probe --frame): a WASH
+    vs the composed resident path on f32 KV (2.446 vs 2.450 ms/frame) and
+    +3% with int8 KV (1.940 vs 2.001), greedy agreement 1.0 — the default
+    stays OFF (sequential-only, different sampled stream); opt in with
+    QTTS_FRAME_FUSED / cfg.frame_fused for the int8-KV single-stream
+    last 3%."""
     import os
 
     return os.environ.get("QTTS_FRAME_FUSED", "0") != "0"

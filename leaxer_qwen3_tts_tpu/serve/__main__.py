@@ -26,7 +26,7 @@ def main(argv=None) -> int:
                    help="int8 KV cache (halves cache bandwidth at B>=8)")
     p.add_argument("--mtp-resident", choices=["on", "off"],
                    help="pin the resident-trunk MTP chain kernel "
-                        "(default: QTTS_MTP_RESIDENT env)")
+                        "(default: on for TPU; QTTS_MTP_RESIDENT env overrides)")
     p.add_argument("--spec-accept-floor", type=float, default=0.3,
                    help="adaptive spec: revert to sequential decode when "
                         "trailing acceptance stays below this (0 disables)")
