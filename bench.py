@@ -546,9 +546,13 @@ def main() -> None:
             log(f"kvq long-form probe failed: {e}")
         try:
             # single-stream decode with the int8 KV cache: halved talker
-            # cache traffic (manual kernel isolated 1.205 -> 0.708 ms/step)
+            # cache traffic (manual kernel isolated 1.205 -> 0.708 ms/step).
+            # 128-align the bucket like the engine ladder does — unaligned
+            # kvq buckets fall off the fused path (talker.py max_len%128
+            # gate; the unaligned arm measured 2.49 ms/frame of silent XLA)
+            blen1 = ((frames + 32 + 127) // 128) * 128
             fnsk = make_generate_fns(
-                kvq_cfg, batch=1, max_len=frames + 32, chunk_len=chunk,
+                kvq_cfg, batch=1, max_len=blen1, chunk_len=chunk,
                 params=params,
             )
             stk, bdk = fnsk.prefill(params, ids[:1], lens[:1], key)

@@ -125,6 +125,13 @@ class TTSEngine:
             # chunks; WINDOW-align the top bucket so long-form requests stay
             # on the fused path (ops/fused_step.py)
             full = _round_up(full, 512)
+        elif kv_quant:
+            # int8-KV fused kernels need 128-aligned buckets (the scale
+            # rows tile at 128 slots; talker.py gates on max_len % 128) —
+            # an unaligned top bucket would silently fall back to the XLA
+            # step, which costs ~+25% per frame (measured: the bench's
+            # 416-slot kvq arm ran XLA at 2.49 ms/frame vs ~2.0 fused)
+            full = _round_up(full, 128)
         # KV-cache bucket ladder: attention reads scale with the CURRENT
         # bucket, so early frames of a long-form request decode at
         # short-form cost; the cache is zero-padded up a bucket when the

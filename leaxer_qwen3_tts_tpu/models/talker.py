@@ -8,6 +8,7 @@ the code predictor, matching the reference's last_hidden output contract.
 
 from __future__ import annotations
 
+import os
 from typing import Tuple
 
 import jax
@@ -236,6 +237,22 @@ def talker_decode_step(
         )
         return logits, hidden, new_cache, new_valid
 
+    if (
+        cfg.decode_impl == "fused"
+        and "fused_step" in params
+        and os.environ.get("QTTS_ASSERT_FUSED") == "1"
+    ):
+        # loud-failure mode for benches/deployments: a fused-packed model
+        # falling back to the XLA step is ~+25% per frame and historically
+        # SILENT (e.g. a kvq bucket not 128-aligned).  Trace-time raise —
+        # all gate inputs are static shapes/flags.
+        raise RuntimeError(
+            "QTTS_ASSERT_FUSED: fused decode step ineligible here "
+            f"(B={B}, max_len={cache.max_len}, kv_quant={kv_q}, "
+            f"uniform_fill={uniform_fill}, fused_ok={fused_ok}) — "
+            "check bucket alignment (kvq needs max_len % 128 == 0; "
+            "windowed needs % 512) and batch <= 32"
+        )
     hidden, cache, valid_mask = transformer_forward(
         t,
         params["transformer"],

@@ -489,3 +489,48 @@ def test_mtp_quantize_mixed_trunk(tiny_model, monkeypatch):
 
     eng = TTSEngine(config=cfg2, params=params, mtp_quantize="fp8")
     assert not eng.is_ready() and "mtp_quantize" in eng.get_error()
+
+
+def test_kvq_ladder_top_is_128_aligned(tiny_model, tiny_vocab_files):
+    """int8-KV fused kernels gate on max_len % 128 == 0 (talker.py); an
+    unaligned top bucket silently falls back to the XLA step (~+25%/frame
+    measured on v5e).  A kv-quant engine must 128-align its ladder top."""
+    from leaxer_qwen3_tts_tpu.frontend import Tokenizer
+
+    cfg, params = tiny_model
+    vocab_path, merges_path, _ = tiny_vocab_files
+    tok = Tokenizer(vocab_path, merges_path)
+    eng = TTSEngine(config=cfg, params=params, tokenizer=tok,
+                    max_frames=384, chunk_len=4, kv_quant=True)
+    assert eng.kv_ladder[-1] % 128 == 0, eng.kv_ladder
+    # non-quantized keeps the tight bucket (no alignment constraint)
+    eng2 = TTSEngine(config=cfg, params=params, tokenizer=tok,
+                     max_frames=384, chunk_len=4)
+    assert eng2.kv_ladder[-1] == 384 + 32
+
+
+def test_assert_fused_env_raises_on_fallback(tiny_model, monkeypatch):
+    """QTTS_ASSERT_FUSED=1 turns the silent fused->XLA decode fallback into
+    a trace-time error naming the failed gate inputs."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from leaxer_qwen3_tts_tpu.models.layers import init_kv_cache
+    from leaxer_qwen3_tts_tpu.models.talker import talker_decode_step
+
+    cfg, params = tiny_model
+    tt = dataclasses.replace(cfg.talker.transformer, kv_cache_quant=True)
+    t = dataclasses.replace(cfg.talker, decode_impl="fused", transformer=tt)
+    tp = dict(params["talker"])
+    tp["fused_step"] = object()  # presence is what the gate checks first
+    # unaligned kvq bucket: 72 % 128 != 0 -> ineligible
+    cache = init_kv_cache(tt, batch=1, max_len=72)
+    embed = jnp.zeros((1, t.transformer.hidden_size), jnp.float32)
+    pos = jnp.zeros((1,), jnp.int32)
+    vm = jnp.zeros((1, 72), bool)
+    monkeypatch.setenv("QTTS_ASSERT_FUSED", "1")
+    with pytest.raises(RuntimeError, match="QTTS_ASSERT_FUSED"):
+        talker_decode_step(t, tp, embed, pos, cache, vm)
