@@ -67,6 +67,29 @@ def _resident_enabled() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def resident_pack(params: dict, batch: int):
+    """The trunk pack the resident chain should use at this batch, or None.
+
+    ``fused_step`` is the engine's primary pack.  ``fused_step_alt`` (when
+    attached — engine ``mtp_quantize="auto"``) is a LOWER-precision trunk
+    pack used only to extend VMEM residency to batches where the primary
+    pack's gate fails: the 0.6B int8 trunk is resident through B=16 but
+    B=32 needs the int4 pack (measured: B=32 serving 395.8 -> 514.0x
+    aggregate RTF, docs/BENCH_EVIDENCE_r4.md).  Single-stream and small
+    batches keep the primary pack — int4's per-group unpack costs more
+    than its halved bytes save when the read isn't batch-amortized
+    (docs/ROUND4_RESULTS.md, the 1.7B int4 serving negative result)."""
+    from ..ops.fused_mtp import supports_resident
+
+    fw = params.get("fused_step")
+    if fw is not None and supports_resident(fw, batch=batch):
+        return fw
+    alt = params.get("fused_step_alt")
+    if alt is not None and supports_resident(alt, batch=batch):
+        return alt
+    return None
+
+
 def predict_subcodes(
     cfg: CodePredictorConfig,
     params: dict,
@@ -91,9 +114,7 @@ def predict_subcodes(
     )
     if cfg.impl == "fused" and "fused_step" in params and last_hidden.shape[0] == 1:
         if sp is not None and resident_on:
-            from ..ops.fused_mtp import supports_resident
-
-            if supports_resident(params["fused_step"]):
+            if resident_pack(params, 1) is not None:
                 return predict_subcodes_resident(
                     cfg, params, pred_embed_tables, last_hidden, code0_embed,
                     key, sp,
@@ -103,13 +124,11 @@ def predict_subcodes(
         )
     if cfg.impl == "fused" and "fused_step" in params and 2 <= last_hidden.shape[0] <= 32:
         if sp is not None and resident_on:
-            from ..ops.fused_mtp import supports_resident
-
-            if supports_resident(params["fused_step"],
-                                 batch=last_hidden.shape[0]):
+            fw = resident_pack(params, last_hidden.shape[0])
+            if fw is not None:
                 return predict_subcodes_resident_batched(
                     cfg, params, pred_embed_tables, last_hidden, code0_embed,
-                    key, sp,
+                    key, sp, fw=fw,
                 )
         return predict_subcodes_fused_batched(
             cfg, params, pred_embed_tables, last_hidden, code0_embed, key, sample_fn
@@ -314,6 +333,7 @@ def predict_subcodes_resident(
     code0_embed: jax.Array,
     key: jax.Array,  # [2] or per-row [1, 2]
     sp,  # SamplingParams (scalar or [1] knobs)
+    fw=None,  # pack override (resident_pack); default params["fused_step"]
 ) -> Tuple[jax.Array, jax.Array]:
     """Resident-trunk chain: the whole 15-step loop — 2-token prefix
     included — is ONE Pallas kernel (ops/fused_mtp.py) with the 6-layer
@@ -323,6 +343,8 @@ def predict_subcodes_resident(
     fused_mtp module docstring."""
     import os
 
+    if fw is None:
+        fw = params["fused_step"]
     if os.environ.get("QTTS_MTP_B1_ONEHOT") == "1":
         # hardware escape hatch: route B=1 through the batched kernel's
         # one-hot/streamed-table gather instead of the computed-index
@@ -330,7 +352,8 @@ def predict_subcodes_resident(
         # gumbel over V), so results are bit-equal; only the gather
         # transport differs (tested).
         return predict_subcodes_resident_batched(
-            cfg, params, pred_embed_tables, last_hidden, code0_embed, key, sp
+            cfg, params, pred_embed_tables, last_hidden, code0_embed, key,
+            sp, fw=fw,
         )
     from ..ops.fused_mtp import fused_mtp_chain
 
@@ -348,7 +371,7 @@ def predict_subcodes_resident(
 
     subcodes, sub_sum = fused_mtp_chain(
         t,
-        params["fused_step"],
+        fw,
         params["transformer"]["final_norm"],
         params["heads"],
         pred_embed_tables,
@@ -372,6 +395,7 @@ def predict_subcodes_resident_batched(
     code0_embed: jax.Array,
     key: jax.Array,  # [2] shared chain or [B, 2] per-row chains
     sp,  # SamplingParams (scalar or [B] knobs)
+    fw=None,  # pack override (resident_pack); default params["fused_step"]
 ) -> Tuple[jax.Array, jax.Array]:
     """Batched resident chain (ops/fused_mtp.fused_mtp_chain_batched): the
     trunk loads ONCE for the whole batch's 15 steps — prefix included —
@@ -381,6 +405,9 @@ def predict_subcodes_resident_batched(
     [B, V] noise block per step like the multi-dispatch path's shared
     categorical."""
     from ..ops.fused_mtp import fused_mtp_chain_batched
+
+    if fw is None:
+        fw = params["fused_step"]
 
     t = cfg.transformer
     B, H = last_hidden.shape
@@ -402,7 +429,7 @@ def predict_subcodes_resident_batched(
 
     subcodes, sub_sum = fused_mtp_chain_batched(
         t,
-        params["fused_step"],
+        fw,
         params["transformer"]["final_norm"],
         params["heads"],
         pred_embed_tables,

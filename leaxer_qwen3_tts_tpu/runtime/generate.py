@@ -90,8 +90,8 @@ def resident_jit_options(cfg, batch: int = 1, params=None) -> "dict | None":
     perturbs XLA's choices for programs that don't need it (B=32 int8
     serving regressed ~15% when it was applied unconditionally), so gate
     it as tightly as the available information allows."""
-    from ..models.code_predictor import _resident_enabled
-    from ..ops.fused_mtp import resident_compiler_options, supports_resident
+    from ..models.code_predictor import _resident_enabled, resident_pack
+    from ..ops.fused_mtp import resident_compiler_options
 
     cp = cfg.code_predictor
     resident = cp.resident if cp.resident is not None else _resident_enabled()
@@ -102,8 +102,10 @@ def resident_jit_options(cfg, batch: int = 1, params=None) -> "dict | None":
     if not (resident or frame):
         return None
     if params is not None:
-        fw = params.get("code_predictor", {}).get("fused_step")
-        if fw is None or not supports_resident(fw, batch=batch):
+        # considers the alt (lower-precision) pack too: B=32 engages the
+        # resident chain through fused_step_alt when the primary int8
+        # trunk fails the VMEM gate
+        if resident_pack(params.get("code_predictor", {}), batch) is None:
             return None
     return resident_compiler_options()
 
