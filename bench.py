@@ -829,6 +829,10 @@ def main() -> None:
     result["mtp_impl"] = cfg.code_predictor.impl
     result["quant"] = quant
     result["kv_quant"] = "int8" if kv_quant_hl else "none"
+    # bucket length of the headline/TTFA/resident probes: 128-aligned for the
+    # kvq fused path, so it can exceed prior rounds' frames+32 — recorded so
+    # round-over-round deltas attribute bucket changes (ADVICE r4)
+    result["bucket_max_len"] = int(blen_hl)
     for Bs, rtf_b in serving.items():
         result[f"serving_rtf_batch{Bs}"] = round(rtf_b, 1)
     if perstep_frame_ms is not None:
@@ -839,6 +843,9 @@ def main() -> None:
         result["bf16_decode_ms_per_frame"] = round(bf16_frame_ms, 2)
     if long_frame_ms is not None:
         result["longform_decode_ms_per_frame"] = round(long_frame_ms, 2)
+        # the long-form probe runs the HEADLINE cfg (int8 KV when kv_quant
+        # is on) — annotate so cross-round comparisons stay like-for-like
+        result["longform_kv"] = "int8" if kv_quant_hl else "none"
     result.update(kvq_results)
     result.update(spec_results)
     print(json.dumps(result), flush=True)

@@ -221,7 +221,7 @@ class TTSEngine:
             # quantization anywhere) so the unquantized config is not stuck
             # at XLA decode speed (round-3 verdict #6).
             bits = {None: 16, "int8": 8, "int4": 4}[quantize]
-            if mtp_quantize not in (None, "int8", "int4"):
+            if mtp_quantize not in (None, "int8", "int4", "auto"):
                 raise EngineError(
                     f"unknown mtp_quantize mode {mtp_quantize!r}"
                 )
@@ -230,7 +230,11 @@ class TTSEngine:
             # per frame-step (~41% of the frame) — an int4 trunk halves
             # that.  The 2-token XLA prefix keeps the engine-wide `quantize`
             # numerics (documented asymmetry, like TP prefill).
-            mtp_bits = bits if mtp_quantize is None else \
+            # "auto" keeps the engine-precision primary pack AND attaches an
+            # int4 ``fused_step_alt`` so the resident chain stays engaged at
+            # batches where the primary trunk overflows VMEM (0.6B int8 is
+            # resident through B=16; B=32 rides the alt — resident_pack()).
+            mtp_bits = bits if mtp_quantize in (None, "auto") else \
                 {"int8": 8, "int4": 4}[mtp_quantize]
             use_fused = mesh is None and jax.default_backend() == "tpu"
             if (
@@ -245,6 +249,21 @@ class TTSEngine:
                 self.params["code_predictor"] = prepare_fused_step(
                     self.cfg.code_predictor, self.params["code_predictor"],
                     bits=mtp_bits,
+                )
+            if (
+                mtp_quantize == "auto"
+                and use_fused
+                and self.cfg.code_predictor.impl == "fused"
+                and mtp_bits != 4
+            ):
+                # int4 alt trunk (residency extension): packed from RAW
+                # weights, so it must precede quantize_params like the
+                # mixed-precision branch above
+                from ..models.code_predictor import prepare_fused_step
+
+                self.params["code_predictor"] = prepare_fused_step(
+                    self.cfg.code_predictor, self.params["code_predictor"],
+                    bits=4, alt=True,
                 )
             if bits == 8:
                 # weight-only int8 for the memory-bound decode (ops/quant.py);

@@ -43,9 +43,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="weight-only quantization for faster decode",
     )
     p.add_argument(
-        "--mtp-quantize", choices=["int8", "int4"],
+        "--mtp-quantize", choices=["int8", "int4", "auto"],
         help="override the MTP trunk's fused-pack precision (int4 halves "
              "the dominant weight stream of large-batch 1.7B serving); "
+             "'auto' keeps the --quantize precision AND attaches an int4 "
+             "alt trunk so the resident MTP kernel stays engaged at B=32; "
              "defaults to --quantize",
     )
     p.add_argument(

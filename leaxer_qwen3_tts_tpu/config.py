@@ -179,6 +179,14 @@ class CodePredictorConfig:
     num_steps: int = 15  # sub-codebooks 1..15 (reference NUM_CODE_GROUPS-1)
     subcode_vocab_size: int = 2048  # reference SUBCODE_VOCAB_SIZE (tts_onnx.h:37)
     max_seq_len: int = 17  # [talker_hidden, codec_embed(code0), 15 sub-embeds]
+    # Selectable head topology (docs/FALSIFIABILITY.md §2): "per_step" is the
+    # primary guess (15 step-indexed 2048-way output heads — the reference's
+    # ``generation_step`` input, tts_onnx.cpp:734-757); "shared" is the
+    # pre-built fallback — ONE shared head plus a learned step embedding
+    # added to the transformer input that produces each step's logits.  The
+    # step-indexed EMBEDDING tables stay either way (they are the observable
+    # code_predictor_embed.onnx contract, :592-613).
+    head_mode: str = "per_step"  # "per_step" | "shared"
     # "cached": incremental KV per step; "dense": re-run the tiny <=17-token
     # sequence each step (same HBM bytes, fewer ops — see predict_subcodes_dense)
     impl: str = "cached"
@@ -210,6 +218,15 @@ class VocoderConfig:
     resblock_dilations: Tuple[int, ...] = (1, 3)
     final_kernel_size: int = 7
     dtype: str = "bfloat16"
+    # Selectable head topology (docs/FALSIFIABILITY.md §1): "conv" is the
+    # primary guess (causal sub-pixel upsample stack above); "istft" is the
+    # pre-built fallback — Vocos-style mag/phase spectrogram head at frame
+    # rate + overlap-add inverse STFT (still causal: frame f's synthesis
+    # window covers samples [f*hop, f*hop + n_fft), so sample block t only
+    # reads frames t-overlap..t).  Real-weight bring-up selects by config —
+    # no new model code either way.
+    head: str = "conv"  # "conv" | "istft"
+    istft_overlap: int = 4  # n_fft = overlap * samples_per_frame (hop)
 
     @property
     def jnp_dtype(self):
@@ -232,6 +249,10 @@ class VocoderConfig:
         fraction of a frame after division by the cumulative upsample factor.
         """
         ctx = self.num_prenet_blocks * (self.prenet_kernel_size - 1)
+        if self.head == "istft":
+            # the OLA window spans istft_overlap frames: sample block t sums
+            # windowed frames t-(overlap-1)..t
+            return ctx + self.istft_overlap - 1
         # upsampler input convs (kernel 3, causal) run at frame rate pre-reshape
         ctx += len(self.upsample_rates) * 2
         # resblocks + final conv, counted conservatively at their sample stage
@@ -264,6 +285,18 @@ class SpeakerEncoderConfig:
     intermediate_size: int = 2048
     output_dim: int = 1024
     dtype: str = "float32"
+    # Selectable topology (docs/FALSIFIABILITY.md §3): "transformer" is the
+    # primary guess (linear in_proj -> post-LN transformer -> attentive
+    # stats pooling); "ecapa" is the pre-built fallback — an ECAPA-TDNN
+    # x-vector encoder (conv frontend, SE-Res2Net blocks at dilations
+    # 2/3/4, multi-layer feature aggregation, context-aware attentive
+    # stats pooling).  Same [T, mels] -> [output_dim] contract either way
+    # (reference tts_onnx.cpp:367-403).
+    topology: str = "transformer"  # "transformer" | "ecapa"
+    ecapa_channels: int = 512
+    ecapa_scale: int = 8  # Res2Net split count
+    ecapa_mfa_dim: int = 1536
+    ecapa_att_dim: int = 128
 
     @property
     def jnp_dtype(self):

@@ -35,11 +35,25 @@ from .layers import (
 
 
 def init_code_predictor_params(cfg: CodePredictorConfig, key: jax.Array) -> dict:
-    k1, k2 = jax.random.split(key)
+    k1, k2, k3 = jax.random.split(key, 3)
     t = cfg.transformer
     h = t.hidden_size
     dt = t.jnp_dtype
     scale = 1.0 / jnp.sqrt(h)
+    if cfg.head_mode == "shared":
+        # fallback topology (docs/FALSIFIABILITY.md §2): one shared 2048-way
+        # head; the generation step enters as a learned additive embedding
+        # on the transformer input producing that step's logits
+        return {
+            "transformer": init_transformer_params(t, k1),
+            "head": (
+                jax.random.normal(k2, (h, cfg.subcode_vocab_size), jnp.float32)
+                * scale
+            ).astype(dt),
+            "step_embed": (
+                jax.random.normal(k3, (cfg.num_steps, h), jnp.float32) * 0.02
+            ).astype(dt),
+        }
     return {
         "transformer": init_transformer_params(t, k1),
         # one 2048-way output head per generation step
@@ -47,6 +61,38 @@ def init_code_predictor_params(cfg: CodePredictorConfig, key: jax.Array) -> dict
             jax.random.normal(k2, (cfg.num_steps, h, cfg.subcode_vocab_size), jnp.float32) * scale
         ).astype(dt),
     }
+
+
+def _head_fn(cfg: CodePredictorConfig, params: dict):
+    """(h [B,H], j) -> logits [B, V] under either head topology."""
+    if cfg.head_mode == "shared":
+        w = params["head"]
+        return lambda h, j: dense(h, w)
+    heads = params["heads"]
+    return lambda h, j: dense(h, index_weight(heads, j))
+
+
+def _step_cond(cfg: CodePredictorConfig, params: dict):
+    """Additive step conditioning of the transformer input (shared-head
+    topology only).  Returns (c0_add, cond) where ``c0_add`` is added to the
+    code0 prefix token (whose hidden produces step-0 logits) and
+    ``cond(emb, j)`` conditions the embedding of the token sampled at step j
+    (whose hidden produces step-(j+1) logits).  The raw table embedding —
+    NOT the conditioned one — still feeds ``sub_embed_sum`` (the talker
+    next-input contract, reference tts_onnx.cpp:823-842)."""
+    if cfg.head_mode == "shared":
+        se = params["step_embed"]
+        n = se.shape[0]
+
+        def cond(emb, j):
+            # j+1 clamped: the final step's embedding is never fed back
+            row = lax.dynamic_index_in_dim(
+                se, jnp.minimum(j + 1, n - 1), axis=0, keepdims=False
+            )
+            return emb + row.astype(emb.dtype)
+
+        return se[0].astype(jnp.float32), cond
+    return jnp.float32(0.0), lambda emb, j: emb
 
 
 def _resident_enabled() -> bool:
@@ -111,13 +157,16 @@ def predict_subcodes(
         )
     resident_on = (
         cfg.resident if cfg.resident is not None else _resident_enabled()
-    )
+    ) and cfg.head_mode == "per_step"  # the resident kernels bake the
+    # step-indexed heads; the shared-head fallback rides the fused per-step
+    # kernels (its head matmul is XLA-side either way)
     if cfg.impl == "fused" and "fused_step" in params and last_hidden.shape[0] == 1:
         if sp is not None and resident_on:
-            if resident_pack(params, 1) is not None:
+            fw = resident_pack(params, 1)
+            if fw is not None:
                 return predict_subcodes_resident(
                     cfg, params, pred_embed_tables, last_hidden, code0_embed,
-                    key, sp,
+                    key, sp, fw=fw,
                 )
         return predict_subcodes_fused(
             cfg, params, pred_embed_tables, last_hidden, code0_embed, key, sample_fn
@@ -140,17 +189,22 @@ def predict_subcodes(
     cache = init_kv_cache(t, B, cfg.max_seq_len)
     valid = jnp.zeros((B, cfg.max_seq_len), bool)
 
+    head_logits = _head_fn(cfg, params)
+    c0_add, cond = _step_cond(cfg, params)
+
     # Prime with the 2-token prefix [last_hidden, code0_embed]
-    prefix = jnp.stack([last_hidden.astype(t.jnp_dtype), code0_embed.astype(t.jnp_dtype)], axis=1)
+    prefix = jnp.stack(
+        [
+            last_hidden.astype(t.jnp_dtype),
+            (code0_embed + c0_add).astype(t.jnp_dtype),
+        ],
+        axis=1,
+    )
     positions = jnp.broadcast_to(jnp.arange(2, dtype=jnp.int32), (B, 2))
     hidden, cache, valid = transformer_forward(
         t, params["transformer"], prefix, positions, cache, valid
     )
     h_last = hidden[:, 1]  # hidden at the code0 position -> step-0 logits
-
-    def head_logits(h, j):
-        w = index_weight(params["heads"], j)
-        return dense(h, w)  # [B, 2048] f32
 
     def step(carry, j):
         h_prev, cache, valid, key = carry
@@ -164,7 +218,9 @@ def predict_subcodes(
         # we ran it; we instead stop the scan one early and handle j = n-1 below)
         pos = jnp.full((B,), 2 + j, jnp.int32)
         hidden, cache, valid = transformer_forward(
-            t, params["transformer"], emb_j[:, None, :].astype(t.jnp_dtype), pos[:, None], cache, valid
+            t, params["transformer"],
+            cond(emb_j, j)[:, None, :].astype(t.jnp_dtype),
+            pos[:, None], cache, valid,
         )
         return (hidden[:, 0], cache, valid, key), (subcode_j, emb_j)
 
@@ -207,14 +263,13 @@ def predict_subcodes_dense(
     n = cfg.num_steps
     S = n + 2  # [hidden, code0, n-1 sub embeds] + final slot unused as input
 
+    head_logits = _head_fn(cfg, params)
+    c0_add, cond = _step_cond(cfg, params)
+
     seq0 = jnp.zeros((B, S, H), t.jnp_dtype)
     seq0 = seq0.at[:, 0].set(last_hidden.astype(t.jnp_dtype))
-    seq0 = seq0.at[:, 1].set(code0_embed.astype(t.jnp_dtype))
+    seq0 = seq0.at[:, 1].set((code0_embed + c0_add).astype(t.jnp_dtype))
     pos_ids = jnp.arange(S)
-
-    def head_logits(h, j):
-        w = index_weight(params["heads"], j)
-        return dense(h, w)
 
     def step(carry, j):
         seq, key = carry
@@ -231,7 +286,7 @@ def predict_subcodes_dense(
         table = lax.dynamic_index_in_dim(pred_embed_tables, j, axis=0, keepdims=False)
         emb_j = jnp.take(table, subcode_j, axis=0)
         seq = lax.dynamic_update_slice(
-            seq, emb_j[:, None, :].astype(t.jnp_dtype), (0, 2 + j, 0)
+            seq, cond(emb_j, j)[:, None, :].astype(t.jnp_dtype), (0, 2 + j, 0)
         )
         return (seq, key), (subcode_j, emb_j)
 
@@ -244,16 +299,22 @@ def predict_subcodes_dense(
 
 
 def prepare_fused_step(
-    cfg: CodePredictorConfig, cp_params: dict, bits: int = 8
+    cfg: CodePredictorConfig, cp_params: dict, bits: int = 8,
+    alt: bool = False,
 ) -> dict:
     """Attach pre-packed fused-step weights (ops/fused_step.py) when the
-    architecture qualifies; returns the (possibly extended) params dict."""
+    architecture qualifies; returns the (possibly extended) params dict.
+
+    ``alt=True`` writes the pack to ``fused_step_alt`` instead — the
+    lower-precision residency-extension trunk (engine mtp_quantize="auto"):
+    resident_pack() falls back to it at batches where the primary pack's
+    VMEM gate fails (0.6B int8 is resident through B=16; B=32 needs int4)."""
     from ..ops.fused_step import pack_fused_weights, supports
 
     if not supports(cfg.transformer):
         return cp_params
     out = dict(cp_params)
-    out["fused_step"] = pack_fused_weights(
+    out["fused_step_alt" if alt else "fused_step"] = pack_fused_weights(
         cfg.transformer, cp_params["transformer"]["layers"], bits=bits
     )
     return out
@@ -280,8 +341,14 @@ def predict_subcodes_fused(
 
     cache = init_kv_cache(t, B, cfg.max_seq_len)
     valid = jnp.zeros((B, cfg.max_seq_len), bool)
+    head_logits = _head_fn(cfg, params)
+    c0_add, cond = _step_cond(cfg, params)
     prefix = jnp.stack(
-        [last_hidden.astype(t.jnp_dtype), code0_embed.astype(t.jnp_dtype)], axis=1
+        [
+            last_hidden.astype(t.jnp_dtype),
+            (code0_embed + c0_add).astype(t.jnp_dtype),
+        ],
+        axis=1,
     )
     positions = jnp.broadcast_to(jnp.arange(2, dtype=jnp.int32), (B, 2))
     hidden, cache, valid = transformer_forward(
@@ -292,10 +359,6 @@ def predict_subcodes_fused(
     fw = params["fused_step"]
     fnorm = params["transformer"]["final_norm"]
 
-    def head_logits(h, j):
-        w = index_weight(params["heads"], j)
-        return dense(h, w)
-
     def step(carry, j):
         h_prev, kc, vc, key = carry
         key, sub = split_keys(key, 2)
@@ -305,7 +368,7 @@ def predict_subcodes_fused(
         emb_j = jnp.take(table, subcode_j, axis=0)  # [1, H]
 
         x_out, kc, vc = fused_decode_step(
-            t, fw, emb_j, 2 + j, kc, vc, interpret=interpret
+            t, fw, cond(emb_j, j), 2 + j, kc, vc, interpret=interpret
         )
         # final norm (the kernel emits the pre-norm residual stream)
         h_new = rms_norm(x_out, fnorm, t.rms_norm_eps).astype(h_prev.dtype)
@@ -467,8 +530,14 @@ def predict_subcodes_fused_batched(
 
     cache = init_kv_cache(t, B, cfg.max_seq_len)
     valid = jnp.zeros((B, cfg.max_seq_len), bool)
+    head_logits = _head_fn(cfg, params)
+    c0_add, cond = _step_cond(cfg, params)
     prefix = jnp.stack(
-        [last_hidden.astype(t.jnp_dtype), code0_embed.astype(t.jnp_dtype)], axis=1
+        [
+            last_hidden.astype(t.jnp_dtype),
+            (code0_embed + c0_add).astype(t.jnp_dtype),
+        ],
+        axis=1,
     )
     positions = jnp.broadcast_to(jnp.arange(2, dtype=jnp.int32), (B, 2))
     hidden, cache, valid = transformer_forward(
@@ -478,10 +547,6 @@ def predict_subcodes_fused_batched(
 
     fw = params["fused_step"]
     fnorm = params["transformer"]["final_norm"]
-
-    def head_logits(h, j):
-        w = index_weight(params["heads"], j)
-        return dense(h, w)
 
     def step(carry, j):
         h_prev, kc, vc, key = carry
@@ -493,7 +558,7 @@ def predict_subcodes_fused_batched(
 
         pos = jnp.full((B,), 2 + j, jnp.int32)
         x_out, kc, vc = fused_decode_step_batched(
-            t, fw, emb_j, pos, kc, vc, interpret=interpret
+            t, fw, cond(emb_j, j), pos, kc, vc, interpret=interpret
         )
         h_new = rms_norm(x_out, fnorm, t.rms_norm_eps).astype(h_prev.dtype)
         return (h_new, kc, vc, key), (subcode_j, emb_j)

@@ -93,7 +93,6 @@ def init_vocoder_params(cfg: VocoderConfig, key: jax.Array) -> dict:
             * 0.02
         ).astype(dt),
         "prenet": [],
-        "stages": [],
     }
     for _ in range(cfg.num_prenet_blocks):
         params["prenet"].append(
@@ -109,6 +108,19 @@ def init_vocoder_params(cfg: VocoderConfig, key: jax.Array) -> dict:
             }
         )
 
+    if cfg.head == "istft":
+        # Vocos-style head: LayerNorm -> linear to n_fft + 2 channels
+        # (magnitude + phase for n_fft//2 + 1 bins) at frame rate; the
+        # iSTFT itself has no parameters beyond the synthesis window
+        n_fft = cfg.istft_overlap * cfg.samples_per_frame
+        n_bins = n_fft // 2 + 1
+        params["head_ln_scale"] = jnp.ones((d,), jnp.float32)
+        params["head_ln_bias"] = jnp.zeros((d,), jnp.float32)
+        params["istft_out_w"] = _conv_init(next(keys), 1, d, 2 * n_bins, dt)[0]
+        params["istft_out_b"] = jnp.zeros((2 * n_bins,), dt)
+        return params
+
+    params["stages"] = []
     cin = d
     for rate, cout in zip(cfg.upsample_rates, cfg.upsample_channels):
         stage = {
@@ -148,6 +160,61 @@ def embed_codes(cfg: VocoderConfig, params: dict, codes: jax.Array) -> jax.Array
     return jnp.sum(per_book, axis=0)  # [B, F, D]
 
 
+def _istft_head(cfg: VocoderConfig, params: dict, x: jax.Array) -> jax.Array:
+    """Vocos-style inverse-STFT head: frame-rate features [B, F, D] -> audio
+    [B, F * hop].  Fallback topology for the reference vocoder
+    (tts_onnx.cpp:759-776; docs/FALSIFIABILITY.md §1).
+
+    Frame f's synthesis window covers samples [f*hop, f*hop + n_fft), so the
+    output block for frame t sums windowed frames t-(overlap-1)..t — strictly
+    left context, which keeps chunked streaming exact (same contract as the
+    conv head).  Normalization follows torch.istft (window-square sum, NOLA),
+    clamped at the global onset where the hann ramp starts at zero."""
+    B, F, _ = x.shape
+    hop = cfg.samples_per_frame
+    ov = cfg.istft_overlap
+    n_fft = ov * hop
+    n_bins = n_fft // 2 + 1
+
+    x = layer_norm(x, params["head_ln_scale"], params["head_ln_bias"])
+    h = (
+        jnp.dot(x, params["istft_out_w"], preferred_element_type=jnp.float32)
+        + params["istft_out_b"].astype(jnp.float32)
+    )  # [B, F, 2 * n_bins] f32
+    mag = jnp.exp(jnp.clip(h[..., :n_bins], -30.0, 12.0))
+    phase = h[..., n_bins:]
+    spec = jax.lax.complex(mag * jnp.cos(phase), mag * jnp.sin(phase))
+
+    frames_t = jnp.fft.irfft(spec, n=n_fft, axis=-1)  # [B, F, n_fft] f64->f32
+    frames_t = frames_t.astype(jnp.float32)
+    # periodic hann synthesis window (torch.hann_window(periodic=True))
+    win = 0.5 - 0.5 * jnp.cos(
+        2.0 * jnp.pi * jnp.arange(n_fft, dtype=jnp.float32) / n_fft
+    )
+    frames_t = frames_t * win
+
+    # overlap-add: n_fft = ov * hop exactly, so frame f's window splits into
+    # ov hop-sized chunks landing on blocks f..f+ov-1
+    fw = frames_t.reshape(B, F, ov, hop)
+    acc = None
+    for r in range(ov):
+        contrib = jnp.pad(fw[:, :, r], ((0, 0), (r, ov - 1 - r), (0, 0)))
+        acc = contrib if acc is None else acc + contrib
+    blocks = acc[:, :F]  # [B, F, hop] — blocks F..F+ov-2 are future tails
+
+    # window-square-sum normalization (depends only on min(t, ov-1): causal)
+    wsq = jnp.square(win).reshape(ov, hop)
+    cums = jnp.cumsum(wsq, axis=0)  # cums[t] = sum of chunks 0..t
+    if F <= ov - 1:
+        wsum = cums[:F]
+    else:
+        wsum = jnp.concatenate(
+            [cums[: ov - 1], jnp.broadcast_to(cums[ov - 1], (F - ov + 1, hop))]
+        )
+    wsum = jnp.maximum(wsum, 1e-6)  # hann onset ramp (global start only)
+    return (blocks / wsum).reshape(B, F * hop)
+
+
 def vocoder_forward(cfg: VocoderConfig, params: dict, codes: jax.Array) -> jax.Array:
     """codes [B, F, 16] int32 -> audio f32 [B, F * samples_per_frame]."""
     x = embed_codes(cfg, params, codes)  # [B, F, D]
@@ -159,6 +226,9 @@ def vocoder_forward(cfg: VocoderConfig, params: dict, codes: jax.Array) -> jax.A
         h = jax.nn.gelu(h)
         h = jnp.dot(h, blk["w2"], preferred_element_type=jnp.float32).astype(x.dtype) + blk["b2"]
         x = x + h
+
+    if cfg.head == "istft":
+        return _istft_head(cfg, params, x)
 
     for rate, stage in zip(cfg.upsample_rates, params["stages"]):
         B, T, _ = x.shape

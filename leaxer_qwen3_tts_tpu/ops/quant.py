@@ -164,7 +164,7 @@ def index_weight(w: WeightLike, i, axis: int = 0) -> WeightLike:
 # weight names (leaf keys) that are matmul operands and safe to quantize
 _MATMUL_KEYS = frozenset(
     {"wq", "wk", "wv", "wo", "wg", "wu", "wd", "lm_head", "heads",
-     "wqkv", "wgu"}
+     "head", "wqkv", "wgu"}
 )
 
 
@@ -200,7 +200,7 @@ def fuse_params(params, modules: Sequence[str] = ("talker", "code_predictor")):
 # in int4 mode these keys stay int8: lm_head/heads feed the sampler directly
 # (logit fidelity is the quality-critical surface) and their stacked layouts
 # (heads: [steps, H, V]) sit outside the fused kernels' K-group packing
-_INT8_ONLY_KEYS = frozenset({"lm_head", "heads"})
+_INT8_ONLY_KEYS = frozenset({"lm_head", "heads", "head"})
 
 
 def quantize_params(

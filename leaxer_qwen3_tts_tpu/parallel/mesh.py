@@ -70,6 +70,7 @@ TP_RULES: Tuple[Tuple[str, P], ...] = (
     # output heads: shard the vocab dim
     (r".*talker/lm_head$", P(None, "model")),
     (r".*code_predictor/heads$", P(None, None, "model")),
+    (r".*code_predictor/head$", P(None, "model")),  # shared-head fallback
     # text embedding: shard the embed dim; the projection consumes it sharded
     # (partial-sum matmul -> psum inserted by GSPMD)
     (r".*embeddings/text_embed$", P(None, "model")),

@@ -99,7 +99,7 @@ def resident_jit_options(cfg, batch: int = 1, params=None) -> "dict | None":
         cfg.frame_fused if cfg.frame_fused is not None
         else _frame_fused_enabled()
     )
-    if not (resident or frame):
+    if not (resident or frame) or cp.head_mode != "per_step":
         return None
     if params is not None:
         # considers the alt (lower-precision) pack too: B=32 engages the
@@ -139,6 +139,10 @@ def _frame_fused_eligible(cfg, params, state, sp, uniform_fill, mesh) -> bool:
     if cfg.talker.decode_impl != "fused" or "fused_step" not in tp:
         return False
     if "fused_step" not in cp or "fused_tp" in tp:
+        return False
+    if cfg.code_predictor.head_mode != "per_step":
+        # the in-kernel chain bakes the step-indexed heads; the shared-head
+        # fallback topology decodes on the multi-dispatch path
         return False
     from ..ops.fused_frame import supports_frame
 

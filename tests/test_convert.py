@@ -275,3 +275,105 @@ def test_onnx_conflict_detection(tmp_path):
     staged, unmapped, conflicts = map_tensors(tensors)
     assert unmapped == []
     assert len(conflicts) == 1 and "wq" in conflicts[0]
+
+
+def test_onnx_fallback_roundtrip_strict(tmp_path, tiny_model):
+    """Same strict 8-graph round-trip, but for the FALLBACK topologies
+    (docs/FALSIFIABILITY.md): shared MTP head + step embedding, iSTFT
+    vocoder head, ECAPA speaker encoder.  Bring-up must be config-only
+    whichever guess a real dump confirms."""
+    import dataclasses
+
+    import jax
+
+    import tools.convert as tc
+    from tools.onnx_export import export_onnx_model_dir
+    from leaxer_qwen3_tts_tpu.config import PRESETS
+    from leaxer_qwen3_tts_tpu.runtime.weights import (
+        flatten_params,
+        init_params,
+        load_checkpoint,
+    )
+
+    cfg, _ = tiny_model
+    fb = dataclasses.replace(
+        cfg,
+        name="tiny-test-fallback",
+        code_predictor=dataclasses.replace(cfg.code_predictor, head_mode="shared"),
+        vocoder=dataclasses.replace(cfg.vocoder, head="istft"),
+        speaker_encoder=dataclasses.replace(
+            cfg.speaker_encoder,
+            topology="ecapa", ecapa_channels=32, ecapa_scale=4,
+            ecapa_mfa_dim=48, ecapa_att_dim=16,
+        ),
+    )
+    params = jax.device_get(init_params(fb, jax.random.PRNGKey(5)))
+    src = str(tmp_path / "onnx_fb")
+    export_onnx_model_dir(params, src)
+
+    PRESETS[fb.name] = fb
+    try:
+        out = str(tmp_path / "ckpt_fb")
+        rc = tc.main([
+            "onnx", "--src", src, "--out", out, "--config", fb.name,
+            "--strict",
+        ])
+        assert rc == 0
+        _, params2 = load_checkpoint(out)
+    finally:
+        PRESETS.pop(fb.name, None)
+
+    a = flatten_params(params)
+    b = flatten_params(jax.device_get(params2))
+    assert set(a) == set(b)
+    for key in a:
+        np.testing.assert_array_equal(
+            np.asarray(a[key], np.float32), np.asarray(b[key], np.float32),
+            err_msg=key,
+        )
+
+
+def test_customvoice_conversion_roundtrip(tmp_path, tiny_model, tiny_vocab_files):
+    """CustomVoice: a converted checkpoint carrying a preset-speaker table
+    must activate engine.synthesize_speaker (beyond the reference stub,
+    tts_onnx.cpp:320-329)."""
+    import jax
+
+    import tools.convert as tc
+    from tools.onnx_export import export_onnx_model_dir
+    from leaxer_qwen3_tts_tpu.api.engine import TTSEngine
+    from leaxer_qwen3_tts_tpu.frontend import Tokenizer
+    from leaxer_qwen3_tts_tpu.runtime.weights import load_checkpoint
+
+    cfg, params = tiny_model
+    rng = np.random.default_rng(7)
+    table = rng.standard_normal((9, 64)).astype(np.float32)
+    p = dict(jax.device_get(params))
+    p["speaker_table"] = table
+    src = str(tmp_path / "onnx_cv")
+    export_onnx_model_dir(p, src)
+
+    out = str(tmp_path / "ckpt_cv")
+    rc = tc.main([
+        "onnx", "--src", src, "--out", out, "--config", cfg.name, "--strict",
+    ])
+    assert rc == 0
+
+    _, params2 = load_checkpoint(out)
+    np.testing.assert_array_equal(
+        np.asarray(params2["speaker_table"], np.float32), table
+    )
+
+    vocab_path, merges_path, _ = tiny_vocab_files
+    eng = TTSEngine(
+        config=cfg, params=params2,
+        tokenizer=Tokenizer(vocab_path, merges_path),
+        max_frames=8, chunk_len=4,
+    )
+    assert eng.is_ready(), eng.get_error()
+    r = eng.synthesize_speaker("hello", "vivian", temperature=0.0)
+    plain = eng.synthesize("hello", temperature=0.0)
+    # the table row conditions the prompt: output differs from default voice
+    assert (r.codes.shape != plain.codes.shape) or not np.array_equal(
+        r.codes, plain.codes
+    )

@@ -589,3 +589,38 @@ def test_supports_resident_gates(chain_cfg_params, monkeypatch):
     # trunks over the VMEM budget excluded (1.7B MTP)
     monkeypatch.setattr(fused_mtp, "RESIDENT_MAX_BYTES", 1024)
     assert not supports_resident(fw)
+
+
+def test_resident_pack_alt_fallback(chain_cfg_params):
+    """mtp_quantize="auto" attaches a lower-precision fused_step_alt; the
+    resident chain must prefer the primary pack while it fits and fall back
+    to the alt at batches where the primary overflows the VMEM budget."""
+    import types
+
+    from leaxer_qwen3_tts_tpu.models.code_predictor import resident_pack
+
+    mb = 1024 * 1024
+    primary = types.SimpleNamespace(units=np.zeros(100 * mb, np.int8))
+    alt = types.SimpleNamespace(units=np.zeros(50 * mb, np.int8))
+    # jnp dtype check in supports_resident compares against jnp.int8
+    primary.units = jnp.asarray(primary.units)
+    alt.units = jnp.asarray(alt.units)
+
+    # primary fits single-stream: stays primary even with an alt attached
+    p = {"fused_step": primary, "fused_step_alt": alt}
+    assert resident_pack(p, 1) is primary
+    # at B=16 the primary overflows (100 + 13 fixed + 16*1.1 MB > 112 MB)
+    # and the alt engages
+    assert resident_pack(p, 16) is alt
+    # without an alt the gate returns None (per-step batched fallback)
+    assert resident_pack({"fused_step": primary}, 16) is None
+
+
+def test_prepare_fused_step_alt(chain_cfg_params):
+    cfg, _, _ = chain_cfg_params
+    params = init_code_predictor_params(cfg, jax.random.PRNGKey(1))
+    out = prepare_fused_step(cfg, params, bits=8)
+    out = prepare_fused_step(cfg, out, bits=4, alt=True)
+    assert "fused_step" in out and "fused_step_alt" in out
+    # alt is the nibble-packed int4 trunk: half the primary's unit bytes
+    assert out["fused_step_alt"].units.nbytes * 2 == out["fused_step"].units.nbytes

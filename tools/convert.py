@@ -41,7 +41,7 @@ import numpy as np
 # torch exports (nn.Linear.weight)
 _TRANSPOSE_TARGETS = re.compile(
     r".*(wq|wk|wv|wo|wg|wu|wd|lm_head|text_proj|in_proj|out_proj|w1|w2|pool_w"
-    r"|code_predictor/heads)$"
+    r"|code_predictor/heads?)$"
 )
 
 # (regex, target template) — {0} = layer index, {prefix} = talker|code_predictor
@@ -103,6 +103,14 @@ _HF_RULES: List[Tuple[str, str]] = [
      "code_predictor/heads@{0}"),
     (r"(?:talker\.)?code_predictor\.(?:embed(?:_tokens)?s?|embedding)\.(\d+)\.weight",
      "embeddings/pred_embed@{0}"),
+    # fallback topology: shared MTP head + step embedding (FALSIFIABILITY §2)
+    (r"(?:talker\.)?code_predictor\.(?:lm_)?head\.weight",
+     "code_predictor/head"),
+    (r"(?:talker\.)?code_predictor\.step_embed(?:ding)?s?\.weight",
+     "code_predictor/step_embed"),
+    # CustomVoice preset-speaker table (tts_onnx.h:82-93)
+    (r"(?:talker\.)?(?:model\.)?speaker_(?:embed(?:ding)?s?|table)\.weight",
+     "speaker_table"),
 ]
 
 
@@ -124,6 +132,26 @@ def _t_conv(a: np.ndarray) -> np.ndarray:
 def _t_dw(a: np.ndarray) -> np.ndarray:
     """depthwise nn.Conv1d.weight [C, 1, K] -> [K, C]."""
     return a[:, 0, :].T if a.ndim == 3 else a
+
+
+def _t_pw(a: np.ndarray) -> np.ndarray:
+    """pointwise projection exported as EITHER nn.Linear [out, in] OR
+    nn.Conv1d k=1 [out, in, 1] -> [in, out]."""
+    if a.ndim == 3 and a.shape[-1] == 1:
+        a = a[..., 0]
+    return a.T if a.ndim == 2 else a
+
+
+def _bn_rules(src: str, tgt: str) -> List[Tuple[str, Optional[str], object]]:
+    """Inference BatchNorm1d: 4 torch leaves -> g/b/m/v (models _bn_init);
+    num_batches_tracked is intentionally dropped (no inference meaning)."""
+    return [
+        (src + r"\.weight", tgt + "/g", None),
+        (src + r"\.bias", tgt + "/b", None),
+        (src + r"\.running_mean", tgt + "/m", None),
+        (src + r"\.running_var", tgt + "/v", None),
+        (src + r"\.num_batches_tracked", None, None),
+    ]
 
 
 # ---------------------------------------------------------------------------
@@ -263,7 +291,79 @@ _ONNX_RULES: List[Tuple[str, str, object]] = [
     (_G_SPK + r"pool(?:ing)?\.v\.weight", "speaker_encoder/pool_v", _t_lin),
     (_G_SPK + r"(?:output|out)_proj\.weight", "speaker_encoder/out_proj", _t_lin),
     (_G_SPK + r"(?:output|out)_proj\.bias", "speaker_encoder/out_bias", None),
+    # ------------------------------------------------------------------
+    # Fallback topologies (docs/FALSIFIABILITY.md): rules for the alternate
+    # architectures so real-weight bring-up is a config flip whichever
+    # guess the dump confirms.  A `None` target = intentionally dropped
+    # (constants this framework regenerates, e.g. the iSTFT hann window).
+    # ------------------------------------------------------------------
+    # code_predictor fallback: ONE shared head + learned step embedding
+    # (FALSIFIABILITY §2; contract tts_onnx.cpp:734-757)
+    (r"code_predictor::(?:lm_)?head\.weight", "code_predictor/head", _t_lin),
+    (r"code_predictor::step_embed(?:ding)?s?\.weight",
+     "code_predictor/step_embed", None),
+    # vocoder fallback: Vocos-style iSTFT head (FALSIFIABILITY §1; contract
+    # tts_onnx.cpp:759-776) — LayerNorm + linear to mag/phase bins; the
+    # synthesis window is regenerated (periodic hann), not converted
+    (_G_VOC + r"(?:decoder\.)?head\.norm\.weight", "vocoder/head_ln_scale", None),
+    (_G_VOC + r"(?:decoder\.)?head\.norm\.bias", "vocoder/head_ln_bias", None),
+    (_G_VOC + r"(?:decoder\.)?head\.out\.weight", "vocoder/istft_out_w", _t_pw),
+    (_G_VOC + r"(?:decoder\.)?head\.out\.bias", "vocoder/istft_out_b", None),
+    (_G_VOC + r"(?:decoder\.)?head\.istft\.window", None, None),
+    # speaker-encoder fallback: ECAPA-TDNN (FALSIFIABILITY §3; contract
+    # tts_onnx.cpp:367-403) — conv frontend, SE-Res2Net blocks, MFA,
+    # attentive stats pooling
+    (_G_SPK + r"frontend\.conv\.weight", "speaker_encoder/frontend/w", _t_conv),
+    (_G_SPK + r"frontend\.conv\.bias", "speaker_encoder/frontend/b", None),
+    *_bn_rules(_G_SPK + r"frontend\.bn", "speaker_encoder/frontend/bn"),
+    (_G_SPK + r"blocks\.(\d+)\.conv_in\.weight",
+     "speaker_encoder/blocks/{0}/in_w", _t_conv),
+    (_G_SPK + r"blocks\.(\d+)\.conv_in\.bias",
+     "speaker_encoder/blocks/{0}/in_b", None),
+    *_bn_rules(_G_SPK + r"blocks\.(\d+)\.bn_in",
+               "speaker_encoder/blocks/{0}/in_bn"),
+    (_G_SPK + r"blocks\.(\d+)\.res2net\.convs\.(\d+)\.weight",
+     "speaker_encoder/blocks/{0}/res_w@{1}", _t_conv),
+    (_G_SPK + r"blocks\.(\d+)\.res2net\.convs\.(\d+)\.bias",
+     "speaker_encoder/blocks/{0}/res_b@{1}", None),
+    *_bn_rules(_G_SPK + r"blocks\.(\d+)\.bn_res",
+               "speaker_encoder/blocks/{0}/res_bn"),
+    (_G_SPK + r"blocks\.(\d+)\.conv_out\.weight",
+     "speaker_encoder/blocks/{0}/out_w", _t_conv),
+    (_G_SPK + r"blocks\.(\d+)\.conv_out\.bias",
+     "speaker_encoder/blocks/{0}/out_b", None),
+    *_bn_rules(_G_SPK + r"blocks\.(\d+)\.bn_out",
+               "speaker_encoder/blocks/{0}/out_bn"),
+    (_G_SPK + r"blocks\.(\d+)\.se\.fc1\.weight",
+     "speaker_encoder/blocks/{0}/se_w1", _t_pw),
+    (_G_SPK + r"blocks\.(\d+)\.se\.fc1\.bias",
+     "speaker_encoder/blocks/{0}/se_b1", None),
+    (_G_SPK + r"blocks\.(\d+)\.se\.fc2\.weight",
+     "speaker_encoder/blocks/{0}/se_w2", _t_pw),
+    (_G_SPK + r"blocks\.(\d+)\.se\.fc2\.bias",
+     "speaker_encoder/blocks/{0}/se_b2", None),
+    (_G_SPK + r"mfa\.weight", "speaker_encoder/mfa_w", _t_pw),
+    (_G_SPK + r"mfa\.bias", "speaker_encoder/mfa_b", None),
+    (_G_SPK + r"pool\.att1\.weight", "speaker_encoder/asp_w1", _t_pw),
+    (_G_SPK + r"pool\.att1\.bias", "speaker_encoder/asp_b1", None),
+    (_G_SPK + r"pool\.att2\.weight", "speaker_encoder/asp_w2", _t_pw),
+    (_G_SPK + r"pool\.att2\.bias", "speaker_encoder/asp_b2", None),
+    *_bn_rules(_G_SPK + r"post_bn", "speaker_encoder/post_bn"),
+    (_G_SPK + r"fc\.weight", "speaker_encoder/out_w", _t_lin),
+    (_G_SPK + r"fc\.bias", "speaker_encoder/out_b", None),
+    # ------------------------------------------------------------------
+    # CustomVoice: preset-speaker embedding table [num_speakers, hidden]
+    # (reference Speaker enum tts_onnx.h:82-93; the stub tts_onnx.cpp:320-329
+    # names "CustomVoice model with spk_id config").  Feeds
+    # engine.synthesize_speaker via params["speaker_table"].
+    # ------------------------------------------------------------------
+    (_G_TALKER + r"(?:model\.)?speaker_(?:embed(?:ding)?s?|table)\.weight",
+     "speaker_table", None),
 ]
+
+# flat targets that are OPTIONAL extensions of the base parameter tree:
+# absent from init_params, passed through to the checkpoint when present
+_OPTIONAL_TARGETS = frozenset({"speaker_table"})
 
 
 def load_source(kind: str, src: str) -> Dict[str, np.ndarray]:
@@ -344,8 +444,9 @@ def map_tensors(
             for pattern, template, transform in _ONNX_RULES:
                 m = re.fullmatch(pattern, name)
                 if m:
-                    a = transform(arr) if transform is not None else arr
-                    stage(fill(template, m.groups()), a, name, auto_t=False)
+                    if template is not None:  # None = intentionally dropped
+                        a = transform(arr) if transform is not None else arr
+                        stage(fill(template, m.groups()), a, name, auto_t=False)
                     matched = True
                     break
         if not matched:
@@ -430,6 +531,12 @@ def convert(kind: str, src: str, out: str, config_name: str,
             continue
         ref[key] = arr.astype(refarr.dtype)
         applied += 1
+    # optional extensions (CustomVoice speaker_table): not in init_params,
+    # passed through to the checkpoint verbatim
+    for key in sorted(_OPTIONAL_TARGETS & set(converted)):
+        ref[key] = converted[key].astype(np.float32)
+        applied += 1
+        print(f"optional target passed through: {key} {converted[key].shape}")
     extra = [k for k in converted if k not in ref]
 
     print(f"applied {applied}/{len(ref)} parameters")
@@ -537,7 +644,10 @@ def dry_run(manifest_path: str, config_name: str,
         for k in ref
         if k in converted and tuple(converted[k].shape) != ref[k]
     ]
-    extra = [k for k in converted if k not in ref]
+    extra = [
+        k for k in converted if k not in ref and k not in _OPTIONAL_TARGETS
+    ]
+    optional = sorted(_OPTIONAL_TARGETS & set(converted))
     # absent-module tolerance: modules with NO mapped tensor at all
     covered_modules = {k.split("/", 1)[0] for k in converted}
     tolerated = sorted(
@@ -555,6 +665,7 @@ def dry_run(manifest_path: str, config_name: str,
         "unmapped": sorted(unmapped),
         "shape_mismatches": bad_shape,
         "unknown_targets": sorted(extra),
+        "optional_targets": optional,
         "conflicts": conflicts,
         "missing_in_covered_modules": sorted(hard_missing),
         "absent_modules_tolerated": tolerated if not expect_full else [],

@@ -103,6 +103,14 @@ def _transformer_entries(flat, man, tgt_prefix, src_graphs, src_prefix):
         )
 
 
+def _bn_entries(man, src, c):
+    man[f"{src}.weight"] = [c]
+    man[f"{src}.bias"] = [c]
+    man[f"{src}.running_mean"] = [c]
+    man[f"{src}.running_var"] = [c]
+    man[f"{src}.num_batches_tracked"] = []  # dropped by rule
+
+
 def onnx_manifest(flat):
     man = {}
     # text_project.onnx (tts_onnx.cpp:545-559)
@@ -131,10 +139,19 @@ def onnx_manifest(flat):
     # code_predictor.onnx (:734-757)
     _transformer_entries(flat, man, "code_predictor", ("code_predictor",),
                          "model.")
-    for j in range(flat["code_predictor/heads"][0]):
-        man[f"code_predictor::heads.{j}.weight"] = _inv_lin(
-            flat["code_predictor/heads"][1:]
+    if "code_predictor/head" in flat:
+        # fallback topology: ONE shared head + step embedding
+        man["code_predictor::lm_head.weight"] = _inv_lin(
+            flat["code_predictor/head"]
         )
+        man["code_predictor::step_embed.weight"] = list(
+            flat["code_predictor/step_embed"]
+        )
+    else:
+        for j in range(flat["code_predictor/heads"][0]):
+            man[f"code_predictor::heads.{j}.weight"] = _inv_lin(
+                flat["code_predictor/heads"][1:]
+            )
     # tokenizer12hz_decode.onnx (vocoder, :759-776)
     g = "tokenizer12hz_decode"
     for j in range(flat["vocoder/codebooks"][0]):
@@ -152,6 +169,15 @@ def onnx_manifest(flat):
         man[f"{g}::decoder.prenet.{i}.pwconv2.weight"] = _inv_lin(flat[f"{p}/w2"])
         man[f"{g}::decoder.prenet.{i}.pwconv2.bias"] = list(flat[f"{p}/b2"])
         i += 1
+    if "vocoder/istft_out_w" in flat:
+        # fallback topology: Vocos-style iSTFT head (no upsample stages)
+        man[f"{g}::decoder.head.norm.weight"] = list(flat["vocoder/head_ln_scale"])
+        man[f"{g}::decoder.head.norm.bias"] = list(flat["vocoder/head_ln_bias"])
+        man[f"{g}::decoder.head.out.weight"] = _inv_lin(flat["vocoder/istft_out_w"])
+        man[f"{g}::decoder.head.out.bias"] = list(flat["vocoder/istft_out_b"])
+        # synthesis window: regenerated (periodic hann), dropped by rule;
+        # n_fft = 2 * (n_bins - 1) where out bias holds 2 * n_bins entries
+        man[f"{g}::decoder.head.istft.window"] = [flat["vocoder/istft_out_b"][0] - 2]
     s = 0
     while f"vocoder/stages/{s}/up_w" in flat:
         st = f"vocoder/stages/{s}"
@@ -173,10 +199,13 @@ def onnx_manifest(flat):
             )
             r += 1
         s += 1
-    man[f"{g}::decoder.final.weight"] = _inv_conv(flat["vocoder/final_w"])
-    man[f"{g}::decoder.final.bias"] = list(flat["vocoder/final_b"])
+    if "vocoder/final_w" in flat:
+        man[f"{g}::decoder.final.weight"] = _inv_conv(flat["vocoder/final_w"])
+        man[f"{g}::decoder.final.bias"] = list(flat["vocoder/final_b"])
     # speaker_encoder.onnx (:367-403)
     g = "speaker_encoder"
+    if "speaker_encoder/frontend/w" in flat:
+        return _ecapa_entries(flat, man, g)
     man[f"{g}::input_proj.weight"] = _inv_lin(flat["speaker_encoder/in_proj"])
     man[f"{g}::input_proj.bias"] = list(flat["speaker_encoder/in_bias"])
     i = 0
@@ -199,6 +228,64 @@ def onnx_manifest(flat):
     man[f"{g}::output_proj.weight"] = _inv_lin(flat["speaker_encoder/out_proj"])
     man[f"{g}::output_proj.bias"] = list(flat["speaker_encoder/out_bias"])
     return man
+
+
+def _ecapa_entries(flat, man, g):
+    """ECAPA-TDNN fallback speaker encoder (docs/FALSIFIABILITY.md §3)."""
+    man[f"{g}::frontend.conv.weight"] = _inv_conv(flat[f"{g}/frontend/w"])
+    man[f"{g}::frontend.conv.bias"] = list(flat[f"{g}/frontend/b"])
+    _bn_entries(man, f"{g}::frontend.bn", flat[f"{g}/frontend/b"][0])
+    b = 0
+    while f"{g}/blocks/{b}/in_w" in flat:
+        p = f"{g}/blocks/{b}"
+        e = f"{g}::blocks.{b}"
+        C = flat[f"{p}/in_b"][0]
+        man[f"{e}.conv_in.weight"] = _inv_conv(flat[f"{p}/in_w"])
+        man[f"{e}.conv_in.bias"] = [C]
+        _bn_entries(man, f"{e}.bn_in", C)
+        n_res = flat[f"{p}/res_w"][0]
+        for r in range(n_res):
+            man[f"{e}.res2net.convs.{r}.weight"] = _inv_conv(
+                flat[f"{p}/res_w"][1:]
+            )
+            man[f"{e}.res2net.convs.{r}.bias"] = list(flat[f"{p}/res_b"][1:])
+        _bn_entries(man, f"{e}.bn_res", C)
+        man[f"{e}.conv_out.weight"] = _inv_conv(flat[f"{p}/out_w"])
+        man[f"{e}.conv_out.bias"] = [C]
+        _bn_entries(man, f"{e}.bn_out", C)
+        man[f"{e}.se.fc1.weight"] = _inv_lin(flat[f"{p}/se_w1"])
+        man[f"{e}.se.fc1.bias"] = list(flat[f"{p}/se_b1"])
+        man[f"{e}.se.fc2.weight"] = _inv_lin(flat[f"{p}/se_w2"])
+        man[f"{e}.se.fc2.bias"] = list(flat[f"{p}/se_b2"])
+        b += 1
+    man[f"{g}::mfa.weight"] = _inv_lin(flat[f"{g}/mfa_w"])
+    man[f"{g}::mfa.bias"] = list(flat[f"{g}/mfa_b"])
+    man[f"{g}::pool.att1.weight"] = _inv_lin(flat[f"{g}/asp_w1"])
+    man[f"{g}::pool.att1.bias"] = list(flat[f"{g}/asp_b1"])
+    man[f"{g}::pool.att2.weight"] = _inv_lin(flat[f"{g}/asp_w2"])
+    man[f"{g}::pool.att2.bias"] = list(flat[f"{g}/asp_b2"])
+    _bn_entries(man, f"{g}::post_bn", flat[f"{g}/post_bn/g"][0])
+    man[f"{g}::fc.weight"] = _inv_lin(flat[f"{g}/out_w"])
+    man[f"{g}::fc.bias"] = list(flat[f"{g}/out_b"])
+    return man
+
+
+def fallback_cfg():
+    """The all-fallback-topology 0.6B config (docs/FALSIFIABILITY.md): shared
+    MTP head, iSTFT vocoder head, ECAPA speaker encoder — so dry-run can
+    gate a real export that falsifies the primary guesses."""
+    import dataclasses
+
+    from leaxer_qwen3_tts_tpu.config import PRESETS
+
+    cfg = PRESETS["qwen3-tts-12hz-0.6b-base"]
+    return dataclasses.replace(
+        cfg,
+        name="qwen3-tts-12hz-0.6b-fallback",
+        code_predictor=dataclasses.replace(cfg.code_predictor, head_mode="shared"),
+        vocoder=dataclasses.replace(cfg.vocoder, head="istft"),
+        speaker_encoder=dataclasses.replace(cfg.speaker_encoder, topology="ecapa"),
+    )
 
 
 def hf_manifest(flat):
@@ -257,15 +344,30 @@ def main(argv=None) -> int:
     out_dir = (argv or sys.argv[1:] or ["tests/fixtures"])[0]
     cfg = PRESETS["qwen3-tts-12hz-0.6b-base"]
     flat = _flat_shapes(cfg)
+    fb_cfg = fallback_cfg()
+    fb_flat = _flat_shapes(fb_cfg)
+    # CustomVoice: the base 8-graph export + a preset-speaker table
+    # [num_speakers, talker_hidden] (tts_onnx.h:82-93, 9 presets)
+    from leaxer_qwen3_tts_tpu.config import PRESET_SPEAKERS
+
+    cv = dict(onnx_manifest(flat))
+    cv["talker_decode::model.speaker_embed.weight"] = [
+        len(PRESET_SPEAKERS), flat["talker/transformer/final_norm"][0],
+    ]
     os.makedirs(out_dir, exist_ok=True)
     for name, man in (
         ("manifest_onnx_8graph.json", onnx_manifest(flat)),
         ("manifest_hf.json", hf_manifest(flat)),
+        ("manifest_onnx_fallback.json", onnx_manifest(fb_flat)),
+        ("manifest_onnx_customvoice.json", cv),
     ):
         path = os.path.join(out_dir, name)
         with open(path, "w") as f:
             json.dump(man, f, indent=0, sort_keys=True)
         print(f"wrote {path}: {len(man)} tensors")
+    with open(os.path.join(out_dir, "config_fallback.json"), "w") as f:
+        f.write(fb_cfg.to_json())
+    print(f"wrote {out_dir}/config_fallback.json")
     return 0
 
 

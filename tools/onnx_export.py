@@ -103,6 +103,10 @@ def export_onnx_model_dir(params: dict, out_dir: str) -> None:
         "model.",
     )
     t_tensors["lm_head.weight"] = _lin(f32(talker["lm_head"]))
+    if "speaker_table" in params:
+        # CustomVoice preset-speaker table (tts_onnx.h:82-93), embedded in
+        # the talker graphs like the other embedding-adjacent tensors
+        t_tensors["model.speaker_embed.weight"] = f32(params["speaker_table"])
     # the real export embeds the transformer in both graphs
     write_onnx_model(os.path.join(out_dir, "talker_prefill.onnx"), t_tensors)
     write_onnx_model(os.path.join(out_dir, "talker_decode.onnx"), t_tensors)
@@ -113,9 +117,14 @@ def export_onnx_model_dir(params: dict, out_dir: str) -> None:
         f32(cp["transformer"]["final_norm"]),
         "model.",
     )
-    heads = f32(cp["heads"])  # [steps, H, V]
-    for j in range(heads.shape[0]):
-        cp_tensors[f"lm_heads.{j}.weight"] = _lin(heads[j])
+    if "head" in cp:
+        # fallback topology: ONE shared head + step embedding
+        cp_tensors["lm_head.weight"] = _lin(f32(cp["head"]))
+        cp_tensors["step_embed.weight"] = f32(cp["step_embed"])
+    else:
+        heads = f32(cp["heads"])  # [steps, H, V]
+        for j in range(heads.shape[0]):
+            cp_tensors[f"lm_heads.{j}.weight"] = _lin(heads[j])
     write_onnx_model(os.path.join(out_dir, "code_predictor.onnx"), cp_tensors)
 
     voc = params["vocoder"]
@@ -131,19 +140,72 @@ def export_onnx_model_dir(params: dict, out_dir: str) -> None:
         v[f"decoder.prenet.{i}.pwconv1.bias"] = f32(blk["b1"])
         v[f"decoder.prenet.{i}.pwconv2.weight"] = _lin(f32(blk["w2"]))
         v[f"decoder.prenet.{i}.pwconv2.bias"] = f32(blk["b2"])
-    for s, stage in enumerate(voc["stages"]):
-        v[f"decoder.ups.{s}.weight"] = _conv(f32(stage["up_w"]))
-        v[f"decoder.ups.{s}.bias"] = f32(stage["up_b"])
-        for r, blk in enumerate(stage["res"]):
-            v[f"decoder.ups.{s}.resblocks.{r}.conv1.weight"] = _conv(f32(blk["w1"]))
-            v[f"decoder.ups.{s}.resblocks.{r}.conv1.bias"] = f32(blk["b1"])
-            v[f"decoder.ups.{s}.resblocks.{r}.conv2.weight"] = _conv(f32(blk["w2"]))
-            v[f"decoder.ups.{s}.resblocks.{r}.conv2.bias"] = f32(blk["b2"])
-    v["decoder.final_conv.weight"] = _conv(f32(voc["final_w"]))
-    v["decoder.final_conv.bias"] = f32(voc["final_b"])
+    if "istft_out_w" in voc:
+        # fallback topology: Vocos-style iSTFT head (no upsample stages);
+        # the synthesis window ships in the export but is regenerated here
+        v["decoder.head.norm.weight"] = f32(voc["head_ln_scale"])
+        v["decoder.head.norm.bias"] = f32(voc["head_ln_bias"])
+        v["decoder.head.out.weight"] = _lin(f32(voc["istft_out_w"]))
+        v["decoder.head.out.bias"] = f32(voc["istft_out_b"])
+        n_fft = f32(voc["istft_out_b"]).shape[0] - 2
+        v["decoder.head.istft.window"] = (
+            0.5 - 0.5 * np.cos(2 * np.pi * np.arange(n_fft) / n_fft)
+        ).astype(np.float32)
+    else:
+        for s, stage in enumerate(voc["stages"]):
+            v[f"decoder.ups.{s}.weight"] = _conv(f32(stage["up_w"]))
+            v[f"decoder.ups.{s}.bias"] = f32(stage["up_b"])
+            for r, blk in enumerate(stage["res"]):
+                v[f"decoder.ups.{s}.resblocks.{r}.conv1.weight"] = _conv(f32(blk["w1"]))
+                v[f"decoder.ups.{s}.resblocks.{r}.conv1.bias"] = f32(blk["b1"])
+                v[f"decoder.ups.{s}.resblocks.{r}.conv2.weight"] = _conv(f32(blk["w2"]))
+                v[f"decoder.ups.{s}.resblocks.{r}.conv2.bias"] = f32(blk["b2"])
+        v["decoder.final_conv.weight"] = _conv(f32(voc["final_w"]))
+        v["decoder.final_conv.bias"] = f32(voc["final_b"])
     write_onnx_model(os.path.join(out_dir, "tokenizer12hz_decode.onnx"), v)
 
-    if "speaker_encoder" in params:
+    if "speaker_encoder" in params and "frontend" in params["speaker_encoder"]:
+        # fallback topology: ECAPA-TDNN (docs/FALSIFIABILITY.md §3)
+        spk = params["speaker_encoder"]
+        s: Dict[str, np.ndarray] = {}
+
+        def bn(prefix, p):
+            s[f"{prefix}.weight"] = f32(p["g"])
+            s[f"{prefix}.bias"] = f32(p["b"])
+            s[f"{prefix}.running_mean"] = f32(p["m"])
+            s[f"{prefix}.running_var"] = f32(p["v"])
+
+        s["frontend.conv.weight"] = _conv(f32(spk["frontend"]["w"]))
+        s["frontend.conv.bias"] = f32(spk["frontend"]["b"])
+        bn("frontend.bn", spk["frontend"]["bn"])
+        for i, blk in enumerate(spk["blocks"]):
+            e = f"blocks.{i}"
+            s[f"{e}.conv_in.weight"] = _conv(f32(blk["in_w"]))
+            s[f"{e}.conv_in.bias"] = f32(blk["in_b"])
+            bn(f"{e}.bn_in", blk["in_bn"])
+            rw, rb = f32(blk["res_w"]), f32(blk["res_b"])
+            for r in range(rw.shape[0]):
+                s[f"{e}.res2net.convs.{r}.weight"] = _conv(rw[r])
+                s[f"{e}.res2net.convs.{r}.bias"] = rb[r]
+            bn(f"{e}.bn_res", blk["res_bn"])
+            s[f"{e}.conv_out.weight"] = _conv(f32(blk["out_w"]))
+            s[f"{e}.conv_out.bias"] = f32(blk["out_b"])
+            bn(f"{e}.bn_out", blk["out_bn"])
+            s[f"{e}.se.fc1.weight"] = _lin(f32(blk["se_w1"]))
+            s[f"{e}.se.fc1.bias"] = f32(blk["se_b1"])
+            s[f"{e}.se.fc2.weight"] = _lin(f32(blk["se_w2"]))
+            s[f"{e}.se.fc2.bias"] = f32(blk["se_b2"])
+        s["mfa.weight"] = _lin(f32(spk["mfa_w"]))
+        s["mfa.bias"] = f32(spk["mfa_b"])
+        s["pool.att1.weight"] = _lin(f32(spk["asp_w1"]))
+        s["pool.att1.bias"] = f32(spk["asp_b1"])
+        s["pool.att2.weight"] = _lin(f32(spk["asp_w2"]))
+        s["pool.att2.bias"] = f32(spk["asp_b2"])
+        bn("post_bn", spk["post_bn"])
+        s["fc.weight"] = _lin(f32(spk["out_w"]))
+        s["fc.bias"] = f32(spk["out_b"])
+        write_onnx_model(os.path.join(out_dir, "speaker_encoder.onnx"), s)
+    elif "speaker_encoder" in params:
         spk = params["speaker_encoder"]
         s: Dict[str, np.ndarray] = {
             "input_proj.weight": _lin(f32(spk["in_proj"])),
