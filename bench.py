@@ -691,19 +691,30 @@ def main() -> None:
                 None,
             )
 
-        for name, draft, force, pp in (
-            ("spec_floor", wrong_draft, False, params),
-            ("spec_ceil", repeat_draft, True, params),
-            ("bf16_spec_ceil", repeat_draft, True, bf16_params),
+        # kvq spec arm (VERDICT r4 #5): the int8-KV bucket must be
+        # 128-aligned or the fused verify path silently falls back to XLA
+        spec_len_kvq = ((spec_len + 127) // 128) * 128
+        for name, draft, force, pp, scfg, slen in (
+            ("spec_floor", wrong_draft, False, params, cfg_f32kv, spec_len),
+            ("spec_ceil", repeat_draft, True, params, cfg_f32kv, spec_len),
+            ("bf16_spec_ceil", repeat_draft, True, bf16_params, cfg_f32kv,
+             spec_len),
+            # speculative x int8-KV: the structural ceiling on the headline
+            # (kv-quant) cache config — covers the spec half of BASELINE
+            # config 5 under the serving cache mode
+            ("spec_kvq_ceil", repeat_draft, True, params,
+             cfg if kv_quant_hl else None, spec_len_kvq),
         ):
             if name.startswith("bf16") and quant != "int8":
                 continue
+            if scfg is None:
+                continue
             try:
-                # spec probes stay on the f32-KV config (their longitudinal
-                # baseline; the verify path's multi-slot cache writes are
-                # validated on the f32 cache)
+                # non-kvq spec probes stay on the f32-KV config (their
+                # longitudinal baseline; the verify path's multi-slot cache
+                # writes are validated on the f32 cache)
                 sfns = make_spec_generate_fns(
-                    cfg_f32kv, max_len=spec_len, k=SPEC_K, num_iters=SPEC_ITERS,
+                    scfg, max_len=slen, k=SPEC_K, num_iters=SPEC_ITERS,
                     draft_fn=draft, force_accept=force, params=pp,
                 )
                 st, bd, f0, v0 = sfns.prefill(pp, ids, lens, key, sp_greedy)
@@ -733,6 +744,11 @@ def main() -> None:
             except Exception as e:
                 log(f"spec probe {name} failed: {e}")
                 spec_regime_ok = False
+        if "spec_kvq_ceil_ms_per_frame" in spec_results:
+            # VERDICT r4 #5 field name
+            spec_results["spec_kvq_ms_per_frame"] = spec_results[
+                "spec_kvq_ceil_ms_per_frame"
+            ]
 
     # --- batched speculative serving probe (B=8): one S=K verify pass covers
     # B*K frame slots with per-stream acceptance — the serving multiplier.
@@ -746,20 +762,23 @@ def main() -> None:
             repeat_draft as _rd,
         )
 
-        Bs = 8
         SPEC_K, SPEC_ITERS = 4, 8
         n_disp = max(2, frames // (SPEC_K * SPEC_ITERS))
         spec_len = max(frames, n_disp * SPEC_K * SPEC_ITERS) + 32
-        for name, draft, force in (
-            ("serving_spec_ceil", _rd, True),
-            ("serving_spec_floor", "wrong", False),
-        ):
+        # B=32 arm (VERDICT r4 #5): the serving headline batch — completes
+        # the speculative half of BASELINE config 5
+        arms = []
+        for Bs in (8, 32):
+            sfx = "" if Bs == 8 else f"_b{Bs}"
+            arms.append((f"serving_spec_ceil{sfx}", _rd, True, Bs))
+            arms.append((f"serving_spec_floor{sfx}", "wrong", False, Bs))
+        for name, draft, force, Bs in arms:
             if draft == "wrong":
-                def draft(state, kk):
+                def draft(state, kk, _B=Bs):
                     return (
                         jnp.broadcast_to(
                             (state.pending[:, None, :] + 1) % 2048,
-                            (Bs, kk - 1, 16),
+                            (_B, kk - 1, 16),
                         ),
                         None,
                     )
@@ -829,6 +848,53 @@ def main() -> None:
     result["mtp_impl"] = cfg.code_predictor.impl
     result["quant"] = quant
     result["kv_quant"] = "int8" if kv_quant_hl else "none"
+
+    # --- roofline accounting (VERDICT r4 #9): bytes/frame and %-of-DMA-floor
+    # per component, from the ACTUAL packed array sizes, so kernel
+    # regressions are visible across rounds without re-deriving KERNEL_PLAN
+    # math.  HBM_GBPS is the v5e spec number used in KERNEL_PLAN.md.
+    HBM_GBPS = 819.0
+
+    def _bytes(tree) -> int:
+        return sum(
+            int(l.size) * l.dtype.itemsize
+            for l in jax.tree_util.tree_leaves(tree)
+            if hasattr(l, "dtype")
+        )
+
+    try:
+        talker_w = _bytes(params["talker"].get("fused_step"))
+        lm_head_b = _bytes(params["talker"]["lm_head"])
+        trunk_b = _bytes(params["code_predictor"].get("fused_step"))
+        heads_b = _bytes(
+            params["code_predictor"].get(
+                "heads", params["code_predictor"].get("head")
+            )
+        )
+        # talker step reads: packed weights + lm_head + K/V up to the bucket
+        kv_item = 1 if kv_quant_hl else 2  # int8 vs bf16 cache entries
+        tt = cfg.talker.transformer
+        kv_b = (
+            2 * tt.num_layers * tt.num_kv_heads * blen_hl * tt.head_dim
+            * kv_item
+        )
+        talker_step_b = talker_w + lm_head_b + kv_b
+        # resident MTP chain: trunk once + all step heads + tiny embeds
+        mtp_frame_b = trunk_b + heads_b
+        frame_b = talker_step_b + mtp_frame_b
+        floor_ms = frame_b / (HBM_GBPS * 1e6)
+        result["talker_step_mb"] = round(talker_step_b / 1e6, 1)
+        result["mtp_frame_mb"] = round(mtp_frame_b / 1e6, 1)
+        result["frame_bytes_mb"] = round(frame_b / 1e6, 1)
+        result["frame_dma_floor_ms"] = round(floor_ms, 3)
+        result["dma_floor_frac"] = round(floor_ms / max(frame_ms, 1e-9), 3)
+        log(
+            f"roofline: frame {frame_b/1e6:.0f} MB, floor "
+            f"{floor_ms:.2f} ms, measured {frame_ms:.2f} ms "
+            f"({100*floor_ms/max(frame_ms,1e-9):.0f}% of DMA floor)"
+        )
+    except Exception as e:
+        log(f"roofline accounting failed: {e}")
     # bucket length of the headline/TTFA/resident probes: 128-aligned for the
     # kvq fused path, so it can exceed prior rounds' frames+32 — recorded so
     # round-over-round deltas attribute bucket changes (ADVICE r4)
