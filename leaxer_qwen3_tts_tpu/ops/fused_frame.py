@@ -72,9 +72,9 @@ from .fused_step import (
 from .quant import QuantizedLinear
 
 # fixed VMEM beyond the resident trunk: lm_head scratch (<=6 MB bf16),
-# talker unit double-buffer (2 x <=2 MB), MTP head/table buffers (~6 MB),
-# talker cache pipeline blocks (~3 MB/layer-pair), activations
-_FRAME_FIXED = 20 * 1024 * 1024
+# talker unit ring (default ring=4 x <=2 MB), MTP head/table buffers
+# (~6 MB), talker cache pipeline blocks (~3 MB/layer-pair), activations
+_FRAME_FIXED = 24 * 1024 * 1024
 
 
 def supports_frame(mfw: FusedStepWeights, T: int, cfg: TransformerConfig,

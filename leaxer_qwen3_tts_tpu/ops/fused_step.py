@@ -1266,12 +1266,15 @@ def _manual_enabled() -> bool:
 
 
 def _ring() -> int:
-    """DMA ring depth for the manual kernels (QTTS_FUSED_RING, default 2 —
-    the classic double buffer).  Deeper rings keep more unit transfers
-    outstanding; transport-only, results are bit-identical."""
+    """DMA ring depth for the manual kernels (QTTS_FUSED_RING).  Deeper
+    rings keep more unit transfers outstanding; transport-only, results
+    are bit-identical.  Hardware sweep 2026-08-19 (manual_probe --ring,
+    talker 28L T=512): f32-KV 1.186/1.176/1.176 ms/step and int8-KV
+    0.697/0.674/0.670 at ring 2/4/8 — the knee is 4 (default; +2 unit
+    slots ≈ 2 MB VMEM over the double buffer), 8 buys only ~0.5% more."""
     import os
 
-    return max(2, min(8, int(os.environ.get("QTTS_FUSED_RING", "2"))))
+    return max(2, min(8, int(os.environ.get("QTTS_FUSED_RING", "4"))))
 
 
 def _win_manual_enabled() -> bool:

@@ -114,10 +114,11 @@ def _frame_fused_enabled() -> bool:
     """Whole-frame fused kernel (ops/fused_frame.py) for B=1 sequential
     decode.  Hardware-measured 2026-08-18 (manual_probe --frame): a WASH
     vs the composed resident path on f32 KV (2.446 vs 2.450 ms/frame) and
-    +3% with int8 KV (1.940 vs 2.001), greedy agreement 1.0 — the default
-    stays OFF (sequential-only, different sampled stream); opt in with
-    QTTS_FRAME_FUSED / cfg.frame_fused for the int8-KV single-stream
-    last 3%."""
+    +3% with int8 KV (1.940 vs 2.001), greedy agreement 1.0; rerun
+    2026-08-19 confirms (f32 2.448 vs 2.468, kvq 1.954 vs 1.972,
+    agreement 1.0) — the default stays OFF (sequential-only, different
+    sampled stream); opt in with QTTS_FRAME_FUSED / cfg.frame_fused for
+    the int8-KV single-stream last ~1-3%."""
     import os
 
     return os.environ.get("QTTS_FRAME_FUSED", "0") != "0"
