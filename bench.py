@@ -473,7 +473,10 @@ def main() -> None:
     long_frame_ms = None
     if os.environ.get("BENCH_SKIP_LONGFORM") != "1":
         try:
-            fnsl = make_generate_fns(cfg, batch=1, max_len=2560,
+            # pinned to the f32-KV config like the other longitudinal
+            # baselines (ADVICE r4: the kvq long-form regime has its own
+            # longform_kvq_ms_per_frame field below)
+            fnsl = make_generate_fns(cfg_f32kv, batch=1, max_len=2560,
                                      chunk_len=chunk, params=params)
             stl, bdl = fnsl.prefill(params, ids[:1], lens[:1], key)
             # fast-forward to the EXPENSIVE end of a 2048-frame request (the
@@ -888,10 +891,29 @@ def main() -> None:
         result["frame_bytes_mb"] = round(frame_b / 1e6, 1)
         result["frame_dma_floor_ms"] = round(floor_ms, 3)
         result["dma_floor_frac"] = round(floor_ms / max(frame_ms, 1e-9), 3)
+        # the INGEST roofline (docs/BENCH_EVIDENCE_r5.md, tools/a8_probe.py):
+        # the resident MTP trunk is re-ingested VMEM->MXU every chain step at
+        # the measured ~1.12 us per int8 MB — per-frame compute the HBM floor
+        # cannot see.  Talker weights stream from HBM (slower than ingest),
+        # so its bound stays the DMA floor.
+        INGEST_US_PER_MB = 1.12
+        n_steps = cfg.code_predictor.num_steps
+        mtp_ingest_ms = (
+            (n_steps * trunk_b + heads_b) / 1e6 * INGEST_US_PER_MB / 1e3
+        )
+        roofline_ms = floor_ms - mtp_frame_b / (HBM_GBPS * 1e6) + max(
+            mtp_ingest_ms, mtp_frame_b / (HBM_GBPS * 1e6)
+        )
+        result["mtp_ingest_floor_ms"] = round(mtp_ingest_ms, 3)
+        result["frame_roofline_ms"] = round(roofline_ms, 3)
+        result["roofline_frac"] = round(
+            roofline_ms / max(frame_ms, 1e-9), 3
+        )
         log(
-            f"roofline: frame {frame_b/1e6:.0f} MB, floor "
-            f"{floor_ms:.2f} ms, measured {frame_ms:.2f} ms "
-            f"({100*floor_ms/max(frame_ms,1e-9):.0f}% of DMA floor)"
+            f"roofline: frame {frame_b/1e6:.0f} MB, HBM floor "
+            f"{floor_ms:.2f} ms, ingest roofline {roofline_ms:.2f} ms, "
+            f"measured {frame_ms:.2f} ms "
+            f"({100*roofline_ms/max(frame_ms,1e-9):.0f}% of roofline)"
         )
     except Exception as e:
         log(f"roofline accounting failed: {e}")

@@ -78,61 +78,112 @@ for name, kw in (
     print(f"{name} warm: {r2.metrics.frames} frames, rtf {r2.metrics.rtf:.1f}x, "
           f"ttfa {r2.metrics.ttfa_seconds*1e3:.0f}ms", flush=True)
     del eng
+# --- multilingual + sampling sweep (BASELINE config 2) -------------------
+# zh/ja/ko prompts (byte-proxy tokenizer covers all UTF-8 bytes) + the
+# sweep knobs (temp 0.7 / top-k 30 / top-p 0.9): language plumbing is
+# tts_onnx.cpp:466-477 (codec prefill [THINK, THINK_BOS, lang_id,
+# THINK_EOS]); knob vectors are traced [B] inputs, language id a traced
+# scalar — pass 2 over the warmed buckets must hit ZERO fresh compiles.
+if SMOKE_ONLY in (None, "lang"):
+    import logging
+
+    class _CompileCounter(logging.Handler):
+        count = 0
+        def emit(self, record):
+            if "ompiling" in record.getMessage():
+                _CompileCounter.count += 1
+
+    eng = TTSEngine(config=QWEN3_TTS_06B, params=params, tokenizer=tok,
+                    max_frames=48, chunk_len=16, quantize="int8",
+                    kv_quant=True)
+    assert eng.is_ready(), eng.get_error()
+    prompts = [("en", "hello world"), ("zh", "你好世界"),
+               ("ja", "こんにちは世界"),
+               ("ko", "안녕하세요 세계")]
+    sweeps = [dict(temperature=0.8, top_k=50, top_p=0.95),
+              dict(temperature=0.7, top_k=30, top_p=0.9)]
+    # pass 1: warm every (language x knob) combination
+    for lang, text in prompts:
+        for kw in sweeps:
+            eng.synthesize(text, language=lang, seed=3, **kw)
+    # pass 2: measured, with the compile counter armed
+    h = _CompileCounter()
+    logging.getLogger("jax").addHandler(h)
+    jax.config.update("jax_log_compiles", True)
+    try:
+        for lang, text in prompts:
+            t0 = time.perf_counter()
+            r = eng.synthesize(text, language=lang, seed=4, **sweeps[1])
+            dt = time.perf_counter() - t0
+            wall_rtf = r.metrics.frames * (1 / 12.0) / dt
+            print(f"lang {lang}: {r.metrics.frames} frames, device rtf "
+                  f"{r.metrics.rtf:.1f}x (wall {wall_rtf:.1f}x incl. tunnel), "
+                  f"finite={bool(np.isfinite(r.audio).all())}", flush=True)
+    finally:
+        jax.config.update("jax_log_compiles", False)
+        logging.getLogger("jax").removeHandler(h)
+    print(f"lang sweep: fresh compiles after warmup = {_CompileCounter.count}",
+          flush=True)
+    assert _CompileCounter.count == 0, "recompile after warmup in lang sweep"
+    del eng
+
 # --- continuous pool (production serving) on hardware -------------------
 from leaxer_qwen3_tts_tpu.serve.pool import ContinuousBatcher
 
-# pool chunk 16: first streamed audio after ONE 16-frame chunk (~64 ms of
-# decode at 4 ms/frame) — the TTFA knob; throughput stays batched
-POOL_CHUNK = int(os.environ.get("SMOKE_POOL_CHUNK", "16"))
-eng = TTSEngine(config=QWEN3_TTS_06B, params=params, tokenizer=tok,
-                max_frames=96, chunk_len=POOL_CHUNK, quantize="int8",
-                kv_quant=True)
-assert eng.is_ready(), eng.get_error()
-pool = ContinuousBatcher(eng, pool_size=4, chunk_len=POOL_CHUNK,
-                         kv_bucket=256, text_bucket_max=32)
-try:
-    t0 = time.perf_counter()
-    futs = [pool.submit(f"hello world {i}", temperature=0.8, max_tokens=48)
-            for i in range(8)]
-    results = [f.result(timeout=1200) for f in futs]
-    dt = time.perf_counter() - t0
-    frames = sum(r.metrics.frames for r in results)
-    print(f"pool: 8 requests over 4 slots, {frames} frames in {dt:.1f}s "
-          f"(incl. compile), all finite="
-          f"{all(bool(np.isfinite(r.audio).all()) for r in results)}, "
-          f"stats={pool.stats}", flush=True)
-    # --- streaming THROUGH the pool: TTFA with 3 co-tenants (warm) -------
-    pool.warmup(streaming=True)
-    cot = [pool.submit(f"background {i}", temperature=0.8, max_tokens=64)
-           for i in range(3)]
-    t0 = time.perf_counter()
-    stream = pool.submit_stream("hello world", temperature=0.8, seed=7,
-                                max_tokens=48)
-    parts, ttfa_ms, result = [], None, None
-    for item in stream:
-        if ttfa_ms is None:
-            ttfa_ms = (time.perf_counter() - t0) * 1e3
-        if isinstance(item, np.ndarray):
-            parts.append(item)
-        else:
-            result = item
-    exact = bool(np.array_equal(np.concatenate(parts), result.audio))
-    # tunnel context: one synced host RPC costs ~35-60 ms; the TTFA path
-    # pays ~3 of them (admission sync, decode-dispatch sync, audio fetch)
-    # that co-located production hosts don't
-    probe = jax.device_put(np.zeros(8, np.float32))
-    t0 = time.perf_counter()
-    for _ in range(4):
-        sync(probe)
-    rpc_ms = (time.perf_counter() - t0) / 4 * 1e3
-    print(f"pool stream: TTFA {ttfa_ms:.0f}ms (3 co-tenants, incl. tunnel "
-          f"RPC at {rpc_ms:.0f}ms/hop), {len(parts)} chunks, "
-          f"concat==retired {exact}", flush=True)
-    assert exact, "streamed concatenation != retired audio"
-    for f in cot:
-        f.result(timeout=1200)
-finally:
-    pool.shutdown()
+if SMOKE_ONLY in (None, "pool"):
+    # pool chunk 16: first streamed audio after ONE 16-frame chunk (~64 ms of
+    # decode at 4 ms/frame) — the TTFA knob; throughput stays batched
+    POOL_CHUNK = int(os.environ.get("SMOKE_POOL_CHUNK", "16"))
+    eng = TTSEngine(config=QWEN3_TTS_06B, params=params, tokenizer=tok,
+                    max_frames=96, chunk_len=POOL_CHUNK, quantize="int8",
+                    kv_quant=True)
+    assert eng.is_ready(), eng.get_error()
+    pool = ContinuousBatcher(eng, pool_size=4, chunk_len=POOL_CHUNK,
+                             kv_bucket=256, text_bucket_max=32)
+    try:
+        t0 = time.perf_counter()
+        futs = [pool.submit(f"hello world {i}", temperature=0.8, max_tokens=48)
+                for i in range(8)]
+        results = [f.result(timeout=1200) for f in futs]
+        dt = time.perf_counter() - t0
+        frames = sum(r.metrics.frames for r in results)
+        print(f"pool: 8 requests over 4 slots, {frames} frames in {dt:.1f}s "
+              f"(incl. compile), all finite="
+              f"{all(bool(np.isfinite(r.audio).all()) for r in results)}, "
+              f"stats={pool.stats}", flush=True)
+        # --- streaming THROUGH the pool: TTFA with 3 co-tenants (warm) -------
+        pool.warmup(streaming=True)
+        cot = [pool.submit(f"background {i}", temperature=0.8, max_tokens=64)
+               for i in range(3)]
+        t0 = time.perf_counter()
+        stream = pool.submit_stream("hello world", temperature=0.8, seed=7,
+                                    max_tokens=48)
+        parts, ttfa_ms, result = [], None, None
+        for item in stream:
+            if ttfa_ms is None:
+                ttfa_ms = (time.perf_counter() - t0) * 1e3
+            if isinstance(item, np.ndarray):
+                parts.append(item)
+            else:
+                result = item
+        exact = bool(np.array_equal(np.concatenate(parts), result.audio))
+        # tunnel context: one synced host RPC costs ~35-60 ms; the TTFA path
+        # pays ~3 of them (admission sync, decode-dispatch sync, audio fetch)
+        # that co-located production hosts don't
+        probe = jax.device_put(np.zeros(8, np.float32))
+        t0 = time.perf_counter()
+        for _ in range(4):
+            sync(probe)
+        rpc_ms = (time.perf_counter() - t0) / 4 * 1e3
+        print(f"pool stream: TTFA {ttfa_ms:.0f}ms (3 co-tenants, incl. tunnel "
+              f"RPC at {rpc_ms:.0f}ms/hop), {len(parts)} chunks, "
+              f"concat==retired {exact}", flush=True)
+        assert exact, "streamed concatenation != retired audio"
+        for f in cot:
+            f.result(timeout=1200)
+    finally:
+        pool.shutdown()
+
 if os.environ.get("SMOKE_TRAIN") == "1":
     # --- training step on hardware (bf16, single chip) ------------------
 
