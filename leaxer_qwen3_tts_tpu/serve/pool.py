@@ -475,12 +475,17 @@ class ContinuousBatcher:
         ))
 
     def _get_prefill(self, t_bucket: int, lang_id):
+        """(prefill, decode) for admission: the chunk-1 decode bootstraps
+        frame 0 on the admission worker so a streaming request's first
+        audio leaves at the SPLICE instead of after the next full pooled
+        chunk (round-4 verdict #6 — pooled TTFA)."""
         key = (t_bucket, lang_id)
         if key not in self._prefill_cache:
-            self._prefill_cache[key] = make_generate_fns(
+            fns = make_generate_fns(
                 self.cfg, batch=1, max_len=self.kv_bucket, chunk_len=1,
                 lang_id=lang_id, params=self.engine.params,
-            ).prefill
+            )
+            self._prefill_cache[key] = (fns.prefill, fns.decode)
         return self._prefill_cache[key]
 
     def _get_splice(self, t_bucket: int):
@@ -488,12 +493,11 @@ class ContinuousBatcher:
             TB = self.text_bucket_max
 
             def splice(state, trailing, trailing_len, slot,
-                       cache1, valid1, logits1, hidden1, pos1, key1,
-                       t1, t1len):
+                       cache1, valid1, logits1, hidden1, pos1, step1,
+                       done1, key1, t1, t1len):
                 from ..models.layers import splice_kv_cache
 
                 cache = splice_kv_cache(state.cache, cache1, slot)
-                z32 = jnp.zeros((1,), jnp.int32)
                 new = state._replace(
                     cache=cache,
                     valid_mask=jax.lax.dynamic_update_slice(
@@ -507,9 +511,14 @@ class ContinuousBatcher:
                         hidden1.astype(state.last_hidden.dtype), (slot, 0),
                     ),
                     pos=jax.lax.dynamic_update_slice(state.pos, pos1, (slot,)),
-                    step=jax.lax.dynamic_update_slice(state.step, z32, (slot,)),
+                    # step/done from the admission bootstrap: frame 0 was
+                    # decoded at admission (step=1; done latched if frame 0
+                    # hit EOS) so the drip index and the EOS latch carry over
+                    step=jax.lax.dynamic_update_slice(
+                        state.step, step1, (slot,)
+                    ),
                     done=jax.lax.dynamic_update_slice(
-                        state.done, jnp.zeros((1,), bool), (slot,)
+                        state.done, done1, (slot,)
                     ),
                     # the request's own PRNG chain into its slot row
                     key=jax.lax.dynamic_update_slice(
@@ -557,7 +566,8 @@ class ContinuousBatcher:
                     self._state, self._trailing, self._trailing_len,
                     jnp.asarray(0, jnp.int32),
                     s1.cache, s1.valid_mask,
-                    s1.last_logits, s1.last_hidden, s1.pos, s1.key,
+                    s1.last_logits, s1.last_hidden, s1.pos, s1.step,
+                    s1.done, s1.key,
                     bundle.trailing, bundle.trailing_len,
                 ).compile()
                 self._splice_cache[t_bucket] = compiled
@@ -844,12 +854,27 @@ class ContinuousBatcher:
                 payload = (True, t_bucket, budget, s1, bundle,
                            np.asarray(frame0)[0], bool(np.asarray(valid0)[0]))
             else:
-                prefill = self._get_prefill(t_bucket, lang_id)
+                prefill, decode1 = self._get_prefill(t_bucket, lang_id)
                 s1, bundle = prefill(
                     self.engine.params, ids_arr, lens, admit_key
                 )
+                # bootstrap frame 0 on the admission worker (chunk-1 B=1
+                # decode): first audio leaves at the splice, not after the
+                # next full pooled chunk.  The post-bootstrap state carries
+                # step=1 (drip index) and the EOS latch; the host sync here
+                # runs off the decode loop, so co-tenants never stall on it.
+                sp1 = SamplingParams.create(
+                    req.temperature, req.top_k, req.top_p,
+                    forbid_eos=req.forbid_eos,
+                )
+                s1, frame0, valid0 = decode1(
+                    self.engine.params, s1, bundle.trailing,
+                    bundle.trailing_len, bundle.tts_pad_embed, sp1,
+                )
                 self._warm_splice(t_bucket, s1, bundle)
-                payload = (False, t_bucket, budget, s1, bundle, None, False)
+                payload = (False, t_bucket, budget, s1, bundle,
+                           np.asarray(frame0)[0, 0],
+                           bool(np.asarray(valid0)[0, 0]))
             self._ready.put((slot, req, admit_key, payload))
         except Exception as e:
             log.exception("admission prefill failed")
@@ -913,9 +938,13 @@ class ContinuousBatcher:
                 self._state, self._trailing, self._trailing_len,
                 jnp.asarray(slot, jnp.int32),
                 s1.cache, s1.valid_mask,
-                s1.last_logits, s1.last_hidden, s1.pos, s1.key,
+                s1.last_logits, s1.last_hidden, s1.pos, s1.step,
+                s1.done, s1.key,
                 bundle.trailing, bundle.trailing_len,
             )
+            # the admission bootstrap already committed frame 0
+            if valid0 and budget >= 1:
+                active.frames.append(frame0)
         self._temps[slot] = req.temperature
         self._top_ks[slot] = req.top_k
         self._top_ps[slot] = req.top_p
