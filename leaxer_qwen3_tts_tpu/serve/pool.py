@@ -858,23 +858,29 @@ class ContinuousBatcher:
                 s1, bundle = prefill(
                     self.engine.params, ids_arr, lens, admit_key
                 )
-                # bootstrap frame 0 on the admission worker (chunk-1 B=1
-                # decode): first audio leaves at the splice, not after the
-                # next full pooled chunk.  The post-bootstrap state carries
-                # step=1 (drip index) and the EOS latch; the host sync here
-                # runs off the decode loop, so co-tenants never stall on it.
-                sp1 = SamplingParams.create(
-                    req.temperature, req.top_k, req.top_p,
-                    forbid_eos=req.forbid_eos,
-                )
-                s1, frame0, valid0 = decode1(
-                    self.engine.params, s1, bundle.trailing,
-                    bundle.trailing_len, bundle.tts_pad_embed, sp1,
-                )
+                frame0, valid0 = None, False
+                if req.stream:
+                    # bootstrap frame 0 on the admission worker (chunk-1
+                    # B=1 decode): first audio leaves at the splice, not
+                    # after the next full pooled chunk.  The post-bootstrap
+                    # state carries step=1 (drip index) and the EOS latch.
+                    # STREAMING requests only: the host sync below is ~free
+                    # co-located but costs a tunnel RPC on dev boxes, and
+                    # non-streaming requests gain nothing from an early
+                    # frame 0 (TTFA is a streaming metric).
+                    sp1 = SamplingParams.create(
+                        req.temperature, req.top_k, req.top_p,
+                        forbid_eos=req.forbid_eos,
+                    )
+                    s1, f0, v0 = decode1(
+                        self.engine.params, s1, bundle.trailing,
+                        bundle.trailing_len, bundle.tts_pad_embed, sp1,
+                    )
+                    frame0 = np.asarray(f0)[0, 0]
+                    valid0 = bool(np.asarray(v0)[0, 0])
                 self._warm_splice(t_bucket, s1, bundle)
                 payload = (False, t_bucket, budget, s1, bundle,
-                           np.asarray(frame0)[0, 0],
-                           bool(np.asarray(valid0)[0, 0]))
+                           frame0, valid0)
             self._ready.put((slot, req, admit_key, payload))
         except Exception as e:
             log.exception("admission prefill failed")

@@ -175,12 +175,31 @@ if SMOKE_ONLY in (None, "pool"):
         for _ in range(4):
             sync(probe)
         rpc_ms = (time.perf_counter() - t0) / 4 * 1e3
-        print(f"pool stream: TTFA {ttfa_ms:.0f}ms (3 co-tenants, incl. tunnel "
-              f"RPC at {rpc_ms:.0f}ms/hop), {len(parts)} chunks, "
-              f"concat==retired {exact}", flush=True)
+        q_ms = result.metrics.stage_seconds.get("queued", 0) * 1e3
+        print(f"pool stream: TTFA {ttfa_ms:.0f}ms (3 co-tenants, admission "
+              f"{q_ms:.0f}ms, incl. tunnel RPC at {rpc_ms:.0f}ms/hop; the "
+              f"path pays ~2 hops a co-located host doesn't), "
+              f"{len(parts)} chunks, concat==retired {exact}", flush=True)
         assert exact, "streamed concatenation != retired audio"
         for f in cot:
             f.result(timeout=1200)
+        # --- idle-pool stream: the uncontended TTFA (admission bootstrap +
+        # splice + 1-frame vocode; no chunk-boundary wait) ---------------
+        t0 = time.perf_counter()
+        stream2 = pool.submit_stream("hello world", temperature=0.8,
+                                     seed=9, max_tokens=48)
+        ttfa2, parts2, result2 = None, [], None
+        for item in stream2:
+            if ttfa2 is None:
+                ttfa2 = (time.perf_counter() - t0) * 1e3
+            if isinstance(item, np.ndarray):
+                parts2.append(item)
+            else:
+                result2 = item
+        q2_ms = result2.metrics.stage_seconds.get("queued", 0) * 1e3
+        print(f"pool stream idle: TTFA {ttfa2:.0f}ms (0 co-tenants, "
+              f"admission {q2_ms:.0f}ms, RPC {rpc_ms:.0f}ms/hop x ~2 hops "
+              f"in path), {len(parts2)} chunks", flush=True)
     finally:
         pool.shutdown()
 
