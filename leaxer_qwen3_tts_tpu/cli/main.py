@@ -35,8 +35,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--speaker", help="preset speaker name (CustomVoice models)")
     p.add_argument(
         "--instruct",
-        help="voice-design instruction text (VoiceDesign models; "
-             "the reference lists this as planned)",
+        help="EXPERIMENTAL: voice-design instruction text (VoiceDesign "
+             "models). The prompt layout is this repo's invention — the "
+             "reference lists VoiceDesign as planned (README.md:118-126) "
+             "and no checkpoint exists to validate against",
     )
     p.add_argument(
         "--quantize", choices=["int8", "int4"],
