@@ -681,6 +681,32 @@ def main():
         os.environ.pop("QTTS_FUSED_RING", None)
         return
 
+    if "--ring17" in os.sys.argv:
+        # 1.7B-shape ring sweep: H=2048 units are 4x the bytes of the 0.6B
+        # sweep's, so the outstanding-transfer knee can sit elsewhere.  The
+        # BENCH_MODEL=1.7b headline (8.77 ms f32-KV, 2026-08-19) is ~3%
+        # over the round-4 <=8.5 target — a ring win here is the cheapest
+        # closure.  Sweeps BOTH 1.7B components: talker (28L, T=512) and
+        # the per-step MTP trunk shape (6L, T=32; not resident at 1.7B).
+        talker17 = TransformerConfig(
+            hidden_size=2048, num_layers=28, num_heads=16, num_kv_heads=8,
+            head_dim=128, intermediate_size=6144, dtype="bfloat16",
+        )
+        mtp17 = TransformerConfig(
+            hidden_size=2048, num_layers=6, num_heads=16, num_kv_heads=8,
+            head_dim=128, intermediate_size=6144, dtype="bfloat16",
+        )
+        for ring in ("2", "4", "8", "12"):
+            os.environ["QTTS_FUSED_RING"] = ring
+            print(f"--- ring={ring} ---", flush=True)
+            bench_shape(f"talker17 T=512 ring={ring}", talker17, 512,
+                        kvq=False)
+            bench_shape(f"talker17 T=512 ring={ring}", talker17, 512,
+                        kvq=True)
+            bench_shape(f"mtp17 T=32 ring={ring}", mtp17, 32, kvq=False)
+        os.environ.pop("QTTS_FUSED_RING", None)
+        return
+
     if "--tp" in os.sys.argv:
         bench_tp(TransformerConfig(dtype="bfloat16"), 512)
         return
