@@ -534,6 +534,24 @@ def main() -> None:
             )
             log(f"single-stream (f32 KV A/B): "
                 f"{kvq_results['decode_f32kv_ms_per_frame']:.2f} ms/frame")
+            # like-for-like kvq arm: the HEADLINE number folds in amortized
+            # prefill + the chained vocoder, so comparing it against the
+            # decode-only f32 arm above overstates kvq cost (at 1.7B the
+            # bias flipped the sign of the A/B).  Measure the kvq config
+            # with the IDENTICAL decode-only loop.
+            stq2, bdq2 = fns.prefill(params, ids[:1], lens[:1], key)
+            t0 = time.perf_counter()
+            for _ in range(nk_):
+                stq2, frq2, _ = fns.decode(
+                    params, stq2, bdq2.trailing, bdq2.trailing_len,
+                    bdq2.tts_pad_embed, sp,
+                )
+            sync(frq2)
+            kvq_results["decode_kvq_ms_per_frame"] = round(
+                (time.perf_counter() - t0) / (nk_ * chunk) * 1e3, 2
+            )
+            log(f"single-stream (int8-KV, decode-only A/B): "
+                f"{kvq_results['decode_kvq_ms_per_frame']:.2f} ms/frame")
         except Exception as e:
             log(f"f32-KV A/B probe failed: {e}")
     if batch == 1 and os.environ.get("BENCH_SKIP_KVQ") != "1" and not kv_quant_hl:
