@@ -401,6 +401,10 @@ def main() -> None:
                 dtb = time.perf_counter() - t0
                 serving[Bs] = (nb * chunk * Bs / FRAME_RATE) / dtb
                 log(f"serving batch{Bs}: {serving[Bs]:.1f}x aggregate RTF")
+                # release the B=32 state before later stages (at 1.7B the
+                # retained caches stack toward RESOURCE_EXHAUSTED in the
+                # B=32 spec arm)
+                stb = bdb = frb = fnsb = abs_ = ab = None  # noqa: F841
             except Exception as e:  # never fail the headline on the extra probe
                 log(f"serving probe (B={Bs}) failed: {e}")
 
@@ -462,6 +466,7 @@ def main() -> None:
             sync(frq)
             bf16_frame_ms = (time.perf_counter() - t0) / (nq * chunk) * 1e3
             log(f"bf16 decode: {bf16_frame_ms:.2f} ms/frame")
+            stq = bdq = frq = fns_bf = None  # noqa: F841 — free before spec
         except Exception as e:
             log(f"bf16 probe failed: {e}")
 
@@ -502,6 +507,8 @@ def main() -> None:
             sync(frl)
             long_frame_ms = (time.perf_counter() - t0) / (2 * chunk) * 1e3
             log(f"long-form (2048-frame bucket) decode: {long_frame_ms:.2f} ms/frame")
+            # the 2560-bucket f32 cache is ~0.6 GB at 1.7B — free it
+            stl = bdl = frl = fnsl = None  # noqa: F841
         except Exception as e:
             log(f"long-form probe failed: {e}")
 
@@ -552,6 +559,11 @@ def main() -> None:
             )
             log(f"single-stream (int8-KV, decode-only A/B): "
                 f"{kvq_results['decode_kvq_ms_per_frame']:.2f} ms/frame")
+            # release the A/B states BEFORE the serving/spec stages: at 1.7B
+            # the B=32 f32-KV spec arm allocates a ~7.5 GB cache and retained
+            # probe buffers tip it into RESOURCE_EXHAUSTED (observed: this
+            # arm's extra ~150 MB OOM'd serving_spec_b32 on a 16 GB chip)
+            stk = bdk = frk = stq2 = bdq2 = frq2 = fnsk = None  # noqa: F841
         except Exception as e:
             log(f"f32-KV A/B probe failed: {e}")
     if batch == 1 and os.environ.get("BENCH_SKIP_KVQ") != "1" and not kv_quant_hl:
@@ -765,6 +777,10 @@ def main() -> None:
             except Exception as e:
                 log(f"spec probe {name} failed: {e}")
                 spec_regime_ok = False
+            # free this arm's state before the next (and before serving
+            # spec): retained spec caches stack toward RESOURCE_EXHAUSTED
+            # at 1.7B (observed: the B=32 serving-spec arm OOM'd)
+            sfns = st = bd = f0 = v0 = fr = vd = valids = None  # noqa: F841
         if "spec_kvq_ceil_ms_per_frame" in spec_results:
             # VERDICT r4 #5 field name
             spec_results["spec_kvq_ms_per_frame"] = spec_results[
@@ -839,6 +855,7 @@ def main() -> None:
             except Exception as e:
                 log(f"{name} probe failed: {e}")
                 spec_regime_ok = False
+            sfns = st = bd = f0 = v0 = fr = vd = valids = None  # noqa: F841
         spec_results["spec_probe_ok"] = bool(spec_regime_ok)
 
     # diagnostic: host<->device round-trip latency (tunnel overhead)

@@ -307,6 +307,7 @@ class TTSEngine:
                 from ..parallel import shard_params as _shard_params
 
                 tp_pack = None
+                cp_tp_pack = None
                 tp = mesh.shape.get("model", 1)
                 if (
                     tp > 1
@@ -325,9 +326,34 @@ class TTSEngine:
                             tr, self.params["talker"]["transformer"]["layers"],
                             tp, mesh=mesh,
                         )
+                if tp > 1 and self.cfg.code_predictor.impl == "fused":
+                    # TP-resident MTP chain (ops/fused_mtp_tp.py): shard the
+                    # trunk so the 1.7B chain (302 MB int8 — never resident
+                    # on one chip) becomes VMEM-resident per chip with
+                    # in-kernel ICI all-reduces; predict_subcodes routes to
+                    # it when this pack is attached (B=1 sequential decode).
+                    from ..ops.fused_mtp_tp import supports_tp_resident
+
+                    cpt = self.cfg.code_predictor
+                    if (
+                        cpt.head_mode == "per_step"
+                        and supports_tp_resident(
+                            cpt.transformer, tp, cpt.num_steps,
+                            cpt.subcode_vocab_size,
+                        )
+                    ):
+                        from ..ops.fused_tp import pack_fused_tp as _pftp
+
+                        cp_tp_pack = _pftp(
+                            cpt.transformer,
+                            self.params["code_predictor"]["transformer"]["layers"],
+                            tp, mesh=mesh,
+                        )
                 self.params = _shard_params(mesh, self.params)
                 if tp_pack is not None:
                     self.params["talker"]["fused_tp"] = tp_pack
+                if cp_tp_pack is not None:
+                    self.params["code_predictor"]["fused_tp"] = cp_tp_pack
             self._ready = True
         except Exception as e:  # record, don't raise (reference ctor contract)
             self._error = str(e)

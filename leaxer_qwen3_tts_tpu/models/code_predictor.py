@@ -145,6 +145,7 @@ def predict_subcodes(
     key: jax.Array,
     sample_fn: Callable[[jax.Array, jax.Array], jax.Array],  # (key, logits[B,V]) -> [B] int32
     sp=None,  # SamplingParams — enables the resident-chain kernel (B=1)
+    mesh=None,  # TP mesh — enables the TP-resident chain (fused_tp pack)
 ) -> Tuple[jax.Array, jax.Array]:
     """Runs the 15-step MTP loop for one frame.
 
@@ -160,6 +161,23 @@ def predict_subcodes(
     ) and cfg.head_mode == "per_step"  # the resident kernels bake the
     # step-indexed heads; the shared-head fallback rides the fused per-step
     # kernels (its head matmul is XLA-side either way)
+    if (
+        cfg.impl == "fused"
+        and mesh is not None
+        and sp is not None
+        and resident_on
+        and "fused_tp" in params
+        and last_hidden.shape[0] == 1
+    ):
+        # TP-resident chain (ops/fused_mtp_tp.py): the trunk SHARD is
+        # VMEM-resident per chip with in-kernel ICI all-reduces — the 1.7B
+        # residency path (engine attaches "fused_tp" only when
+        # supports_tp_resident passes).  Like the single-chip resident
+        # chain, sampling runs in-kernel from precomputed Gumbel noise.
+        return predict_subcodes_tp_resident(
+            cfg, params, pred_embed_tables, last_hidden, code0_embed,
+            key, sp, mesh,
+        )
     if cfg.impl == "fused" and "fused_step" in params and last_hidden.shape[0] == 1:
         if sp is not None and resident_on:
             fw = resident_pack(params, 1)
@@ -446,6 +464,61 @@ def predict_subcodes_resident(
         sp.top_p,
         interpret=interpret,
         cache_dtype=t.jnp_dtype,
+    )
+    return subcodes, sub_sum.astype(last_hidden.dtype)
+
+
+def predict_subcodes_tp_resident(
+    cfg: CodePredictorConfig,
+    params: dict,
+    pred_embed_tables: jax.Array,
+    last_hidden: jax.Array,  # [1, H]
+    code0_embed: jax.Array,
+    key: jax.Array,  # [2] or per-row [1, 2]
+    sp,  # SamplingParams (scalar or [1] knobs)
+    mesh,
+) -> Tuple[jax.Array, jax.Array]:
+    """TP-sharded resident chain: the whole 15-step loop runs as ONE Pallas
+    kernel per chip on the Megatron shard held in VMEM, with the per-layer
+    partial sums and head logits all-reduced over ICI IN-KERNEL
+    (ops/fused_mtp_tp.py).  This is the 1.7B residency path — the int8
+    trunk that overflows single-chip VMEM (302 MB) fits at TP=4
+    (~76 MB/chip), turning 15 HBM re-reads/frame into resident ingest.
+
+    The ``fused_tp`` pack (ops/fused_tp.FusedTPWeights) is attached by the
+    engine when ``supports_tp_resident`` passes.  Gumbel noise is
+    replicated so every chip samples the identical sub-code; the sampled
+    stream matches the single-chip resident chain's (same split(key, n) →
+    gumbel-over-V chain)."""
+    from ..ops.fused_mtp_tp import fused_mtp_chain_tp
+
+    t = cfg.transformer
+    n = cfg.num_steps
+    V = cfg.subcode_vocab_size
+    tp = mesh.shape.get("model", 1)
+    interpret = jax.default_backend() != "tpu"
+
+    k = key[0] if key.ndim == 2 else key
+    gkeys = jax.random.split(k, n)
+    gumbel = jax.vmap(lambda kk: jax.random.gumbel(kk, (1, V), jnp.float32))(
+        gkeys
+    )  # [n, 1, V]
+
+    subcodes, sub_sum = fused_mtp_chain_tp(
+        t,
+        tp,
+        mesh,
+        params["fused_tp"],
+        params["transformer"]["final_norm"],
+        params["heads"],
+        pred_embed_tables,
+        last_hidden,
+        code0_embed,
+        gumbel,
+        sp.temperature,
+        sp.top_k,
+        sp.top_p,
+        interpret=interpret,
     )
     return subcodes, sub_sum.astype(last_hidden.dtype)
 

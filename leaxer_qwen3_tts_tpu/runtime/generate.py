@@ -309,6 +309,7 @@ def _frame_step(
         k_pred,
         sample_fn,
         sp=sp,
+        mesh=mesh,
     )
     frame = jnp.concatenate([code0[:, None], subcodes], axis=1)  # [B, 16]
     frame = jnp.where(frame_valid[:, None], frame, 0)

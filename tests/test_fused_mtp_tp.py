@@ -287,6 +287,63 @@ def test_tp_chain_matches_xla_twin(tp_chain_setup, data, tp):
                                rtol=2e-2)
 
 
+def test_predict_subcodes_routes_to_tp_chain(tp_chain_setup):
+    """Product-path routing (models/code_predictor.predict_subcodes):
+    with a mesh + an attached ``fused_tp`` pack + resident enabled, the
+    engine-facing entry point runs the TP-resident chain and matches the
+    direct kernel call exactly (same key -> same Gumbel chain)."""
+    import dataclasses
+
+    from leaxer_qwen3_tts_tpu.models.code_predictor import predict_subcodes
+    from leaxer_qwen3_tts_tpu.runtime.sampling import SamplingParams
+
+    cfg, params, heads, tables = tp_chain_setup
+    cfg = dataclasses.replace(cfg, resident=True)  # CPU default is off
+    t = cfg.transformer
+    n, V = cfg.num_steps, cfg.subcode_vocab_size
+    tp = 2
+    mesh = make_mesh(2, tp, devices=jax.devices()[: 2 * tp])
+    fw = pack_fused_tp(t, params["transformer"]["layers"], tp, mesh=mesh)
+    cp_params = {
+        "transformer": params["transformer"],
+        "heads": params["heads"],
+        "fused_tp": fw,
+        # a fused_step pack must NOT shadow the TP route; presence of both
+        # mirrors a real engine dict (single-chip pack + TP pack)
+        "fused_step": params.get("fused_step", object()),
+    }
+    rng = np.random.default_rng(7)
+    H = t.hidden_size
+    lh = jnp.asarray(rng.standard_normal((1, H)) * 0.5, jnp.float32)
+    c0 = jnp.asarray(rng.standard_normal((1, H)) * 0.02, jnp.float32)
+    key = jax.random.PRNGKey(21)
+    sp = SamplingParams.create(temperature=0.8, top_k=50, top_p=0.9)
+
+    with jax.set_mesh(mesh):
+        subs_r, sum_r = predict_subcodes(
+            cfg, cp_params, tables, lh, c0, key,
+            sample_fn=None, sp=sp, mesh=mesh,
+        )
+        subs_r = np.asarray(jax.device_get(subs_r))
+        sum_r = np.asarray(jax.device_get(sum_r))
+
+        # direct kernel call with the identical noise derivation
+        gkeys = jax.random.split(key, n)
+        gumbel = jax.vmap(
+            lambda kk: jax.random.gumbel(kk, (1, V), jnp.float32)
+        )(gkeys)
+        subs_d, sum_d = fused_mtp_chain_tp(
+            t, tp, mesh, fw, params["transformer"]["final_norm"],
+            cp_params["heads"], tables, lh, c0, gumbel,
+            sp.temperature, sp.top_k, sp.top_p, interpret=True,
+        )
+        subs_d = np.asarray(jax.device_get(subs_d))
+        sum_d = np.asarray(jax.device_get(sum_d))
+
+    np.testing.assert_array_equal(subs_r, subs_d)
+    np.testing.assert_allclose(sum_r, sum_d, atol=1e-6, rtol=1e-6)
+
+
 def test_tp_chain_greedy_determinism():
     """Greedy (temp=0) twice -> identical sub-codes; different noise rows
     with temp>0 -> the chain actually samples.  Small config (the kernel
