@@ -156,7 +156,13 @@ def main() -> None:
 
     kv_quant_hl = (
         os.environ.get(
-            "BENCH_KV_QUANT", "1" if (on_tpu and quant == "int8") else "0"
+            "BENCH_KV_QUANT",
+            # int8 KV is the measured single-stream winner at 0.6B (1.99 vs
+            # 2.26 ms/frame) but LOSES at 1.7B (9.00 vs 8.75 decode-only,
+            # like-for-like A/B, docs/BENCH_EVIDENCE_r5.md) — headline each
+            # model size on its best-known cache config; the other cache
+            # mode is still measured as an A/B arm either way
+            "1" if (on_tpu and quant == "int8" and model != "1.7b") else "0",
         )
         == "1"
     )
@@ -966,9 +972,10 @@ def main() -> None:
         result["bf16_decode_ms_per_frame"] = round(bf16_frame_ms, 2)
     if long_frame_ms is not None:
         result["longform_decode_ms_per_frame"] = round(long_frame_ms, 2)
-        # the long-form probe runs the HEADLINE cfg (int8 KV when kv_quant
-        # is on) — annotate so cross-round comparisons stay like-for-like
-        result["longform_kv"] = "int8" if kv_quant_hl else "none"
+        # the long-form probe is PINNED to the f32-KV config (its
+        # longitudinal baseline; ADVICE r4) — annotate so cross-round
+        # comparisons stay like-for-like
+        result["longform_kv"] = "none"
     result.update(kvq_results)
     result.update(spec_results)
     print(json.dumps(result), flush=True)
