@@ -113,6 +113,17 @@ def _resident_enabled() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _stream_enabled() -> bool:
+    """Streamed-trunk MTP chain (ops/fused_mtp_stream.py) for B=1 fused
+    decode when the trunk is too large for VMEM residency (1.7B
+    single-chip).  QTTS_MTP_STREAM=1 opts in; default OFF until
+    hardware-validated (the resident chain's gating pattern — flip the
+    default once tools/manual_probe.py --stream shows the win live)."""
+    import os
+
+    return os.environ.get("QTTS_MTP_STREAM", "0") == "1"
+
+
 def resident_pack(params: dict, batch: int):
     """The trunk pack the resident chain should use at this batch, or None.
 
@@ -186,6 +197,22 @@ def predict_subcodes(
                     cfg, params, pred_embed_tables, last_hidden, code0_embed,
                     key, sp, fw=fw,
                 )
+            # trunk too large for VMEM residency (the 1.7B single-chip
+            # case): the STREAMED chain keeps the per-step path's weight
+            # traffic but deletes the 15 dispatches of XLA glue — one
+            # kernel, trunk ring-DMA'd per chain position, in-kernel
+            # sampling (ops/fused_mtp_stream.py)
+            if _stream_enabled():
+                from ..ops.fused_mtp_stream import supports_stream
+
+                if supports_stream(
+                    params["fused_step"], cfg.num_steps,
+                    cfg.subcode_vocab_size,
+                ):
+                    return predict_subcodes_streamed(
+                        cfg, params, pred_embed_tables, last_hidden,
+                        code0_embed, key, sp,
+                    )
         return predict_subcodes_fused(
             cfg, params, pred_embed_tables, last_hidden, code0_embed, key, sample_fn
         )
@@ -464,6 +491,53 @@ def predict_subcodes_resident(
         sp.top_p,
         interpret=interpret,
         cache_dtype=t.jnp_dtype,
+    )
+    return subcodes, sub_sum.astype(last_hidden.dtype)
+
+
+def predict_subcodes_streamed(
+    cfg: CodePredictorConfig,
+    params: dict,
+    pred_embed_tables: jax.Array,
+    last_hidden: jax.Array,  # [1, H]
+    code0_embed: jax.Array,
+    key: jax.Array,  # [2] or per-row [1, 2]
+    sp,  # SamplingParams (scalar or [1] knobs)
+) -> Tuple[jax.Array, jax.Array]:
+    """Streamed-trunk chain: the whole 15-step loop — prefix included — is
+    ONE Pallas kernel (ops/fused_mtp_stream.py) with the trunk units
+    ring-DMA'd from HBM per chain position (residency impossible — the
+    1.7B trunk exceeds VMEM) and the sampler run in-kernel.  Outputs are
+    IDENTICAL to the resident chain's on the same inputs (same noise
+    chain, same op order; only the weight transport differs)."""
+    from ..ops.fused_mtp_stream import fused_mtp_chain_streamed
+    from ..ops.fused_step import _ring
+
+    t = cfg.transformer
+    n = cfg.num_steps
+    V = cfg.subcode_vocab_size
+    interpret = jax.default_backend() != "tpu"
+
+    k = key[0] if key.ndim == 2 else key
+    gkeys = jax.random.split(k, n)
+    gumbel = jax.vmap(lambda kk: jax.random.gumbel(kk, (1, V), jnp.float32))(
+        gkeys
+    )  # [n, 1, V]
+
+    subcodes, sub_sum = fused_mtp_chain_streamed(
+        t,
+        params["fused_step"],
+        params["transformer"]["final_norm"],
+        params["heads"],
+        pred_embed_tables,
+        last_hidden,
+        code0_embed,
+        gumbel,
+        sp.temperature,
+        sp.top_k,
+        sp.top_p,
+        ring=_ring(),
+        interpret=interpret,
     )
     return subcodes, sub_sum.astype(last_hidden.dtype)
 

@@ -355,6 +355,124 @@ def bench_resident() -> dict:
     return out
 
 
+def bench_stream() -> dict:
+    """Isolated A/B of the 1.7B-shape MTP chain: per-step fused kernels
+    (predict_subcodes_fused — 15 dispatches + XLA head/sample/gather glue)
+    vs the STREAMED single-kernel chain (ops/fused_mtp_stream.py — same
+    HBM traffic, glue deleted).  int8 and int4 trunks; greedy agreement
+    streamed-vs-per-step asserted on hardware."""
+    import dataclasses
+
+    from leaxer_qwen3_tts_tpu.config import (
+        CodePredictorConfig,
+        TransformerConfig,
+    )
+    from leaxer_qwen3_tts_tpu.models.code_predictor import (
+        init_code_predictor_params,
+        predict_subcodes_fused,
+        predict_subcodes_streamed,
+        prepare_fused_step,
+    )
+    from leaxer_qwen3_tts_tpu.ops.fused_mtp_stream import supports_stream
+    from leaxer_qwen3_tts_tpu.ops.quant import fuse_params, quantize_params
+    from leaxer_qwen3_tts_tpu.runtime.sampling import (
+        SamplingParams,
+        sample_token,
+    )
+
+    t17 = TransformerConfig(
+        hidden_size=2048, num_layers=6, num_heads=16, num_kv_heads=8,
+        head_dim=128, intermediate_size=6144, dtype="bfloat16",
+    )
+    cfg = CodePredictorConfig(transformer=t17, impl="fused")
+    H, n, V = 2048, cfg.num_steps, cfg.subcode_vocab_size
+
+    @jax.jit
+    def build(key):
+        k1, k2 = jax.random.split(key)
+        params = init_code_predictor_params(cfg, k1)
+        tables = (
+            jax.random.normal(k2, (n, V, H), jnp.float32) * 0.02
+        ).astype(jnp.bfloat16)
+        return params, tables
+
+    raw, tables = build(jax.random.PRNGKey(0))
+    qp = jax.jit(lambda p: quantize_params(fuse_params({"m": p}))["m"])(raw)
+    qp8 = jax.jit(lambda p: prepare_fused_step(cfg, p, bits=8))(dict(qp))
+    # int4 pack needs RAW trunk weights, engine-style mixed precision
+    qp4 = jax.jit(lambda p: prepare_fused_step(cfg, p, bits=4))(
+        dict(qp) | {"transformer": raw["transformer"]}
+    )
+    qp4 = dict(qp4) | {"transformer": qp["transformer"]}
+    for name, p in (("int8", qp8), ("int4", qp4)):
+        assert supports_stream(p["fused_step"], n, V), name
+    rng = np.random.default_rng(0)
+    hidden, c0e = jax.device_put([
+        rng.standard_normal((1, H)).astype(np.float32) * 0.5,
+        rng.standard_normal((1, H)).astype(np.float32) * 0.02,
+    ])
+
+    n_it = 48
+    out = {}
+
+    def chain_bench(name, fn, sp, params):
+        sample_fn = lambda k, lg: sample_token(k, lg, sp)
+
+        @jax.jit
+        def run(params, tables, hidden, c0e, key):
+            def body(carry, _):
+                h, key = carry
+                key, kf = jax.random.split(key)
+                if fn is predict_subcodes_streamed:
+                    subs, ssum = fn(cfg, params, tables, h, c0e, kf, sp)
+                else:
+                    subs, ssum = fn(cfg, params, tables, h, c0e, kf,
+                                    sample_fn)
+                h2 = (hidden + 0.01 * ssum.astype(hidden.dtype))
+                return (h2, key), subs
+
+            (_, _), subs = jax.lax.scan(
+                body, (hidden, jax.random.PRNGKey(3)), None, length=n_it
+            )
+            return subs
+
+        t0 = time.perf_counter()
+        subs = run(params, tables, hidden, c0e, jax.random.PRNGKey(3))
+        sync(subs)
+        compile_s = time.perf_counter() - t0
+        best = float("inf")
+        for _ in range(3):
+            t1 = time.perf_counter()
+            subs = run(params, tables, hidden, c0e, jax.random.PRNGKey(3))
+            sync(subs)
+            best = min(best, time.perf_counter() - t1)
+        ms = best / n_it * 1e3
+        out[name] = ms
+        print(f"mtp17 chain {name}: {ms:.3f} ms/chain "
+              f"(compile {compile_s:.1f}s, best of 3)", flush=True)
+        return np.asarray(subs)
+
+    sp_s = SamplingParams.create(temperature=0.8, top_k=50, top_p=0.95)
+    sp_g = SamplingParams.create(temperature=0.0)
+    chain_bench("per-step int8 sampled", predict_subcodes_fused, sp_s, qp8)
+    s1 = chain_bench("streamed int8 sampled", predict_subcodes_streamed,
+                     sp_s, qp8)
+    s2 = chain_bench("streamed int8 sampled", predict_subcodes_streamed,
+                     sp_s, qp8)
+    assert np.array_equal(s1, s2), "streamed sampling nondeterministic"
+    chain_bench("per-step int4 sampled", predict_subcodes_fused, sp_s, qp4)
+    chain_bench("streamed int4 sampled", predict_subcodes_streamed,
+                sp_s, qp4)
+    g_f = chain_bench("per-step int8 greedy", predict_subcodes_fused,
+                      sp_g, qp8)
+    g_s = chain_bench("streamed int8 greedy", predict_subcodes_streamed,
+                      sp_g, qp8)
+    agree = float((g_f == g_s).mean())
+    print(f"greedy agreement streamed vs per-step: {agree:.4f}", flush=True)
+    out["greedy_agreement"] = agree
+    return out
+
+
 def bench_frame() -> dict:
     """Whole-frame kernel A/B on the real 0.6B shapes: ONE pallas_call per
     frame (ops/fused_frame.py — code0 sample + resident MTP chain + talker
@@ -644,6 +762,10 @@ def main():
 
     if "--resident" in os.sys.argv:
         bench_resident()
+        return
+
+    if "--stream" in os.sys.argv:
+        bench_stream()
         return
 
     if "--frame" in os.sys.argv:
