@@ -503,6 +503,7 @@ def predict_subcodes_streamed(
     code0_embed: jax.Array,
     key: jax.Array,  # [2] or per-row [1, 2]
     sp,  # SamplingParams (scalar or [1] knobs)
+    ring: "int | None" = None,  # DMA ring depth override (probes)
 ) -> Tuple[jax.Array, jax.Array]:
     """Streamed-trunk chain: the whole 15-step loop — prefix included — is
     ONE Pallas kernel (ops/fused_mtp_stream.py) with the trunk units
@@ -517,6 +518,8 @@ def predict_subcodes_streamed(
     n = cfg.num_steps
     V = cfg.subcode_vocab_size
     interpret = jax.default_backend() != "tpu"
+    if ring is None:
+        ring = _ring()
 
     k = key[0] if key.ndim == 2 else key
     gkeys = jax.random.split(k, n)
@@ -536,7 +539,7 @@ def predict_subcodes_streamed(
         sp.temperature,
         sp.top_k,
         sp.top_p,
-        ring=_ring(),
+        ring=ring,
         interpret=interpret,
     )
     return subcodes, sub_sum.astype(last_hidden.dtype)

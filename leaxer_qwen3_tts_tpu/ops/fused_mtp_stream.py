@@ -65,11 +65,35 @@ from .fused_step import (
 
 __all__ = [
     "supports_stream",
+    "stream_compiler_options",
     "fused_mtp_chain_streamed",
 ]
 
 # fixed VMEM beyond the streamed slots: activations, caches, emb row block
 _STREAM_FIXED = 8 * 1024 * 1024
+
+# XLA charges the kernel's VMEM blocks against its scoped-vmem stack, whose
+# 16 MiB default rejects this kernel (observed on v5e: "Scoped allocation
+# with size 25.22M and limit 16.00M" — ring 4 + head double-buffer + KV
+# scratch at 1.7B int8).  48 MiB covers ring-depth sweeps to 8 with slack
+# while perturbing XLA's other choices far less than the 115 MiB resident
+# cap (see fused_mtp.resident_compiler_options for why the cap is gated
+# tightly).  jits that can embed ONLY the streamed chain (trunk too big to
+# be resident) should pass these options instead of the resident ones.
+_STREAM_VMEM_KIB = int(__import__("os").environ.get(
+    "QTTS_STREAM_VMEM_KIB", "49152"
+))
+
+
+def stream_compiler_options() -> "dict | None":
+    """compiler_options for jits embedding the streamed-trunk chain, or
+    None off-TPU (CPU/interpret paths must not see the TPU-only flag)."""
+    try:
+        if jax.default_backend() not in ("tpu", "axon"):
+            return None
+    except Exception:  # pragma: no cover
+        return None
+    return {"xla_tpu_scoped_vmem_limit_kib": str(_STREAM_VMEM_KIB)}
 
 
 def supports_stream(

@@ -90,8 +90,16 @@ def resident_jit_options(cfg, batch: int = 1, params=None) -> "dict | None":
     perturbs XLA's choices for programs that don't need it (B=32 int8
     serving regressed ~15% when it was applied unconditionally), so gate
     it as tightly as the available information allows."""
-    from ..models.code_predictor import _resident_enabled, resident_pack
+    from ..models.code_predictor import (
+        _resident_enabled,
+        _stream_enabled,
+        resident_pack,
+    )
     from ..ops.fused_mtp import resident_compiler_options
+    from ..ops.fused_mtp_stream import (
+        stream_compiler_options,
+        supports_stream,
+    )
 
     cp = cfg.code_predictor
     resident = cp.resident if cp.resident is not None else _resident_enabled()
@@ -101,13 +109,29 @@ def resident_jit_options(cfg, batch: int = 1, params=None) -> "dict | None":
     )
     if not (resident or frame) or cp.head_mode != "per_step":
         return None
-    if params is not None:
-        # considers the alt (lower-precision) pack too: B=32 engages the
-        # resident chain through fused_step_alt when the primary int8
-        # trunk fails the VMEM gate
-        if resident_pack(params.get("code_predictor", {}), batch) is None:
-            return None
-    return resident_compiler_options()
+    if params is None:
+        # no pack to inspect: assume the resident chain can engage
+        return resident_compiler_options()
+    # considers the alt (lower-precision) pack too: B=32 engages the
+    # resident chain through fused_step_alt when the primary int8
+    # trunk fails the VMEM gate
+    if resident_pack(params.get("code_predictor", {}), batch) is not None:
+        return resident_compiler_options()
+    # trunk too large for residency (1.7B single-chip): the B=1 STREAMED
+    # chain still needs a raised cap — its ring slots + head double-buffer
+    # + KV scratch exceed the 16 MiB default (observed 25.22M on v5e) but
+    # need far less than the resident cap
+    if (
+        batch == 1
+        and resident
+        and _stream_enabled()
+        and supports_stream(
+            params.get("code_predictor", {}).get("fused_step"),
+            cp.num_steps, cp.subcode_vocab_size,
+        )
+    ):
+        return stream_compiler_options()
+    return None
 
 
 def _frame_fused_enabled() -> bool:

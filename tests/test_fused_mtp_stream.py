@@ -147,3 +147,44 @@ def test_predict_subcodes_routes_to_streamed(stream_setup, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(sum_s), np.asarray(sum_r), atol=1e-6, rtol=1e-6
     )
+
+
+def test_resident_jit_options_covers_streamed_path(stream_setup, monkeypatch):
+    """A jit whose program can ONLY embed the streamed chain (trunk too
+    large for residency) must still get a raised scoped-vmem cap — the
+    kernel's VMEM blocks exceed XLA's 16 MiB default (observed 25.22M on
+    v5e).  Pin the routing: resident pack available -> resident cap; pack
+    unavailable + stream enabled -> the (smaller) stream cap; stream
+    disabled -> None."""
+    import leaxer_qwen3_tts_tpu.models.code_predictor as cp_mod
+    from leaxer_qwen3_tts_tpu.config import TTSModelConfig, TalkerConfig
+    from leaxer_qwen3_tts_tpu.ops.fused_mtp import _SCOPED_VMEM_KIB
+    from leaxer_qwen3_tts_tpu.ops.fused_mtp_stream import _STREAM_VMEM_KIB
+    from leaxer_qwen3_tts_tpu.runtime.generate import resident_jit_options
+
+    cfg, params, tables, lh, c0 = stream_setup
+    cfg = dataclasses.replace(cfg, resident=True)
+    p = prepare_fused_step(cfg, params, bits=8)
+    model_cfg = TTSModelConfig(code_predictor=cfg, frame_fused=False)
+    full_params = {"code_predictor": p}
+    # both option helpers gate on the backend; pretend we're on TPU
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    # trunk resident (the tiny fixture passes the gate) -> resident cap
+    opts = resident_jit_options(model_cfg, batch=1, params=full_params)
+    assert opts == {"xla_tpu_scoped_vmem_limit_kib": str(_SCOPED_VMEM_KIB)}
+
+    # residency fails (1.7B case) + stream enabled -> stream cap
+    monkeypatch.setattr(cp_mod, "resident_pack", lambda params, batch: None)
+    monkeypatch.setenv("QTTS_MTP_STREAM", "1")
+    opts = resident_jit_options(model_cfg, batch=1, params=full_params)
+    assert opts == {"xla_tpu_scoped_vmem_limit_kib": str(_STREAM_VMEM_KIB)}
+    assert _STREAM_VMEM_KIB < _SCOPED_VMEM_KIB
+
+    # stream disabled -> no cap (the raised cap perturbs XLA elsewhere)
+    monkeypatch.setenv("QTTS_MTP_STREAM", "0")
+    assert resident_jit_options(model_cfg, batch=1, params=full_params) is None
+
+    # batched programs never embed the (B=1-only) streamed chain
+    monkeypatch.setenv("QTTS_MTP_STREAM", "1")
+    assert resident_jit_options(model_cfg, batch=8, params=full_params) is None

@@ -417,8 +417,18 @@ def bench_stream() -> dict:
 
     def chain_bench(name, fn, sp, params):
         sample_fn = lambda k, lg: sample_token(k, lg, sp)
+        # the streamed kernel's VMEM blocks (ring + head double-buffer +
+        # KV scratch, ~25 MB at 1.7B int8) exceed XLA's 16 MiB scoped-vmem
+        # default — raise the cap ONLY for the streamed arm so the
+        # per-step arm's XLA choices stay unperturbed
+        from leaxer_qwen3_tts_tpu.ops.fused_mtp_stream import (
+            stream_compiler_options,
+        )
 
-        @jax.jit
+        copts = (stream_compiler_options()
+                 if fn is predict_subcodes_streamed else None)
+
+        @functools.partial(jax.jit, compiler_options=copts)
         def run(params, tables, hidden, c0e, key):
             def body(carry, _):
                 h, key = carry
@@ -470,6 +480,298 @@ def bench_stream() -> dict:
     agree = float((g_f == g_s).mean())
     print(f"greedy agreement streamed vs per-step: {agree:.4f}", flush=True)
     out["greedy_agreement"] = agree
+    return out
+
+
+def bench_streamdiag() -> dict:
+    """Hardware correctness bisect for the streamed-trunk chain.
+
+    The --stream arm measured greedy agreement 0.31 vs per-step on
+    hardware while every interpret-mode test passes — a hardware-only
+    divergence.  Gold standard: the RESIDENT chain (hardware-validated,
+    greedy agreement 1.0 vs per-step).  Build a trunk at the 1.7B hidden
+    size but few enough layers to fit residency (H=2048, L=2 -> 80 MB
+    int8), then compare a SINGLE chain call: resident vs streamed at ring
+    2/4/8 vs per-step, greedy and sampled.  streamed==resident everywhere
+    -> the --stream disagreement was tie-breaks on random weights;
+    streamed!=resident (or ring-dependent output) -> ring-protocol race.
+    """
+    import functools as _ft
+
+    from leaxer_qwen3_tts_tpu.config import (
+        CodePredictorConfig,
+        TransformerConfig,
+    )
+    from leaxer_qwen3_tts_tpu.models.code_predictor import (
+        init_code_predictor_params,
+        predict_subcodes_fused,
+        predict_subcodes_resident,
+        prepare_fused_step,
+    )
+    from leaxer_qwen3_tts_tpu.ops.fused_mtp import (
+        resident_compiler_options,
+        supports_resident,
+    )
+    from leaxer_qwen3_tts_tpu.ops.fused_mtp_stream import (
+        stream_compiler_options,
+        supports_stream,
+    )
+    from leaxer_qwen3_tts_tpu.runtime.sampling import (
+        SamplingParams,
+        sample_token,
+    )
+
+    # H=2048 (the 1.7B hidden) but I=3072, so the L=2 int8 trunk (56 MB)
+    # passes the RESIDENT kernel's 110 MB Mosaic cap (the first attempt at
+    # I=6144 was 96 MB of units and hit 112.5M > 110M on hardware); L=2
+    # keeps the cross-layer ring walk exercised.
+    t = TransformerConfig(
+        hidden_size=2048, num_layers=2, num_heads=16, num_kv_heads=8,
+        head_dim=128, intermediate_size=3072, dtype="bfloat16",
+    )
+    cfg = CodePredictorConfig(transformer=t, impl="fused")
+    H, n, V = 2048, cfg.num_steps, cfg.subcode_vocab_size
+
+    @jax.jit
+    def build(key):
+        k1, k2 = jax.random.split(key)
+        params = init_code_predictor_params(cfg, k1)
+        tables = (
+            jax.random.normal(k2, (n, V, H), jnp.float32) * 0.02
+        ).astype(jnp.bfloat16)
+        return params, tables
+
+    raw, tables = build(jax.random.PRNGKey(0))
+    from leaxer_qwen3_tts_tpu.ops.quant import fuse_params, quantize_params
+
+    qp = jax.jit(lambda p: quantize_params(fuse_params({"m": p}))["m"])(raw)
+    qp8 = jax.jit(lambda p: prepare_fused_step(cfg, p, bits=8))(dict(qp))
+    assert supports_resident(qp8["fused_step"], batch=1)
+    assert supports_stream(qp8["fused_step"], n, V)
+
+    rng = np.random.default_rng(7)
+    hidden, c0e = jax.device_put([
+        rng.standard_normal((1, H)).astype(np.float32) * 0.5,
+        rng.standard_normal((1, H)).astype(np.float32) * 0.02,
+    ])
+    key = jax.random.PRNGKey(11)
+
+    results = {}
+    for spname, sp in (
+        ("greedy", SamplingParams.create(temperature=0.0)),
+        ("sampled", SamplingParams.create(
+            temperature=0.8, top_k=50, top_p=0.95)),
+    ):
+        res_fn = jax.jit(
+            lambda p, tb, h, c, k, _sp=sp: predict_subcodes_resident(
+                cfg, p, tb, h, c, k, _sp
+            ),
+            compiler_options=resident_compiler_options(),
+        )
+        subs_r = np.asarray(res_fn(qp8, tables, hidden, c0e, key)[0])
+        print(f"[{spname}] resident: {subs_r[0].tolist()}", flush=True)
+        results[f"resident_{spname}"] = subs_r
+
+        sample_fn = lambda k, lg, _sp=sp: sample_token(k, lg, _sp)
+        ps_fn = jax.jit(
+            lambda p, tb, h, c, k: predict_subcodes_fused(
+                cfg, p, tb, h, c, k, sample_fn
+            )
+        )
+        subs_p = np.asarray(ps_fn(qp8, tables, hidden, c0e, key)[0])
+        agree_rp = int((subs_p == subs_r).sum())
+        print(f"[{spname}] per-step: {subs_p[0].tolist()} "
+              f"(matches resident {agree_rp}/{n})", flush=True)
+
+        for ring in (2, 4, 8):
+            st_fn = jax.jit(
+                _ft.partial(
+                    _streamdiag_call, cfg=cfg, sp=sp, ring=ring
+                ),
+                compiler_options=stream_compiler_options(),
+            )
+            subs_s = np.asarray(st_fn(qp8, tables, hidden, c0e, key)[0])
+            ok = np.array_equal(subs_s, subs_r)
+            print(f"[{spname}] streamed ring={ring}: {subs_s[0].tolist()} "
+                  f"{'== resident' if ok else '!= RESIDENT — DIVERGED'}",
+                  flush=True)
+            results[f"streamed_{spname}_r{ring}"] = subs_s
+    return results
+
+
+def _streamdiag_call(params, tables, hidden, c0e, key, *, cfg, sp, ring):
+    from leaxer_qwen3_tts_tpu.models.code_predictor import (
+        predict_subcodes_streamed,
+    )
+
+    return predict_subcodes_streamed(
+        cfg, params, tables, hidden, c0e, key, sp, ring=ring
+    )
+
+
+def bench_engine17() -> dict:
+    """Localize the unexplained in-engine int8-KV penalty at 1.7B.
+
+    The isolated talker step WINS with kvq (1.958 vs 2.456 ms at T=512,
+    ring sweep) yet the like-for-like in-engine decode-only A/B LOSES
+    (9.00 vs 8.75 ms/frame, BENCH_EVIDENCE_r5.md).  This arm rebuilds the
+    engine's frame composition in controlled stages, f32-KV vs int8-KV
+    each, so the ~0.75 ms discrepancy pins to a stage:
+
+      glue   — talker step + final-norm + lm_head + suppress + sample +
+               codec-embed gather + drip add (everything per-frame EXCEPT
+               the MTP chain)
+      frame  — glue + the 15-dispatch per-step MTP chain (the 1.7B path)
+
+    If kvq still wins at `glue`, the penalty lives in the MTP interaction
+    (scan carry/aliasing with the scale arrays); if kvq already loses at
+    `glue`, it's the head/sample glue interplay with the quantized cache.
+    """
+    import dataclasses
+
+    from leaxer_qwen3_tts_tpu.config import (
+        CodePredictorConfig,
+        TransformerConfig,
+    )
+    from leaxer_qwen3_tts_tpu.models.code_predictor import (
+        init_code_predictor_params,
+        predict_subcodes_fused,
+        prepare_fused_step,
+    )
+    from leaxer_qwen3_tts_tpu.ops.quant import fuse_params, quantize_params
+    from leaxer_qwen3_tts_tpu.runtime.sampling import (
+        SamplingParams,
+        sample_token,
+    )
+
+    talker17 = TransformerConfig(
+        hidden_size=2048, num_layers=28, num_heads=16, num_kv_heads=8,
+        head_dim=128, intermediate_size=6144, dtype="bfloat16",
+    )
+    t17 = TransformerConfig(
+        hidden_size=2048, num_layers=6, num_heads=16, num_kv_heads=8,
+        head_dim=128, intermediate_size=6144, dtype="bfloat16",
+    )
+    cfg = CodePredictorConfig(transformer=t17, impl="fused")
+    H, n, V = 2048, cfg.num_steps, cfg.subcode_vocab_size
+    Vc = 3072  # codec vocab (code0 head)
+    T = 512
+    L, nk, d = talker17.num_layers, talker17.num_kv_heads, talker17.head_dim
+
+    rng = np.random.default_rng(0)
+    fw = make_weights(talker17, rng)
+
+    @jax.jit
+    def build(key):
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        params = init_code_predictor_params(cfg, k1)
+        tables = (
+            jax.random.normal(k2, (n, V, H), jnp.float32) * 0.02
+        ).astype(jnp.bfloat16)
+        lm_head = (
+            jax.random.normal(k3, (H, Vc), jnp.float32) * 0.02
+        ).astype(jnp.bfloat16)
+        codec_embed = (
+            jax.random.normal(k4, (Vc, H), jnp.float32) * 0.02
+        ).astype(jnp.bfloat16)
+        return params, tables, lm_head, codec_embed
+
+    raw, tables, lm_head, codec_embed = build(jax.random.PRNGKey(0))
+    qp = jax.jit(lambda p: quantize_params(fuse_params({"m": p}))["m"])(raw)
+    qp8 = jax.jit(lambda p: prepare_fused_step(cfg, p, bits=8))(dict(qp))
+    # suppression mask: codec specials 2048..3071 except EOS at -inf
+    sup = np.zeros((1, Vc), np.float32)
+    sup[:, 2048:] = -np.inf
+    sup[:, 2150] = 0.0
+    suppress = jax.device_put(sup)
+    drip = jax.device_put(
+        rng.standard_normal((1, H)).astype(np.float32) * 0.02
+    )
+    x0 = jax.device_put(
+        rng.standard_normal((1, H)).astype(np.float32) * 0.1
+    )
+    sp = SamplingParams.create(temperature=0.8, top_k=50, top_p=0.95)
+    sample_fn = lambda k, lg: sample_token(k, lg, sp)
+
+    N = 96
+    out = {}
+    os.environ["QTTS_FUSED_MANUAL"] = "1"
+
+    def arm(name, kvq, with_mtp):
+        cdt = jnp.int8 if kvq else jnp.float32
+        kc = jnp.zeros((L, 1, nk, T, d), cdt)
+        vc = jnp.zeros((L, 1, nk, T, d), cdt)
+        scales = (
+            (jnp.full((L, 1, nk, T), 1e-3, jnp.float32),
+             jnp.full((L, 1, nk, T), 1e-3, jnp.float32))
+            if kvq else None
+        )
+
+        @jax.jit
+        def run(fw, qp8, tables, lm_head, codec_embed, x, kc, vc, ks, vs,
+                key):
+            def body(carry, _):
+                x, kc, vc, ks, vs, pos, key = carry
+                if kvq:
+                    x2, kc2, vc2, ks2, vs2 = fused_decode_step(
+                        talker17, fw, x, pos, kc, vc, ks, vs
+                    )
+                else:
+                    x2, kc2, vc2 = fused_decode_step(
+                        talker17, fw, x, pos, kc, vc
+                    )
+                    ks2, vs2 = ks, vs
+                # final norm (ones weight) + lm_head + suppress + sample
+                h = x2 * jax.lax.rsqrt(
+                    jnp.mean(x2 * x2, axis=-1, keepdims=True) + 1e-6
+                )
+                logits = jnp.dot(
+                    h.astype(jnp.bfloat16), lm_head,
+                    preferred_element_type=jnp.float32,
+                ) + suppress
+                key, k0, kp = jax.random.split(key, 3)
+                code0 = sample_token(k0, logits, sp)
+                oh = (
+                    code0[:, None] == jnp.arange(Vc, dtype=jnp.int32)[None]
+                ).astype(jnp.bfloat16)
+                c0e = jnp.dot(
+                    oh, codec_embed, preferred_element_type=jnp.float32
+                )
+                if with_mtp:
+                    _, ssum = predict_subcodes_fused(
+                        cfg, qp8, tables, h, c0e, kp, sample_fn
+                    )
+                    nxt = c0e + ssum.astype(c0e.dtype) + drip
+                else:
+                    nxt = c0e + drip
+                pos = jax.lax.rem(pos + 1, T)
+                return (nxt.astype(x.dtype) * 0.1, kc2, vc2, ks2, vs2,
+                        pos, key), ()
+
+            init = (x, kc, vc, ks, vs, jnp.asarray(0, jnp.int32), key)
+            (xf, *_), _ = jax.lax.scan(body, init, None, length=N)
+            return xf
+
+        ks, vs = scales if kvq else (None, None)
+        args = (fw, qp8, tables, lm_head, codec_embed, x0, kc, vc, ks, vs,
+                jax.random.PRNGKey(3))
+        t0 = time.perf_counter()
+        sync(run(*args))
+        compile_s = time.perf_counter() - t0
+        best = float("inf")
+        for _ in range(3):
+            t1 = time.perf_counter()
+            sync(run(*args))
+            best = min(best, time.perf_counter() - t1)
+        ms = best / N * 1e3
+        out[name] = ms
+        print(f"engine17 {name}: {ms:.3f} ms/frame "
+              f"(compile {compile_s:.1f}s, best of 3)", flush=True)
+
+    arm("glue f32-KV", kvq=False, with_mtp=False)
+    arm("glue int8-KV", kvq=True, with_mtp=False)
+    arm("frame f32-KV", kvq=False, with_mtp=True)
+    arm("frame int8-KV", kvq=True, with_mtp=True)
     return out
 
 
@@ -766,6 +1068,14 @@ def main():
 
     if "--stream" in os.sys.argv:
         bench_stream()
+        return
+
+    if "--streamdiag" in os.sys.argv:
+        bench_streamdiag()
+        return
+
+    if "--engine17" in os.sys.argv:
+        bench_engine17()
         return
 
     if "--frame" in os.sys.argv:
