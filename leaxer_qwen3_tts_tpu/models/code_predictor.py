@@ -116,12 +116,20 @@ def _resident_enabled() -> bool:
 def _stream_enabled() -> bool:
     """Streamed-trunk MTP chain (ops/fused_mtp_stream.py) for B=1 fused
     decode when the trunk is too large for VMEM residency (1.7B
-    single-chip).  QTTS_MTP_STREAM=1 opts in; default OFF until
-    hardware-validated (the resident chain's gating pattern — flip the
-    default once tools/manual_probe.py --stream shows the win live)."""
+    single-chip).  Default ON on TPU — hardware-validated 2026-08-19
+    (tools/manual_probe.py --stream/--streamdiag: int4 trunk 5.74 vs 7.14
+    ms/chain, int8 a wash at ~7.5; streamed == resident BIT-FOR-BIT,
+    greedy and sampled, at every ring depth on the shape both kernels
+    run).  OFF elsewhere — the CPU interpret path is a numerics surface.
+    QTTS_MTP_STREAM overrides either way."""
     import os
 
-    return os.environ.get("QTTS_MTP_STREAM", "0") == "1"
+    v = os.environ.get("QTTS_MTP_STREAM")
+    if v is not None:
+        return v != "0"
+    import jax
+
+    return jax.default_backend() == "tpu"
 
 
 def resident_pack(params: dict, batch: int):

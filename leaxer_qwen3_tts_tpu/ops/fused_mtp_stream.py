@@ -22,8 +22,16 @@ per sub-code) for trunks too large to hold on-chip.
 Sampling: same precomputed-Gumbel in-kernel sampler as the resident chain
 (fused_mtp.gumbel_topk_topp_sample) on the same split(key, n) noise chain —
 streamed and resident chains produce IDENTICAL outputs (same values, same
-op order; only the weight transport differs), which the tests pin exactly.
-Greedy (temp<=0) equals the per-step XLA path bit-for-bit.
+op order; only the weight transport differs), which the tests pin exactly
+and hardware confirms (manual_probe --streamdiag: bit-equal at ring 2/4/8,
+greedy AND sampled, on the shape both kernels run).  vs the per-step XLA
+path, greedy is identical modulo head-matmul ROUNDING: at H=1024 shapes
+they match bit-for-bit; at the 1.7B shape (I=6144 accumulation depth) the
+in-kernel bf16 head dot rounds differently from XLA's, flipping argmax on
+near-tie logits (~3-4%/step on random *0.02-init weights — scattered,
+unpatterned first divergences; manual_probe --streamdiag17).  On trained
+weights, whose logit margins are far wider than bf16 ulps, flips are
+expected to vanish; the resident chain's greedy contract is the same.
 
 VMEM budget: ring unit slots + all-layer scales + head double-buffer +
 the <=17-slot f32 KV scratch + activations — ~25 MB at 1.7B int4
