@@ -521,13 +521,14 @@ def bench_streamdiag() -> dict:
         sample_token,
     )
 
-    # H=2048 (the 1.7B hidden) but I=3072, so the L=2 int8 trunk (56 MB)
-    # passes the RESIDENT kernel's 110 MB Mosaic cap (the first attempt at
-    # I=6144 was 96 MB of units and hit 112.5M > 110M on hardware); L=2
-    # keeps the cross-layer ring walk exercised.
+    # H=2048 (the 1.7B hidden) but I=2048, so the L=2 int8 trunk (48 MB)
+    # passes the RESIDENT kernel's 110 MB Mosaic cap (I=6144 was 96 MB of
+    # units and hit 112.5M > 110M on hardware; I=3072 fails the fused
+    # supports() gate, which needs I % H == 0); L=2 keeps the cross-layer
+    # ring walk exercised.
     t = TransformerConfig(
         hidden_size=2048, num_layers=2, num_heads=16, num_kv_heads=8,
-        head_dim=128, intermediate_size=3072, dtype="bfloat16",
+        head_dim=128, intermediate_size=2048, dtype="bfloat16",
     )
     cfg = CodePredictorConfig(transformer=t, impl="fused")
     H, n, V = 2048, cfg.num_steps, cfg.subcode_vocab_size
@@ -607,6 +608,112 @@ def _streamdiag_call(params, tables, hidden, c0e, key, *, cfg, sp, ring):
     return predict_subcodes_streamed(
         cfg, params, tables, hidden, c0e, key, sp, ring=ring
     )
+
+
+def bench_streamdiag17() -> dict:
+    """No-feedback greedy A/B at the FULL 1.7B MTP shape (L=6, I=6144).
+
+    --streamdiag proved streamed == resident == per-step bit-for-bit at
+    H=2048/L=2/I=2048, so the --stream arm's 0.31 greedy agreement is
+    either (a) argmax tie-flips from the per-step path's different head
+    matmul rounding, CASCADED by that arm's 48-frame feedback loop, or
+    (b) a geometry bug that only appears at the full shape (the resident
+    kernel can't run there, so the diag shape couldn't cover it).  Run 32
+    INDEPENDENT single-frame greedy chains (fixed random inputs, no
+    feedback) through per-step and streamed: ties -> a few chains diverge
+    at random steps; geometry bug -> every chain diverges, early and
+    patterned."""
+    from leaxer_qwen3_tts_tpu.config import (
+        CodePredictorConfig,
+        TransformerConfig,
+    )
+    from leaxer_qwen3_tts_tpu.models.code_predictor import (
+        init_code_predictor_params,
+        predict_subcodes_fused,
+        predict_subcodes_streamed,
+        prepare_fused_step,
+    )
+    from leaxer_qwen3_tts_tpu.ops.fused_mtp_stream import (
+        stream_compiler_options,
+        supports_stream,
+    )
+    from leaxer_qwen3_tts_tpu.ops.quant import fuse_params, quantize_params
+    from leaxer_qwen3_tts_tpu.runtime.sampling import (
+        SamplingParams,
+        sample_token,
+    )
+
+    t17 = TransformerConfig(
+        hidden_size=2048, num_layers=6, num_heads=16, num_kv_heads=8,
+        head_dim=128, intermediate_size=6144, dtype="bfloat16",
+    )
+    cfg = CodePredictorConfig(transformer=t17, impl="fused")
+    H, n, V = 2048, cfg.num_steps, cfg.subcode_vocab_size
+
+    @jax.jit
+    def build(key):
+        k1, k2 = jax.random.split(key)
+        params = init_code_predictor_params(cfg, k1)
+        tables = (
+            jax.random.normal(k2, (n, V, H), jnp.float32) * 0.02
+        ).astype(jnp.bfloat16)
+        return params, tables
+
+    raw, tables = build(jax.random.PRNGKey(0))
+    qp = jax.jit(lambda p: quantize_params(fuse_params({"m": p}))["m"])(raw)
+    qp8 = jax.jit(lambda p: prepare_fused_step(cfg, p, bits=8))(dict(qp))
+    assert supports_stream(qp8["fused_step"], n, V)
+
+    K = 32
+    rng = np.random.default_rng(5)
+    hiddens = jax.device_put(
+        rng.standard_normal((K, 1, H)).astype(np.float32) * 0.5
+    )
+    c0es = jax.device_put(
+        rng.standard_normal((K, 1, H)).astype(np.float32) * 0.02
+    )
+    sp = SamplingParams.create(temperature=0.0)
+    sample_fn = lambda k, lg: sample_token(k, lg, sp)
+    key = jax.random.PRNGKey(9)
+
+    @jax.jit
+    def run_perstep(params, tables, hiddens, c0es):
+        def body(_, hc):
+            h, c = hc
+            subs, _ = predict_subcodes_fused(
+                cfg, params, tables, h, c, key, sample_fn
+            )
+            return 0, subs
+
+        _, subs = jax.lax.scan(body, 0, (hiddens, c0es))
+        return subs
+
+    @functools.partial(jax.jit, compiler_options=stream_compiler_options())
+    def run_streamed(params, tables, hiddens, c0es):
+        def body(_, hc):
+            h, c = hc
+            subs, _ = predict_subcodes_streamed(
+                cfg, params, tables, h, c, key, sp
+            )
+            return 0, subs
+
+        _, subs = jax.lax.scan(body, 0, (hiddens, c0es))
+        return subs
+
+    s_p = np.asarray(run_perstep(qp8, tables, hiddens, c0es)).reshape(K, n)
+    s_s = np.asarray(run_streamed(qp8, tables, hiddens, c0es)).reshape(K, n)
+    per_chain = (s_p == s_s).all(axis=1)
+    agree = float((s_p == s_s).mean())
+    print(f"streamdiag17: {int(per_chain.sum())}/{K} chains identical, "
+          f"element agreement {agree:.4f}", flush=True)
+    for k in range(K):
+        if not per_chain[k]:
+            j = int(np.argmax(s_p[k] != s_s[k]))
+            print(f"  chain {k}: first divergence at step {j} "
+                  f"(per-step {s_p[k, j]} vs streamed {s_s[k, j]})",
+                  flush=True)
+    return {"chains_identical": int(per_chain.sum()),
+            "element_agreement": agree}
 
 
 def bench_engine17() -> dict:
@@ -1074,8 +1181,16 @@ def main():
         bench_streamdiag()
         return
 
+    # --streamdiag17 and --engine17 chain in one process (one tunnel
+    # connect pays for both)
+    ran = False
+    if "--streamdiag17" in os.sys.argv:
+        bench_streamdiag17()
+        ran = True
     if "--engine17" in os.sys.argv:
         bench_engine17()
+        ran = True
+    if ran:
         return
 
     if "--frame" in os.sys.argv:
